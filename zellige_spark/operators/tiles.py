@@ -1,0 +1,140 @@
+"""Tile assignment as pure Spark Column math (no UDFs, whole-stage codegen).
+
+This operator is NEW relative to the reference (SURVEY.md §2.10): it is
+the inverse of zellige's per-tile ``boundingBox``
+(/root/reference/src/Data/Geometry/SphericalMercator.hs:113-121):
+
+    tile_x = floor((X + maxExtents) / resolution)
+    tile_y = floor((maxExtents - Y) / resolution)
+    resolution = 2 * maxExtents / 2^zoom
+
+with X/Y the EPSG:3857 projection (lonToX / latToY,
+SphericalMercator.hs:100-111) including their clamping.
+
+Everything here stays JVM-side: radians/log/tan/floor are Catalyst
+expressions, zoom fan-out is an ``explode`` of a literal array, so the
+whole assignment runs inside WholeStageCodegen with zero Python cost —
+at 10^12 rows this is the difference between hours and weeks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WGS84_MAJOR_RADIUS = 6378137.0
+MAX_EXTENTS = 20037508.342789244
+
+
+def x3857(lon: Column) -> Column:
+    """lonToX (SphericalMercator.hs:100-104): clamp above at maxExtents."""
+    return F.least(F.lit(WGS84_MAJOR_RADIUS) * F.radians(lon), F.lit(MAX_EXTENTS))
+
+
+def y3857(lat: Column) -> Column:
+    """latToY (SphericalMercator.hs:106-111): clamp below at -maxExtents."""
+    y = F.lit(WGS84_MAJOR_RADIUS) * F.log(F.tan(F.lit(0.25) * F.lit(3.141592653589793) + F.lit(0.5) * F.radians(lat)))
+    return F.greatest(y, F.lit(-MAX_EXTENTS))
+
+
+def tile_xy(x: Column, y: Column, zoom: Column) -> tuple:
+    """3857 meters -> (tile_x, tile_y) int columns at ``zoom`` (clamped
+    into [0, 2^zoom-1] so the +maxExtents edge lands in the last cell)."""
+    n = F.pow(F.lit(2.0), zoom.cast("double"))
+    res = F.lit(2.0 * MAX_EXTENTS) / n
+    last = (n - F.lit(1.0)).cast("long")
+    tx = F.floor((x + F.lit(MAX_EXTENTS)) / res)
+    ty = F.floor((F.lit(MAX_EXTENTS) - y) / res)
+    tx = F.greatest(F.lit(0).cast("long"), F.least(tx, last))
+    ty = F.greatest(F.lit(0).cast("long"), F.least(ty, last))
+    return tx, ty
+
+
+def tile_key(z: Column, tx: Column, ty: Column) -> Column:
+    """Pack (z, x, y) into one int64: z<<56 | x<<28 | y (x,y < 2^28)."""
+    return (z.cast("long") * F.lit(1 << 56)
+            + tx.cast("long") * F.lit(1 << 28) + ty.cast("long"))
+
+
+def with_web_mercator(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    return (df
+            .withColumn("x3857", x3857(F.col(lon_col)))
+            .withColumn("y3857", y3857(F.col(lat_col))))
+
+
+def assign_tiles(df: DataFrame, zooms: Sequence[int] = range(0, 15),
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Fan each row out to one (zoom, tile_x, tile_y) per requested zoom.
+
+    Plan shape: project (3857 math) -> explode(literal zoom array) ->
+    project (floor math).  No shuffle, no UDF; Catalyst keeps it in one
+    codegen stage on top of the scan.
+    """
+    df = with_web_mercator(df, lon_col, lat_col)
+    df = df.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.col("zoom"))
+    return (df.withColumn("tile_x", tx)
+              .withColumn("tile_y", ty)
+              .withColumn("tile_key", tile_key(F.col("zoom"), F.col("tile_x"), F.col("tile_y"))))
+
+
+def assign_tiles_buffered(df: DataFrame, zoom: int, extent: int = 4096,
+                          buffer: int = 128,
+                          lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Buffer-aware single-zoom assignment for MVT encoding: a point
+    lands in its own tile plus any neighbor tile whose buffered window
+    ((-buf,-buf)..(extent+buf,extent+buf), Clip.hs:42-46) contains it.
+
+    Implemented as a 3x3 neighbor explode + one vectorized filter —
+    still pure Column math.  With buffer/extent = 128/4096 only ~6% of
+    points (edge band) duplicate, so the fan-out cost is ~1.25x rows,
+    not 9x: Catalyst prunes with the filter immediately after explode.
+    """
+    df = with_web_mercator(df, lon_col, lat_col)
+    n = float(2 ** zoom)
+    res = 2.0 * MAX_EXTENTS / n
+    fx = (F.col("x3857") + F.lit(MAX_EXTENTS)) / F.lit(res)   # fractional tile x
+    fy = (F.lit(MAX_EXTENTS) - F.col("y3857")) / F.lit(res)
+    df = df.withColumn("_fx", fx).withColumn("_fy", fy)
+    base_x = F.least(F.floor(F.col("_fx")), F.lit(int(n) - 1))
+    base_y = F.least(F.floor(F.col("_fy")), F.lit(int(n) - 1))
+    df = df.withColumn("_bx", base_x).withColumn("_by", base_y)
+    pad = float(buffer) / float(extent)  # buffer in tile fractions
+    shifts = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                       for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    df = df.withColumn("_s", F.explode(shifts))
+    tx = F.col("_bx") + F.col("_s.dx")
+    ty = F.col("_by") + F.col("_s.dy")
+    # keep when the point is inside this tile's buffered window
+    inx = (F.col("_fx") >= tx.cast("double") - F.lit(pad)) & (F.col("_fx") <= tx.cast("double") + F.lit(1.0 + pad))
+    iny = (F.col("_fy") >= ty.cast("double") - F.lit(pad)) & (F.col("_fy") <= ty.cast("double") + F.lit(1.0 + pad))
+    ok = (tx >= 0) & (ty >= 0) & (tx < int(n)) & (ty < int(n)) & inx & iny
+    return (df.filter(ok)
+              .withColumn("zoom", F.lit(zoom))
+              .withColumn("tile_x", tx.cast("long"))
+              .withColumn("tile_y", ty.cast("long"))
+              .withColumn("tile_key", tile_key(F.lit(zoom), tx, ty))
+              .drop("_fx", "_fy", "_bx", "_by", "_s"))
+
+
+def tile_local_px(df: DataFrame, extent: int = 4096,
+                  quantize: int = 1) -> DataFrame:
+    """Tile-local pixel doubles for an assigned row (latLonToXYInTile,
+    SphericalMercator.hs:83-94) — Column math only.
+
+    px = (X - minX) * extent / spanX ; spanY negative => Y-down.
+    Quantization >1 snaps to multiples with HALF_EVEN (Spark's bround).
+    """
+    n = F.pow(F.lit(2.0), F.col("zoom").cast("double"))
+    res = F.lit(2.0 * MAX_EXTENTS) / n
+    min_x = F.lit(-MAX_EXTENTS) + F.col("tile_x").cast("double") * res
+    min_y = F.lit(MAX_EXTENTS) - F.col("tile_y").cast("double") * res
+    px = (F.col("x3857") - min_x) * F.lit(float(extent)) / res
+    py = (F.col("y3857") - min_y) * F.lit(float(extent)) / (-res)
+    if quantize > 1:
+        q = F.lit(float(quantize))
+        px = F.bround(px / q, 0) * q
+        py = F.bround(py / q, 0) * q
+    return df.withColumn("px", px).withColumn("py", py)

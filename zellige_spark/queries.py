@@ -1,0 +1,294 @@
+"""Driver-contract queries and their DuckDB oracle SQL.
+
+Each query runs a REAL engine operator (tile assignment, PIP join, kNN,
+MVT assembly) over points derived deterministically from the testdata
+tables (integer arithmetic → identical in Spark and DuckDB), and each
+oracle re-states the semantics in plain SQL.  Column names match
+exactly (driver hashes values after sorting columns by name).
+
+Float-sensitive outputs (distances, scores) are excluded from compared
+columns; comparisons are on integer keys/ranks/counts, which are stable
+across JVM/libm ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import encode as E
+from .operators import knn as KNN
+from .operators import pip as PIP
+from .operators import tiles as T
+
+MAX_EXTENTS = 20037508.342789244
+R = 6378137.0
+
+# --- deterministic lon/lat derivations (same in Spark + DuckDB) -------------
+
+CUST_LON = "(c_custkey * 7919 % 360000) / 1000.0 - 180.0"
+CUST_LAT = "((c_custkey * 104729 + 13) % 170000) / 1000.0 - 85.0"
+NAT_LON = "(n_nationkey * 52361 % 360000) / 1000.0 - 180.0"
+NAT_LAT = "((n_nationkey * 7907 + 41) % 170000) / 1000.0 - 85.0"
+
+ZOOMS = (0, 5, 9, 14)
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.select(
+        F.col("c_custkey"),
+        F.expr(CUST_LON).alias("lon"),
+        F.expr(CUST_LAT).alias("lat"),
+    )
+
+
+def _nation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return df.select(
+        F.col("n_nationkey"),
+        F.expr(NAT_LON).alias("lon"),
+        F.expr(NAT_LAT).alias("lat"),
+    )
+
+
+# DuckDB snippets for 3857 projection + tile math (mirrors operators/tiles.py)
+_SQL_X = f"least({R} * radians(lon), {MAX_EXTENTS})"
+_SQL_Y = f"greatest({R} * ln(tan(0.25 * pi() + 0.5 * radians(lat))), -{MAX_EXTENTS})"
+
+
+def _sql_tile(zoom_expr: str) -> str:
+    res = f"(2.0 * {MAX_EXTENTS} / pow(2.0, {zoom_expr}))"
+    last = f"(cast(pow(2.0, {zoom_expr}) as bigint) - 1)"
+    tx = f"greatest(0, least(cast(floor((x3857 + {MAX_EXTENTS}) / {res}) as bigint), {last}))"
+    ty = f"greatest(0, least(cast(floor(({MAX_EXTENTS} - y3857) / {res}) as bigint), {last}))"
+    return tx, ty
+
+
+# ---------------------------------------------------------------------------
+# q: tile_assign — the core NEW operator, zooms 0/5/9/14 over customers
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    out = T.assign_tiles(pts, ZOOMS)
+    return out.select("c_custkey", F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y")
+
+
+def sql_tile_assign() -> str:
+    tx, ty = _sql_tile("zoom")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {CUST_LON} AS lon,
+             {CUST_LAT} AS lat
+      FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    )
+    SELECT c_custkey, CAST(z.zoom AS INT) AS zoom,
+           {tx} AS tile_x, {ty} AS tile_y
+    FROM proj CROSS JOIN (VALUES (0),(5),(9),(14)) AS z(zoom)
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: tile_counts — distinct tiles + rows per zoom (skew scan shape)
+# ---------------------------------------------------------------------------
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, ZOOMS)
+    return (a.groupBy(F.col("zoom").cast("int").alias("zoom"))
+             .agg(F.countDistinct("tile_x", "tile_y").alias("n_tiles"),
+                  F.count(F.lit(1)).alias("n_rows"))
+             .orderBy("zoom"))
+
+
+def sql_tile_counts() -> str:
+    tx, ty = _sql_tile("zoom")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), assigned AS (
+      SELECT CAST(z.zoom AS INT) AS zoom, {tx} AS tile_x, {ty} AS tile_y
+      FROM proj CROSS JOIN (VALUES (0),(5),(9),(14)) AS z(zoom)
+    )
+    SELECT zoom, COUNT(DISTINCT (tile_x, tile_y)) AS n_tiles, COUNT(*) AS n_rows
+    FROM assigned GROUP BY zoom ORDER BY zoom
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: pip_polygon — point-in-polygon join against a fixed irregular polygon
+# ---------------------------------------------------------------------------
+
+# irregular (non-convex) test polygon; vertices chosen with non-terminating
+# binary fractions unlikely to generate on-edge hits from the derived points
+PIP_POLY = [
+    (-20.137, -10.311), (15.731, -25.973), (42.677, 8.059),
+    (20.011, 13.177), (31.445, 38.071), (-5.233, 29.917),
+    (-28.471, 5.483), (-20.137, -10.311),
+]
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    pts = _customer_points(spark, sf_dir)
+    ring = [[float(x), float(y)] for x, y in PIP_POLY]
+    arr = np.asarray(ring)
+    polys = spark.createDataFrame(
+        [("poly0", "fixed", [ring],
+          float(arr[:, 0].min()), float(arr[:, 1].min()),
+          float(arr[:, 0].max()), float(arr[:, 1].max()))],
+        "polygon_id string, name string, rings array<array<array<double>>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double")
+    out = PIP.pip_join_broadcast(pts, polys)
+    return out.select("c_custkey", "polygon_id")
+
+
+def sql_pip_polygon() -> str:
+    # even-odd ray cast, one term per edge, matching ray_cast_mask exactly:
+    # crossing iff min(y1,y2) <= lat < max(y1,y2) and x1+t*(x2-x1) > lon
+    terms = []
+    for (x1, y1), (x2, y2) in zip(PIP_POLY[:-1], PIP_POLY[1:]):
+        if y1 == y2:
+            continue
+        t = f"((lat - {y1!r}) / ({y2!r} - {y1!r}))"
+        xs = f"({x1!r} + {t} * ({x2!r} - {x1!r}))"
+        cond = (f"(lat >= least({y1!r},{y2!r}) AND lat < greatest({y1!r},{y2!r}) "
+                f"AND {xs} > lon)")
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    crossings = " + ".join(terms)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    )
+    SELECT c_custkey, 'poly0' AS polygon_id
+    FROM pts
+    WHERE ({crossings}) % 2 = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: knn — 25 nation query points, k=5 nearest customers via k-ring
+# ---------------------------------------------------------------------------
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = _nation_points(spark, sf_dir).withColumnRenamed("n_nationkey", "query_id")
+    data = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "data_id")
+    out = KNN.knn_kring(queries, data, k=5, index_zoom=3, max_ring=2,
+                        query_id="query_id", data_id="data_id")
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def sql_knn() -> str:
+    hav = ("2.0 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
+           "cos(radians(q.lat)) * cos(radians(d.lat)) * "
+           "pow(sin((radians(d.lon) - radians(q.lon)) / 2), 2)))")
+    return f"""
+    WITH q AS (
+      SELECT n_nationkey AS query_id, {NAT_LON} AS lon, {NAT_LAT} AS lat FROM nation
+    ), d AS (
+      SELECT c_custkey AS data_id, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), scored AS (
+      SELECT q.query_id, d.data_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {hav} ASC, d.data_id ASC) AS rank
+      FROM q CROSS JOIN d
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: mvt_tile_stats — the full encode pipeline; per-tile feature counts
+# ---------------------------------------------------------------------------
+
+ENC_ZOOM = 5
+ENC_EXTENT = 4096
+ENC_BUFFER = 128
+
+
+def _customer_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    return pts.select(F.col("c_custkey").cast("string").alias("image_id"), "lon", "lat")
+
+
+def q_mvt_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_images(spark, sf_dir)
+    assigned = T.assign_tiles_buffered(pts, zoom=ENC_ZOOM, extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    tiles = E.assemble_point_tiles_streaming(assigned, extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    return tiles.select(F.col("zoom").cast("int"), "tile_x", "tile_y", "feature_count")
+
+
+def sql_mvt_tile_stats() -> str:
+    # buffered membership: point belongs to tile (tx,ty) iff its fractional
+    # tile coords lie within [t-pad, t+1+pad]; pad = buffer/extent
+    pad = float(ENC_BUFFER) / float(ENC_EXTENT)
+    n = 2 ** ENC_ZOOM
+    res = 2.0 * MAX_EXTENTS / n
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), frac AS (
+      SELECT c_custkey,
+             (x3857 + {MAX_EXTENTS}) / {res} AS fx,
+             ({MAX_EXTENTS} - y3857) / {res} AS fy,
+             least(cast(floor((x3857 + {MAX_EXTENTS}) / {res}) as bigint), {n - 1}) AS bx,
+             least(cast(floor(({MAX_EXTENTS} - y3857) / {res}) as bigint), {n - 1}) AS by
+      FROM proj
+    ), fanned AS (
+      SELECT c_custkey, fx, fy, bx + s.dx AS tile_x, by + s.dy AS tile_y
+      FROM frac CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS s(dx, dy)
+      WHERE bx + s.dx >= 0 AND by + s.dy >= 0 AND bx + s.dx < {n} AND by + s.dy < {n}
+        AND fx >= (bx + s.dx) - {pad} AND fx <= (bx + s.dx) + 1 + {pad}
+        AND fy >= (by + s.dy) - {pad} AND fy <= (by + s.dy) + 1 + {pad}
+    )
+    SELECT CAST({ENC_ZOOM} AS INT) AS zoom, tile_x, tile_y,
+           COUNT(*) AS feature_count
+    FROM fanned GROUP BY tile_x, tile_y
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: mvt_encode — full tile bytes (no SQL oracle: protobuf not expressible);
+# driver records the weaker rows-only check
+# ---------------------------------------------------------------------------
+
+def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_images(spark, sf_dir)
+    assigned = T.assign_tiles_buffered(pts, zoom=ENC_ZOOM, extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    tiles = E.assemble_point_tiles_streaming(assigned, extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    return tiles.select(F.col("zoom").cast("int"), "tile_x", "tile_y",
+                        "feature_count", "bytes_len", "mvt")
+
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "tile_counts": q_tile_counts,
+    "pip_polygon": q_pip_polygon,
+    "knn_kring": q_knn,
+    "mvt_tile_stats": q_mvt_tile_stats,
+    "mvt_encode": q_mvt_encode,
+}
+
+ORACLES = {
+    "tile_assign": sql_tile_assign(),
+    "tile_counts": sql_tile_counts(),
+    "pip_polygon": sql_pip_polygon(),
+    "knn_kring": sql_knn(),
+    "mvt_tile_stats": sql_mvt_tile_stats(),
+}
