@@ -1,0 +1,124 @@
+"""Headline benchmark: prints ONE JSON line
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.json metric surface:
+* images assigned/sec — tile assignment zooms 0-14 over the synthetic
+  input_hint-shaped image table (pure Column math).
+* tiles encoded/sec — buffered assignment + streaming MVT assembly
+  across zooms 0-14.
+* the spatial joins (PIP, kNN) and the training-data operators
+  (dedup minhash, ANN, text stats, event windows) at $SPARK_GRAFT_SF_DIR.
+
+The synthetic image table is generated once and cached on disk (setup,
+not timed).  Scaling-efficiency evidence (local[8] vs local[32]) is a
+separate protocol: scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from zellige_spark import synth  # noqa: E402
+from zellige_spark.operators import encode as E  # noqa: E402
+from zellige_spark.operators import knn as KNN  # noqa: E402
+from zellige_spark.operators import pip as PIP  # noqa: E402
+from zellige_spark.operators import tiles as T  # noqa: E402
+from zellige_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "300000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/zellige_bench")
+
+
+def cached_images(spark, n):
+    path = os.path.join(CACHE_DIR, f"images_n{n}_seed42.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth.images_df(spark, n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    spark = get_spark(app="zellige-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = {}
+    extras = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # setup (not timed): cached image table + polygon dim + knn queries
+    images = cached_images(spark, N_IMAGES)
+    pts = images.select("image_id", "lon", "lat")
+    pts.count()  # warm the scan
+    polys = synth.coverage_polygons_df(spark, 2000).cache()
+    polys.count()
+    centers = synth.cluster_centers()
+    knn_q = spark.createDataFrame(
+        [(f"q{i}", float(centers[i % len(centers)][0] + 0.001 * i),
+          float(centers[i % len(centers)][1])) for i in range(100)],
+        "query_id string, lon double, lat double")
+
+    # 1. images assigned/sec at zooms 0-14 (Column math; count forces run)
+    n_assigned = bench("assign_z0_14",
+                       lambda: T.assign_tiles(pts, range(0, 15)).count())
+    extras["images_assigned"] = n_assigned
+    extras["images_assigned_per_sec"] = round(n_assigned / timings["assign_z0_14"])
+
+    # 2. tiles encoded/sec across zooms 0-14 (buffered + streaming MVT)
+    def enc():
+        assigned = T.assign_tiles_buffered(pts, zooms=range(0, 15))
+        tiles = E.assemble_point_tiles_streaming(assigned)
+        return tiles.agg(F.count(F.lit(1)), F.sum("feature_count"),
+                         F.sum("bytes_len")).collect()[0]
+
+    row = bench("encode_z0_14", enc)
+    extras["tiles_encoded"] = int(row[0])
+    extras["tile_features"] = int(row[1])
+    extras["mvt_bytes"] = int(row[2])
+    extras["tiles_per_sec"] = round(row[0] / timings["encode_z0_14"])
+
+    # 3. PIP join vs 2000-polygon dim table
+    extras["pip_matches"] = bench(
+        "pip_join", lambda: PIP.pip_join_broadcast(pts, polys).count())
+
+    # 4. kNN (100 queries, k=10)
+    extras["knn_rows"] = bench(
+        "knn", lambda: KNN.knn_kring(knn_q, pts, k=10, index_zoom=6,
+                                     max_ring=2, data_id="image_id").count())
+
+    # 5. training-data + relational operators at SF_DIR
+    from zellige_spark import queries as Q
+    for name in ("dedup_minhash_lsh", "ann_bruteforce", "token_count",
+                 "event_windows", "tile_assign"):
+        fn = Q.QUERIES[name]
+        bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "tiles encoded/sec + images assigned/sec (zooms 0-14) + spatial/training ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_images": N_IMAGES,
+        "cpus": CPUS,
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Checkpoint/resume + lineage tests for the Iceberg-lite TileStore."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from zellige_spark import synth
+from zellige_spark.operators import encode as E
+from zellige_spark.operators import tiles as T
+from zellige_spark.plans.lineage import TileStore, encode_resumable
+
+
+def _assigned(spark, n):
+    imgs = synth.images_df(spark, n).select("image_id", "lon", "lat")
+    return T.assign_tiles_buffered(imgs, zoom=6)
+
+
+def test_commit_and_manifest(spark, tmp_path):
+    store = TileStore(str(tmp_path / "store"))
+    assigned = _assigned(spark, 300)
+    tiles = E.assemble_point_tiles_streaming(assigned)
+    sid = store.commit_tiles(tiles, "images[0:300)", rows_in=300)
+    assert store.current_snapshot() == sid
+    m = store.manifest(sid)
+    assert m["metrics"]["tiles_out"] > 0
+    assert m["metrics"]["features_out"] == assigned.count()
+    assert m["parent_id"] is None
+    lineage = store.read_lineage(spark).toPandas()
+    assert lineage["tiles_out"].sum() == m["metrics"]["tiles_out"]
+    assert lineage["rows_out"].sum() == m["metrics"]["features_out"]
+    assert (lineage["snapshot_id"] == sid).all()
+
+
+def test_resume_skips_committed_tiles(spark, tmp_path):
+    store = TileStore(str(tmp_path / "store"))
+    a300 = _assigned(spark, 300).cache()
+    sid1 = encode_resumable(a300, store, "images[0:300)")
+    n1 = store.read_tiles(spark, sid1).count()
+
+    # resume over the same work: nothing remains
+    assert store.remaining_tiles(a300).count() == 0
+    sid2 = encode_resumable(a300, store, "images[0:300) resume")
+    assert store.read_tiles(spark, sid2).count() == 0
+
+    # grow the input: only new tiles are encoded
+    a500 = _assigned(spark, 500).cache()
+    sid3 = encode_resumable(a500, store, "images[0:500)")
+    new_tiles = store.read_tiles(spark, sid3)
+    old_keys = {(r["tile_x"], r["tile_y"]) for r in store.read_tiles(spark, sid1)
+                .select("tile_x", "tile_y").collect()}
+    for r in new_tiles.select("tile_x", "tile_y").collect():
+        assert (r["tile_x"], r["tile_y"]) not in old_keys
+    # union of snapshots covers the full 500-row tile plan
+    all_keys = store.completed_tile_keys(spark).count()
+    planned = a500.select("zoom", "tile_x", "tile_y").distinct().count()
+    assert all_keys == planned
+
+
+def test_failed_run_leaves_no_commit(spark, tmp_path):
+    store = TileStore(str(tmp_path / "store"))
+    # simulate a crashed write: data dir exists, no manifest
+    os.makedirs(os.path.join(store.root, "data", "snapshot=deadbeef"))
+    assert store.current_snapshot() is None
+    assert store.remaining_tiles(_assigned(spark, 50)).count() > 0
+
+
+def test_snapshot_chain(spark, tmp_path):
+    store = TileStore(str(tmp_path / "store"))
+    sid1 = encode_resumable(_assigned(spark, 100), store, "batch1")
+    sid2 = encode_resumable(_assigned(spark, 200), store, "batch2")
+    m2 = store.manifest(sid2)
+    assert m2["parent_id"] == sid1
+    assert store.snapshots() == sorted([sid1, sid2])

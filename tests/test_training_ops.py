@@ -1,0 +1,137 @@
+"""Training-data operator tests: dedup families, similarity search,
+text analysis, multimodal image pipeline, streaming windows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_finds_injected_dups(spark):
+    from zellige_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # inject literal duplicates
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 500000)
+    (docs.unionAll(dup)).createOrReplaceTempView("documents")
+    out = spark.sql(DD._AUG_SPARK).groupBy(F.md5("nt").alias("fp")) \
+        .agg(F.count(F.lit(1)).alias("n")).toPandas()
+    assert (out["n"] >= 2).all()  # every fingerprint now appears >= twice
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    from zellige_spark.operators import dedup as DD
+
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in DD.q_dedup_ngram_jaccard(spark, SF).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in DD.q_dedup_minhash_lsh(spark, SF).collect()}
+    assert len(exact) > 0  # injected truncations guarantee pairs
+    assert lsh == exact
+
+
+def test_simhash_blocks_find_truncated_pairs(spark):
+    from zellige_spark.operators import dedup as DD
+
+    out = DD.q_dedup_simhash(spark, SF).toPandas()
+    # truncated copies (id+1e6) should pair with their originals
+    matched = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    originals_hit = {a for a, b in matched if b == a + 1000000}
+    assert len(originals_hit) > 0
+    assert (out["hamming"] <= 3).all()
+
+
+def test_simhash_signature_is_deterministic(spark):
+    from zellige_spark.operators import dedup as DD
+
+    aug = DD._augmented(spark, SF).limit(20)
+    s1 = DD.simhash_signatures(aug).toPandas().sort_values("doc_id", ignore_index=True)
+    s2 = DD.simhash_signatures(aug).toPandas().sort_values("doc_id", ignore_index=True)
+    assert (s1["simhash"] == s2["simhash"]).all()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from zellige_spark.operators import similarity as SIM
+
+    brute = SIM.q_ann_bruteforce(spark, SF).toPandas()
+    lsh = SIM.q_ann_lsh(spark, SF).toPandas()
+    b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    l = {(r.query_id, r.neighbor_id) for r in lsh.itertuples()}
+    recall = len(b & l) / len(b)
+    # isotropic random embeddings: 8x2-bit bands give ~0.98 per-pair
+    # candidate recall; end-to-end top-5 set recall stays high
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_lang_id_behavior(spark):
+    from zellige_spark.operators import text as TXT
+
+    out = TXT.q_lang_id(spark, SF).toPandas()
+    # the synthetic corpus is random tech words (not natural language),
+    # so accuracy vs the lang column is not meaningful; assert the
+    # operator contract: valid labels, deterministic, and docs that DO
+    # contain english stopwords classify as english
+    assert set(out["pred_lang"]) <= {"en", "de", "fr", "es", "und"}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    merged = out.merge(docs, on="doc_id")
+    has_the = merged["text"].str.contains(" the ")
+    en_share = (merged.loc[has_the, "pred_lang"] == "en").mean()
+    assert en_share > 0.9
+
+
+def test_token_count_matches_python(spark):
+    from zellige_spark.operators import text as TXT
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    out = TXT.q_token_count(spark, SF).toPandas().set_index("doc_id")
+    for r in docs.itertuples():
+        expected = len(r.text.split())
+        assert out.loc[r.doc_id, "n_tokens"] == expected, r.doc_id
+
+
+def test_image_pipeline_invariants(spark):
+    from zellige_spark.operators import images as IMG
+
+    out = IMG.q_image_pipeline(spark, SF).toPandas()
+    assert len(out) == 400
+    assert (out["phash_ok"] == 1).all()
+    assert (out["caption_ok"] == 1).all()
+    assert (out["psnr_ok"] == 1).all()
+
+
+def test_resize_block_mean(spark):
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    imgs = synth.images_df(spark, 12)
+    out = IMG.resize_block_mean(imgs, 8, 8).toPandas()
+    assert len(out) == 12
+    for r in out.itertuples():
+        assert r.w == 8 and r.h == 8
+        assert len(bytes(r.bytes)) == 8 * 8 * 3
+
+
+def test_video_stub_raises(spark):
+    from zellige_spark.operators import images as IMG
+
+    with pytest.raises(NotImplementedError):
+        IMG.sample_video_frames(None)
+    with pytest.raises(NotImplementedError):
+        IMG.decode_any(b"xx", "jpeg", 4, 4)
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    import shutil
+    from zellige_spark.streaming import events as EV
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    q = EV.stream_event_windows(spark, src, ckpt)
+    q.awaitTermination(120)
+    got = spark.sql("select * from event_windows").toPandas() \
+        .sort_values(["window_epoch", "event_type"], ignore_index=True)
+    exp = EV.q_event_windows(spark, SF).toPandas() \
+        .sort_values(["window_epoch", "event_type"], ignore_index=True)
+    assert got.equals(exp)

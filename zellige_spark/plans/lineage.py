@@ -1,0 +1,165 @@
+"""Iceberg-lite table store: snapshot/manifest JSON + parquet data,
+per-partition lineage, and checkpoint/resume for the tiling job
+(north rule: "resumable from Iceberg-snapshot checkpoints with
+per-partition lineage and tile-count/row-count metrics").
+
+No Iceberg runtime jars exist in this sandbox, so the adapter emulates
+the snapshot model on plain parquet + JSON:
+
+    <root>/
+      data/snapshot=<sid>/part-*.parquet     -- tile rows
+      lineage/snapshot=<sid>/part-*.parquet  -- per-partition lineage
+      manifests/<sid>.json                   -- snapshot manifest
+      manifests/CURRENT                      -- pointer to latest sid
+
+Swapping in real Iceberg is a config change (write.format("iceberg") +
+catalog conf) — the commit/resume logic below only relies on
+snapshot-id-keyed idempotent writes, which Iceberg provides natively.
+
+Resume contract: tile outputs are keyed (zoom, tile_x, tile_y) and the
+encode is deterministic, so recovery = anti-join the planned tile set
+against already-committed keys and encode only the remainder; a commit
+finalizes by writing the manifest LAST (write-ahead data, manifest as
+the atomic commit point).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TileStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # --- snapshot bookkeeping -------------------------------------------------
+
+    def current_snapshot(self) -> Optional[str]:
+        cur = os.path.join(self.root, "manifests", "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return f.read().strip() or None
+
+    def manifest(self, sid: str) -> dict:
+        with open(os.path.join(self.root, "manifests", f"{sid}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list:
+        d = os.path.join(self.root, "manifests")
+        return sorted(s[:-5] for s in os.listdir(d) if s.endswith(".json"))
+
+    def _data_path(self, sid: str) -> str:
+        return os.path.join(self.root, "data", f"snapshot={sid}")
+
+    def _lineage_path(self, sid: str) -> str:
+        return os.path.join(self.root, "lineage", f"snapshot={sid}")
+
+    # --- commit ----------------------------------------------------------------
+
+    def commit_tiles(self, tiles: DataFrame, input_desc: str,
+                     sid: Optional[str] = None, rows_in: Optional[int] = None) -> str:
+        """Write tile rows + per-partition lineage, then the manifest
+        (manifest-last = atomic commit point).  ``tiles`` must carry
+        (zoom, tile_x, tile_y, mvt, feature_count, bytes_len)."""
+        spark = tiles.sparkSession
+        sid = sid or uuid.uuid4().hex[:16]
+        data_path = self._data_path(sid)
+
+        with_pid = tiles.withColumn("partition_id", F.spark_partition_id())
+        with_pid.write.mode("errorifexists").parquet(data_path)
+
+        # lineage from the committed files (exactly what landed on disk)
+        committed = spark.read.parquet(data_path)
+        lineage = (committed.groupBy("partition_id")
+                   .agg(F.count(F.lit(1)).alias("tiles_out"),
+                        F.sum("feature_count").alias("rows_out"),
+                        F.sum("bytes_len").alias("bytes_out")))
+        lineage = lineage.withColumn("snapshot_id", F.lit(sid))
+        lineage.write.mode("errorifexists").parquet(self._lineage_path(sid))
+
+        totals = committed.agg(
+            F.count(F.lit(1)).alias("tiles"),
+            F.sum("feature_count").alias("features"),
+            F.sum("bytes_len").alias("bytes")).collect()[0]
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": self.current_snapshot(),
+            "timestamp_ms": int(time.time() * 1000),
+            "input": input_desc,
+            "metrics": {
+                "rows_in": rows_in,
+                "tiles_out": int(totals["tiles"]),
+                "features_out": int(totals["features"] or 0),
+                "bytes_out": int(totals["bytes"] or 0),
+            },
+            "data_path": data_path,
+            "lineage_path": self._lineage_path(sid),
+        }
+        mpath = os.path.join(self.root, "manifests", f"{sid}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)
+        with open(os.path.join(self.root, "manifests", "CURRENT"), "w") as f:
+            f.write(sid)
+        return sid
+
+    # --- read ------------------------------------------------------------------
+
+    def read_tiles(self, spark: SparkSession, sid: Optional[str] = None) -> DataFrame:
+        sid = sid or self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError("no committed snapshot")
+        return spark.read.parquet(self._data_path(sid))
+
+    def read_lineage(self, spark: SparkSession, sid: Optional[str] = None) -> DataFrame:
+        sid = sid or self.current_snapshot()
+        return spark.read.parquet(self._lineage_path(sid))
+
+    # --- checkpoint / resume -----------------------------------------------------
+
+    def completed_tile_keys(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Tile keys already committed in the current snapshot chain."""
+        sid = self.current_snapshot()
+        if sid is None:
+            return None
+        seen = None
+        while sid is not None:
+            df = (spark.read.parquet(self._data_path(sid))
+                  .select("zoom", "tile_x", "tile_y"))
+            seen = df if seen is None else seen.unionAll(df)
+            sid = self.manifest(sid).get("parent_id")
+        return seen.distinct()
+
+    def remaining_tiles(self, planned: DataFrame) -> DataFrame:
+        """Anti-join the planned tile-keyed work against completed keys —
+        the resume operator (idempotent: deterministic per-tile bytes)."""
+        spark = planned.sparkSession
+        done = self.completed_tile_keys(spark)
+        if done is None:
+            return planned
+        return planned.join(F.broadcast(done), ["zoom", "tile_x", "tile_y"], "left_anti")
+
+
+def encode_resumable(assigned: DataFrame, store: TileStore, input_desc: str,
+                     layer_name: str = "images", extent: int = 4096,
+                     quantize: int = 1, buffer: int = 128) -> str:
+    """Run the streaming tile encode over only the not-yet-committed
+    tiles, then commit a new snapshot.  Crash-safe: a failed run leaves
+    no manifest, so its partial data directory is ignored by resume
+    (manifests are the commit points)."""
+    from ..operators import encode as E
+
+    remaining = store.remaining_tiles(assigned)
+    tiles = E.assemble_point_tiles_streaming(
+        remaining, layer_name=layer_name, extent=extent,
+        quantize=quantize, buffer=buffer)
+    return store.commit_tiles(tiles, input_desc)

@@ -276,13 +276,39 @@ def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "feature_count", "bytes_len", "mvt")
 
 
+from .operators import dedup as DD  # noqa: E402
+from .operators import images as IMG  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text as TXT  # noqa: E402
+from .streaming import events as EV  # noqa: E402
+
 QUERIES = {
+    # spatial / tiling engine
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
     "pip_polygon": q_pip_polygon,
     "knn_kring": q_knn,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
+    # text analysis
+    "token_count": TXT.q_token_count,
+    "text_quality": TXT.q_quality,
+    "lang_id": TXT.q_lang_id,
+    "fingerprint": TXT.q_fingerprint,
+    # dedup family
+    "dedup_exact": DD.q_dedup_exact,
+    "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": DD.q_dedup_minhash_lsh,
+    "dedup_simhash": DD.q_dedup_simhash,
+    # similarity search
+    "ann_bruteforce": SIM.q_ann_bruteforce,
+    "ann_lsh": SIM.q_ann_lsh,
+    "embed_cosine_dup": SIM.q_embed_cosine_dup,
+    # events / streaming (batch-equivalent plans)
+    "event_windows": EV.q_event_windows,
+    "event_user_stats": EV.q_event_user_stats,
+    # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
+    "image_pipeline": IMG.q_image_pipeline,
 }
 
 ORACLES = {
@@ -291,4 +317,15 @@ ORACLES = {
     "pip_polygon": sql_pip_polygon(),
     "knn_kring": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
+    "token_count": TXT.sql_token_count(),
+    "text_quality": TXT.sql_quality(),
+    "lang_id": TXT.sql_lang_id(),
+    "fingerprint": TXT.sql_fingerprint(),
+    "dedup_exact": DD.sql_dedup_exact(),
+    "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
+    "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
+    "ann_bruteforce": SIM.sql_ann_bruteforce(),
+    "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
+    "event_windows": EV.sql_event_windows(),
+    "event_user_stats": EV.sql_event_user_stats(),
 }
