@@ -65,6 +65,22 @@ def test_encode_strategies_byte_identical(spark, images):
     assert t1["feature_count"].sum() == ab.count()
 
 
+def test_streaming_fold_across_tiny_arrow_batches(spark, images):
+    # force tiles to span many Arrow batches so the pending-tile
+    # continuation logic in the streaming fold is exercised
+    ab = T.assign_tiles_buffered(images.select("image_id", "lon", "lat"), zoom=3)
+    ref = E.assemble_point_tiles_grouped(ab).toPandas()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = E.assemble_point_tiles_streaming(ab, num_partitions=2).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    ref = ref.sort_values(["tile_x", "tile_y"], ignore_index=True)
+    got = got.sort_values(["tile_x", "tile_y"], ignore_index=True)
+    assert (ref["mvt"] == got["mvt"]).all()
+    assert (ref["feature_count"] == got["feature_count"]).all()
+
+
 def test_encoded_tile_decodes_and_matches_kernel(spark, images):
     ab = T.assign_tiles_buffered(images.select("image_id", "lon", "lat"), zoom=6)
     tiles = E.assemble_point_tiles_grouped(ab).toPandas()

@@ -64,12 +64,23 @@ LINE_KINDS = ("LineString", "MultiLineString")
 POLY_KINDS = ("Polygon", "MultiPolygon")
 
 
+def _ring_to_array(ring) -> np.ndarray:
+    """Normalize a ring to a dense (n,2) float array.  Arrow hands
+    nested list columns back as object arrays of object arrays, which
+    np.asarray refuses; fall back to per-point conversion."""
+    try:
+        return np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    except (ValueError, TypeError):
+        return np.array([np.asarray(p, dtype=np.float64)[:2] for p in ring],
+                        dtype=np.float64).reshape(-1, 2)
+
+
 def _project_parts(parts, extent, quantize, bbox):
     out = []
     for part in parts:
         rings = []
         for ring in part:
-            arr = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+            arr = _ring_to_array(ring)
             px, py = kmerc.lonlat_to_tile_local(arr[:, 0], arr[:, 1], extent, quantize, bbox)
             rings.append(np.stack([px, py], axis=1))
         out.append(rings)
@@ -164,6 +175,15 @@ def encode_features(features: Iterable[dict], cfg: TileConfig) -> bytes:
             continue
         staged.append((gt, feat.get("fid"), feat.get("props") or {}, parts))
 
+    return _encode_staged(staged, cfg)
+
+
+def _encode_staged(staged, cfg: TileConfig) -> bytes:
+    """Shared back half of the per-tile pipeline: id assignment,
+    int-conversion, dictionary build, layer + tile bytes."""
+    if staged and isinstance(staged[0], dict):
+        staged = [(f["geom_type"], f.get("fid"), f.get("props") or {}, f["parts"])
+                  for f in staged]
     # feature-id assignment: numeric ids pass through; missing ids draw
     # from a counter starting at 1, in input order across all geometry
     # kinds (convertId, GeoJsonToMvt.hs:54-60)
@@ -214,6 +234,29 @@ def encode_features(features: Iterable[dict], cfg: TileConfig) -> bytes:
     layer = kmvt.encode_layer(cfg.name, point_feats + line_feats + poly_feats,
                               keys.items, values.items, cfg.extent, cfg.version)
     return kmvt.encode_tile([layer])
+
+
+def encode_features_local(features: Iterable[dict], cfg: TileConfig) -> bytes:
+    """Per-tile pipeline for features whose coords are ALREADY in
+    tile-local pixel space (e.g. vectorized rasters): identical to
+    :func:`encode_features` minus the mercator projection stage.
+    """
+    window = kclip.buffered_bbox(cfg.buffer, cfg.extent)
+    staged = []
+    for feat in features:
+        gt = feat["geom_type"]
+        if gt is None or gt == "NoGeometry":
+            continue
+        parts = [[_ring_to_array(r) for r in part] for part in feat["parts"]]
+        parts = _clip_feature(gt, parts, window)
+        if parts is None:
+            continue
+        parts = _simplify_feature(gt, parts, cfg.simplify)
+        if parts is None:
+            continue
+        staged.append({"fid": feat.get("fid"), "geom_type": gt,
+                       "parts": parts, "props": feat.get("props") or {}})
+    return _encode_staged(staged, cfg)
 
 
 def geojson_to_features(doc: dict) -> List[dict]:

@@ -71,47 +71,158 @@ def _varints_concat(vals: np.ndarray) -> tuple:
     return out[used].tobytes(), sig
 
 
-def _point_feature_tails(px: np.ndarray, py: np.ndarray) -> List[bytes]:
-    """Per-feature ``type(f3)+geometry(f4)`` bytes for single-point
-    features: geometry = [MoveTo(1), zig(x), zig(y)] — all vectorized."""
+def _varint_field(vals: np.ndarray):
+    """(concatenated varint bytes as uint8 array, per-value lengths)."""
+    blob, lens = _varints_concat(vals)
+    return np.frombuffer(blob, dtype=np.uint8), lens
+
+
+def _assemble_records(n: int, parts) -> tuple:
+    """Vectorized variable-length record assembly.
+
+    ``parts`` is an ordered list of either bytes (a constant segment in
+    every record) or (uint8 array, per-record lengths) for a
+    variable-length field.  Returns (big uint8 buffer, per-record
+    lengths) with record i = concat of its segments — zero per-record
+    Python.  The scatter works by computing each source byte's
+    destination index from record starts + within-record offsets.
+    """
+    seg_lens = []  # per-part (n,) int64 lengths
+    for p in parts:
+        if isinstance(p, (bytes, bytearray)):
+            seg_lens.append(np.full(n, len(p), dtype=np.int64))
+        else:
+            seg_lens.append(p[1].astype(np.int64))
+    rec_lens = np.sum(seg_lens, axis=0) if seg_lens else np.zeros(n, dtype=np.int64)
+    rec_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rec_lens, out=rec_starts[1:])
+    out = np.empty(int(rec_starts[-1]), dtype=np.uint8)
+    # running within-record offset of each part
+    prefix = np.zeros(n, dtype=np.int64)
+    for p, lens in zip(parts, seg_lens):
+        starts = rec_starts[:-1] + prefix
+        if isinstance(p, (bytes, bytearray)):
+            src = np.frombuffer(bytes(p), dtype=np.uint8)
+            # broadcast the constant into every record
+            idx = starts[:, None] + np.arange(len(src))[None, :]
+            out[idx.reshape(-1)] = np.tile(src, n)
+        else:
+            data = p[0]
+            # dest = start_of_field_in_record + within-field position
+            field_starts = np.repeat(starts, lens)
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            within = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
+            out[field_starts + within] = data
+        prefix += lens
+    return out, rec_lens
+
+
+def _point_feature_blobs(px: np.ndarray, py: np.ndarray,
+                         fids: np.ndarray, vidxs: np.ndarray) -> tuple:
+    """Fully-assembled feature messages (wrapped as layer field 2) for
+    n single-point features: id(f1)=fids, tags(f2)=[key 0, value
+    vidxs], type(f3)=POINT, geometry(f4)=[MoveTo(1), zig(x), zig(y)] —
+    all numpy, no per-feature Python.  Returns (uint8 buffer,
+    per-feature lengths).  Callers may pass rows of MANY tiles at once
+    (fids/vidxs restart per tile) and slice the buffer per tile."""
     ix = np.rint(px).astype(np.int64)
     iy = np.rint(py).astype(np.int64)
-    zx = kmvt.zig(ix)
-    zy = kmvt.zig(iy)
     n = len(ix)
-    ints = np.empty((n, 3), dtype=np.uint64)
-    ints[:, 0] = np.uint64(9)  # MoveTo count 1
-    ints[:, 1] = zx
-    ints[:, 2] = zy
-    blob, lens = _varints_concat(ints.reshape(-1))
-    lens = lens.reshape(n, 3).sum(axis=1)
-    # geometry payload per feature; split the big blob at offsets
-    offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    type_geo = b"\x18\x01"  # type(f3)=POINT
+    zx = _varint_field(kmvt.zig(ix))
+    zy = _varint_field(kmvt.zig(iy))
+    geo_len = 1 + zx[1] + zy[1]                      # cmd byte + params
+    fid = _varint_field(fids.astype(np.uint64))
+    vidx = _varint_field(vidxs.astype(np.uint64))    # value table index
+    tags_len = 1 + vidx[1]                            # key varint(0) + value idx
+    glen_v = _varint_field(geo_len.astype(np.uint64))
+    tlen_v = _varint_field(tags_len.astype(np.uint64))
+    # feature = 08 fid | 12 tlen 00 vidx | 18 01 | 22 glen 09 zx zy
+    feat_parts = [b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
+                  b"\x18\x01\x22", glen_v, b"\x09", zx, zy]
+    feats, feat_lens = _assemble_records(n, feat_parts)
+    # wrap each as layer field 2: 12 <len> <feature>
+    flen_v = _varint_field(feat_lens.astype(np.uint64))
+    wrapped, wlens = _assemble_records(n, [b"\x12", flen_v,
+                                           (feats, feat_lens)])
+    return wrapped, wlens
+
+
+_KEYS_BLOB = b"\x1a\x08image_id"  # keys(f3) = ["image_id"]
+
+
+def _wrap_layer(layer_name: str, extent: int, feats_bytes: bytes,
+                values_bytes: bytes) -> bytes:
+    name_b = layer_name.encode("utf-8")
+    layer = (b"\x78\x02" + b"\x0a" + kmvt.varint(len(name_b)) + name_b
+             + feats_bytes + _KEYS_BLOB + values_bytes
+             + b"\x28" + kmvt.varint(extent))
+    return b"\x1a" + kmvt.varint(len(layer)) + layer
+
+
+def _string_values_blob(ids) -> tuple:
+    """Layer field-4 Value{string_value} messages for every id, as one
+    vectorized buffer + per-id lengths (no per-row Python byte work)."""
+    n = len(ids)
+    joined = "".join(ids).encode("utf-8")
+    char_total = sum(map(len, ids))
+    if len(joined) == char_total:  # pure-ASCII fast path
+        slens = np.fromiter(map(len, ids), dtype=np.int64, count=n)
+    else:
+        slens = np.fromiter((len(s.encode("utf-8")) for s in ids),
+                            dtype=np.int64, count=n)
+    sarr = np.frombuffer(joined, dtype=np.uint8)
+    slen_v = _varint_field(slens.astype(np.uint64))
+    inner_len = 1 + slen_v[1] + slens           # 0a + varint(len) + bytes
+    ilen_v = _varint_field(inner_len.astype(np.uint64))
+    return _assemble_records(n, [b"\x22", ilen_v, b"\x0a", slen_v,
+                                 (sarr, slens)])
+
+
+def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
+                     tile_starts: np.ndarray, metas,
+                     layer_name: str, extent: int):
+    """Encode a run of COMPLETE tiles laid out contiguously in the
+    given arrays.  All per-feature byte work (geometry, tags, value
+    dictionary) happens in vectorized passes across every tile; the
+    per-tile remainder is a handful of bytes concatenations.
+
+    ids/px/py: n rows sorted by tile; tile_starts: k+1 row offsets;
+    metas: k (zoom, tx, ty) tuples.  Yields TILE_SCHEMA tuples.
+    """
+    n = len(px)
+    k = len(metas)
+    if n == 0 or k == 0:
+        return []
+    sizes = np.diff(tile_starts)
+    within = np.arange(n, dtype=np.int64) - np.repeat(tile_starts[:-1], sizes)
+    feats_buf, wlens = _point_feature_blobs(px, py, within + 1, within)
+    vals_buf, vlens = _string_values_blob(ids)
+    # per-tile byte ranges of both buffers
+    f_offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(wlens, tile_starts[:-1]), out=f_offs[1:])
+    v_offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(vlens, tile_starts[:-1]), out=v_offs[1:])
     out = []
-    mv = memoryview(blob)
-    for i in range(n):
-        payload = bytes(mv[offs[i]:offs[i + 1]])
-        out.append(type_geo + b"\x22" + kmvt.varint(len(payload)) + payload)
+    for t in range(k):
+        feats_bytes = feats_buf[f_offs[t]:f_offs[t + 1]].tobytes()
+        vals_bytes = vals_buf[v_offs[t]:v_offs[t + 1]].tobytes()
+        tile = _wrap_layer(layer_name, extent, feats_bytes, vals_bytes)
+        z, tx, ty = metas[t]
+        out.append((z, tx, ty, tile, int(sizes[t]), len(tile)))
     return out
 
 
-def _finish_point_tile(image_ids: List[str], tails: List[bytes],
+def _finish_point_tile(image_ids, px: np.ndarray, py: np.ndarray,
                        layer_name: str, extent: int) -> bytes:
-    """ids, tags, dictionaries, layer + tile wrap for one tile."""
-    keys = ["image_id"]
-    feats = []
-    for i, (img, tail) in enumerate(zip(image_ids, tails)):
-        fid = i + 1
-        # id(f1) + tags(f2: key 0 -> value i) + tail(type+geometry)
-        tags = kmvt.varint_array(np.array([0, i], dtype=np.uint64))
-        feat = (b"\x08" + kmvt.varint(fid)
-                + b"\x12" + kmvt.varint(len(tags)) + tags + tail)
-        feats.append(feat)
-    values = [("st", s) for s in image_ids]
-    layer = kmvt.encode_layer(layer_name, feats, keys, values, extent)
-    return kmvt.encode_tile([layer])
+    """Full tile bytes for n single-point features with
+    props {"image_id": St <id>}; feature ids 1..n in the given order."""
+    n = len(px)
+    rows = _encode_tile_run(image_ids, np.asarray(px, dtype=np.float64),
+                            np.asarray(py, dtype=np.float64),
+                            np.array([0, n], dtype=np.int64), [(0, 0, 0)],
+                            layer_name, extent)
+    return rows[0][3]
 
 
 # ---------------------------------------------------------------------------
@@ -141,43 +252,73 @@ def assemble_point_tiles_streaming(assigned: DataFrame, layer_name: str = "image
     df = df.sortWithinPartitions("tile_key", "image_id")
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur_key = None
-        cur_meta = None
-        ids: List[str] = []
-        tails: List[bytes] = []
+        # pending = the (possibly batch-spanning) open tile at the tail
+        pend_key = None
+        pend_meta = None
+        pend_ids: List = []
+        pend_px: List[np.ndarray] = []
+        pend_py: List[np.ndarray] = []
 
-        def flush():
-            z, tx, ty = cur_meta
-            mvt_bytes = _finish_point_tile(ids, tails, layer_name, extent)
-            return pd.DataFrame({
-                "zoom": [z], "tile_x": [tx], "tile_y": [ty],
-                "mvt": [mvt_bytes], "feature_count": [len(ids)],
-                "bytes_len": [len(mvt_bytes)],
-            })
+        def flush_pending():
+            mvt = _finish_point_tile(pend_ids, np.concatenate(pend_px),
+                                     np.concatenate(pend_py), layer_name, extent)
+            z, tx, ty = pend_meta
+            return (z, tx, ty, mvt, len(pend_ids), len(mvt))
 
+        cols = ["zoom", "tile_x", "tile_y", "mvt", "feature_count", "bytes_len"]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             keys = pdf["tile_key"].to_numpy()
-            px = pdf["px"].to_numpy()
-            py = pdf["py"].to_numpy()
-            tails_batch = _point_feature_tails(px, py)
-            # split the batch at tile boundaries
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            ids = pdf["image_id"].to_numpy()
+            zs = pdf["zoom"].to_numpy()
+            txs = pdf["tile_x"].to_numpy()
+            tys = pdf["tile_y"].to_numpy()
+            rows: List[tuple] = []
             change = np.nonzero(np.diff(keys))[0] + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [len(keys)]])
-            for s, e in zip(starts, ends):
-                k = keys[s]
-                if cur_key is not None and k != cur_key:
-                    yield flush()
-                    ids, tails = [], []
-                cur_key = k
-                cur_meta = (int(pdf["zoom"].iloc[s]), int(pdf["tile_x"].iloc[s]),
-                            int(pdf["tile_y"].iloc[s]))
-                ids.extend(pdf["image_id"].iloc[s:e].tolist())
-                tails.extend(tails_batch[s:e])
-        if cur_key is not None:
-            yield flush()
+            bounds = np.concatenate([[0], change, [len(keys)]]).astype(np.int64)
+            n_runs = len(bounds) - 1  # runs: [bounds[i], bounds[i+1])
+            merged_first = pend_key is not None and keys[0] == pend_key
+
+            if merged_first:
+                e0 = int(bounds[1])
+                pend_ids.extend(ids[:e0].tolist())
+                pend_px.append(px[:e0])
+                pend_py.append(py[:e0])
+                if n_runs > 1:  # a boundary follows -> pending tile is complete
+                    rows.append(flush_pending())
+                    pend_key, pend_ids, pend_px, pend_py = None, [], [], []
+            elif pend_key is not None:
+                rows.append(flush_pending())
+                pend_key, pend_ids, pend_px, pend_py = None, [], [], []
+
+            # complete runs = all runs except the batch-tail run and any
+            # merged first run
+            c_lo = 1 if merged_first else 0
+            c_hi = n_runs - 1  # exclusive of tail run
+            if c_hi > c_lo:
+                cs = bounds[c_lo:c_hi + 1]  # offsets incl. end of last complete
+                lo, hi = int(cs[0]), int(cs[-1])
+                metas = list(zip(zs[cs[:-1]].tolist(), txs[cs[:-1]].tolist(),
+                                 tys[cs[:-1]].tolist()))
+                rows.extend(_encode_tile_run(ids[lo:hi].tolist(), px[lo:hi], py[lo:hi],
+                                             (cs - cs[0]).astype(np.int64), metas,
+                                             layer_name, extent))
+
+            # tail run opens (or keeps open) the pending tile
+            t0 = int(bounds[-2])
+            if not (merged_first and n_runs == 1):
+                pend_key = keys[t0]
+                pend_meta = (int(zs[t0]), int(txs[t0]), int(tys[t0]))
+                pend_ids = ids[t0:].tolist()
+                pend_px = [px[t0:]]
+                pend_py = [py[t0:]]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pend_key is not None and pend_ids:
+            yield pd.DataFrame([flush_pending()], columns=cols)
 
     return df.mapInPandas(fold, TILE_SCHEMA)
 
@@ -197,8 +338,9 @@ def assemble_point_tiles_grouped(assigned: DataFrame, layer_name: str = "images"
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id")
-        tails = _point_feature_tails(pdf["px"].to_numpy(), pdf["py"].to_numpy())
-        mvt_bytes = _finish_point_tile(pdf["image_id"].tolist(), tails, layer_name, extent)
+        mvt_bytes = _finish_point_tile(pdf["image_id"].tolist(),
+                                       pdf["px"].to_numpy(), pdf["py"].to_numpy(),
+                                       layer_name, extent)
         return pd.DataFrame({
             "zoom": [int(pdf["zoom"].iloc[0])],
             "tile_x": [int(pdf["tile_x"].iloc[0])],
@@ -215,16 +357,19 @@ def assemble_point_tiles_grouped(assigned: DataFrame, layer_name: str = "images"
 # ---------------------------------------------------------------------------
 
 _PARTIAL_SCHEMA = ("zoom int, tile_x long, tile_y long, salt int, "
-                   "min_id string, image_ids array<string>, tails array<binary>")
+                   "min_id string, image_ids array<string>, "
+                   "pxs array<double>, pys array<double>")
 
 
 def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
                                 extent: int = 4096, quantize: int = 1,
                                 buffer: int = 128, salt: int = 8) -> DataFrame:
-    """Two-phase encode: phase A does the expensive per-feature byte work
-    under (tile, salt) groups; phase B merges sub-groups per tile by
-    splicing ids/tags — cheap numpy — keeping single-reducer work
-    proportional to OUTPUT bytes, not to encode cost.
+    """Two-phase encode: phase A sorts and compacts each (tile, salt)
+    sub-group into one array row — bounding any single task's group to
+    ~1/salt of a hot tile — and phase B merge-sorts the sub-groups and
+    assembles the tile.  The assembly itself is fully vectorized numpy
+    (see _point_feature_blobs), so phase B's cost is proportional to the
+    tile's OUTPUT bytes.
 
     Produces bytes identical to the other strategies.
     """
@@ -237,7 +382,6 @@ def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
 
     def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id")
-        tails = _point_feature_tails(pdf["px"].to_numpy(), pdf["py"].to_numpy())
         return pd.DataFrame({
             "zoom": [int(pdf["zoom"].iloc[0])],
             "tile_x": [int(pdf["tile_x"].iloc[0])],
@@ -245,7 +389,8 @@ def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
             "salt": [int(pdf["salt"].iloc[0])],
             "min_id": [pdf["image_id"].iloc[0]],
             "image_ids": [pdf["image_id"].tolist()],
-            "tails": [tails],
+            "pxs": [pdf["px"].tolist()],
+            "pys": [pdf["py"].tolist()],
         })
 
     partial = (df.groupBy("zoom", "tile_x", "tile_y", "salt")
@@ -253,14 +398,17 @@ def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
 
     def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
         ids: List[str] = []
-        tails: List[bytes] = []
+        pxs: List[float] = []
+        pys: List[float] = []
         for _, row in pdf.iterrows():
             ids.extend(row["image_ids"])
-            tails.extend(row["tails"])
+            pxs.extend(row["pxs"])
+            pys.extend(row["pys"])
         order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
         ids = [ids[i] for i in order]
-        tails = [tails[i] for i in order]
-        mvt_bytes = _finish_point_tile(ids, tails, layer_name, extent)
+        px = np.asarray(pxs, dtype=np.float64)[order]
+        py = np.asarray(pys, dtype=np.float64)[order]
+        mvt_bytes = _finish_point_tile(ids, px, py, layer_name, extent)
         return pd.DataFrame({
             "zoom": [int(pdf["zoom"].iloc[0])],
             "tile_x": [int(pdf["tile_x"].iloc[0])],

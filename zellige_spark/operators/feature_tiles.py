@@ -1,0 +1,115 @@
+"""Generic (any-geometry) feature tiling: assign line/polygon features
+to every tile their bbox touches, then encode each tile's features
+through the full reference pipeline (project -> clip -> simplify ->
+MVT) with ``groupBy(tile).applyInPandas``.
+
+This is the distributed form of zellige's whole program for arbitrary
+geometry; the point fast-path lives in operators/encode.py.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import mercator as km
+from ..kernel import pipeline as kpipe
+from .. import io_geojson
+
+TILE_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
+               "feature_count long, bytes_len long")
+
+
+def assign_feature_tiles(features: DataFrame, zoom: int,
+                         extent: int = 4096, buffer: int = 128) -> DataFrame:
+    """Fan each feature out to the tiles its lon/lat bbox (expanded by
+    the buffer fraction) covers at ``zoom``.  The bbox math runs in a
+    vectorized Arrow pass (the nested parts column must be walked once);
+    the fan-out explode stays JVM-side."""
+    pad_frac = float(buffer) / float(extent)
+
+    def bboxes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                xs, ys = [], []
+                for part in r.parts:
+                    for ring in part:
+                        a = np.asarray([np.asarray(p) for p in ring], dtype=np.float64)
+                        xs.append(a[:, 0]); ys.append(a[:, 1])
+                x = np.concatenate(xs); y = np.concatenate(ys)
+                rows.append((r.fid, r.geom_type, r.parts, r.props_json,
+                             float(x.min()), float(y.min()),
+                             float(x.max()), float(y.max())))
+            yield pd.DataFrame(rows, columns=[
+                "fid", "geom_type", "parts", "props_json",
+                "min_lon", "min_lat", "max_lon", "max_lat"])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(features.schema.fields) + [
+        T.StructField(c, T.DoubleType()) for c in
+        ("min_lon", "min_lat", "max_lon", "max_lat")])
+    fb = features.mapInPandas(bboxes, schema)
+
+    n = 2 ** zoom
+    # tile range covered by the bbox (+ buffer margin in tile fractions)
+    def frac(col, is_x):
+        if is_x:
+            return (F.lit(km.WGS84_MAJOR_RADIUS) * F.radians(col) + F.lit(km.MAX_EXTENTS)) \
+                / F.lit(2.0 * km.MAX_EXTENTS / n)
+        y = F.lit(km.WGS84_MAJOR_RADIUS) * F.log(F.tan(F.lit(np.pi / 4) + F.lit(0.5) * F.radians(col)))
+        return (F.lit(km.MAX_EXTENTS) - y) / F.lit(2.0 * km.MAX_EXTENTS / n)
+
+    fb = (fb.withColumn("_x0", F.floor(frac(F.col("min_lon"), True) - pad_frac))
+            .withColumn("_x1", F.floor(frac(F.col("max_lon"), True) + pad_frac))
+            .withColumn("_y0", F.floor(frac(F.col("max_lat"), False) - pad_frac))
+            .withColumn("_y1", F.floor(frac(F.col("min_lat"), False) + pad_frac)))
+    fb = (fb.withColumn("tile_x", F.explode(F.sequence(
+              F.greatest(F.lit(0), F.col("_x0")), F.least(F.lit(n - 1), F.col("_x1")))))
+            .withColumn("tile_y", F.explode(F.sequence(
+              F.greatest(F.lit(0), F.col("_y0")), F.least(F.lit(n - 1), F.col("_y1")))))
+            .withColumn("zoom", F.lit(zoom))
+            .drop("_x0", "_x1", "_y0", "_y1",
+                  "min_lon", "min_lat", "max_lon", "max_lat"))
+    return fb
+
+
+def assemble_feature_tiles(assigned: DataFrame, layer_name: str = "layer",
+                           extent: int = 4096, buffer: int = 128,
+                           quantize: int = 1, simplify: str = "none") -> DataFrame:
+    """groupBy(tile).applyInPandas over the full reference pipeline —
+    clip drops the parts outside each tile's buffered window, so the
+    bbox over-assignment self-corrects (tiles that clip to nothing
+    still emit an empty layer; filter on feature_count if undesired)."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("fid", na_position="first", kind="stable")
+        feats = io_geojson.rows_to_features(pdf)
+        z = int(pdf["zoom"].iloc[0])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        cfg = kpipe.TileConfig(name=layer_name, z=z, x=tx, y=ty,
+                               buffer=buffer, extent=extent,
+                               quantize=quantize, simplify=simplify)
+        mvt = kpipe.encode_features(feats, cfg)
+        return pd.DataFrame({
+            "zoom": [z], "tile_x": [tx], "tile_y": [ty], "mvt": [mvt],
+            "feature_count": [_count_features(mvt)],
+            "bytes_len": [len(mvt)],
+        })
+
+    return (assigned.groupBy("zoom", "tile_x", "tile_y")
+            .applyInPandas(encode, TILE_SCHEMA))
+
+
+def _count_features(tile_bytes: bytes) -> int:
+    from ..kernel import mvt as kmvt
+
+    layers = kmvt.decode_tile(tile_bytes)
+    return sum(len(l["features"]) for l in layers.values())

@@ -68,6 +68,72 @@ def ray_cast_mask_pairs(px, py, ring_list) -> np.ndarray:
     return out
 
 
+class _EdgeTable:
+    """Driver-side preprocessed polygon edge table (CSR layout): all
+    rings' edges concatenated with per-polygon offsets.  Captured in
+    the refine UDF's closure, so candidate rows never carry geometry
+    through the shuffle/Arrow boundary — only a small int polygon index."""
+
+    def __init__(self, poly_rows):
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        counts = []
+        for row in poly_rows:
+            c = 0
+            for ring in row["rings"]:
+                r = np.array([np.asarray(p, dtype=np.float64) for p in ring])
+                x1, y1 = r[:-1, 0], r[:-1, 1]
+                x2, y2 = r[1:, 0], r[1:, 1]
+                keep = y1 != y2  # horizontal edges never cross the ray
+                xs1.append(x1[keep]); ys1.append(y1[keep])
+                xs2.append(x2[keep]); ys2.append(y2[keep])
+                c += int(keep.sum())
+            counts.append(c)
+        self.x1 = np.concatenate(xs1) if xs1 else np.empty(0)
+        self.y1 = np.concatenate(ys1) if ys1 else np.empty(0)
+        self.x2 = np.concatenate(xs2) if xs2 else np.empty(0)
+        self.y2 = np.concatenate(ys2) if ys2 else np.empty(0)
+        self.offsets = np.zeros(len(poly_rows) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+        self.counts = np.asarray(counts, dtype=np.int64)
+
+    def contains(self, pidx: np.ndarray, px: np.ndarray, py: np.ndarray,
+                 chunk: int = 2_000_000) -> np.ndarray:
+        """Even-odd ray cast for N (polygon_idx, point) pairs — fully
+        vectorized via CSR expansion, processed in bounded chunks."""
+        n = len(pidx)
+        out = np.zeros(n, dtype=bool)
+        counts = self.counts[pidx]
+        # chunk by pairs so the expanded edge workload stays bounded
+        start = 0
+        while start < n:
+            end = start
+            total = 0
+            while end < n and total + counts[end] <= chunk:
+                total += counts[end]
+                end += 1
+            end = max(end, start + 1)
+            sl = slice(start, end)
+            c = counts[sl]
+            reps = np.repeat(np.arange(end - start), c)       # pair index per edge test
+            edge_base = np.repeat(self.offsets[pidx[sl]], c)
+            within = np.arange(len(reps)) - np.repeat(
+                np.concatenate([[0], np.cumsum(c)[:-1]]), c)
+            e = edge_base + within
+            ppx = px[sl][reps]
+            ppy = py[sl][reps]
+            a_y = self.y1[e]; b_y = self.y2[e]
+            lo = np.minimum(a_y, b_y)
+            hi = np.maximum(a_y, b_y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (ppy - a_y) / (b_y - a_y)
+                xs = self.x1[e] + t * (self.x2[e] - self.x1[e])
+            crossing = (ppy >= lo) & (ppy < hi) & (xs > ppx)
+            parity = np.bincount(reps[crossing], minlength=end - start) % 2
+            out[sl] = parity.astype(bool)
+            start = end
+        return out
+
+
 def pip_join_broadcast(points: DataFrame, polygons: DataFrame,
                        lon_col: str = "lon", lat_col: str = "lat",
                        how: str = "inner") -> DataFrame:
@@ -76,33 +142,43 @@ def pip_join_broadcast(points: DataFrame, polygons: DataFrame,
     polygons schema: polygon_id, name, rings array<array<array<double>>>,
     min_lon/min_lat/max_lon/max_lat (bbox prefilter columns).
     Output: point columns + polygon_id, name.
+
+    Physical shape: the polygon dim is collected driver-side once (it is
+    small by contract), preprocessed into a CSR edge table and captured
+    in the refine closure; Spark broadcast-joins only (idx, id, name,
+    bbox), so the bbox prefilter runs in codegen and candidate rows stay
+    ~40 bytes wide.
     """
-    polys = F.broadcast(polygons.select("polygon_id", "name", "rings",
-                                        "min_lon", "min_lat", "max_lon", "max_lat"))
+    poly_rows = polygons.select("polygon_id", "name", "rings",
+                                "min_lon", "min_lat", "max_lon", "max_lat").collect()
+    edges = _EdgeTable(poly_rows)
+    spark = points.sparkSession
+    meta = spark.createDataFrame(
+        [(i, r["polygon_id"], r["name"], r["min_lon"], r["min_lat"],
+          r["max_lon"], r["max_lat"]) for i, r in enumerate(poly_rows)],
+        "_pidx int, polygon_id string, name string, min_lon double, "
+        "min_lat double, max_lon double, max_lat double")
     cond = ((F.col(lon_col) >= F.col("min_lon")) & (F.col(lon_col) <= F.col("max_lon"))
             & (F.col(lat_col) >= F.col("min_lat")) & (F.col(lat_col) <= F.col("max_lat")))
-    cand = points.join(polys, cond, how="inner")
+    cand = points.join(F.broadcast(meta), cond, how="inner")
 
     point_cols = points.columns
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mask = np.zeros(len(pdf), dtype=bool)
-            pos = pdf.reset_index(drop=True)
-            px = pos[lon_col].to_numpy(dtype=np.float64)
-            py = pos[lat_col].to_numpy(dtype=np.float64)
-            # vectorize per polygon: one ray-cast over all its candidate points
-            for _, idx in pos.groupby("polygon_id").indices.items():
-                rings = _rings_to_arrays(pos["rings"].iloc[idx[0]])
-                mask[idx] = ray_cast_mask(px[idx], py[idx], rings)
-            out = pos.loc[mask, point_cols + ["polygon_id", "name"]]
-            if len(out):
-                yield out
+    # scalar Arrow UDF returning the containment mask: Spark projects
+    # ONLY (_pidx, lon, lat) into the Python runner — candidate string
+    # columns never cross the JVM<->Python boundary (3-4x less Arrow
+    # traffic than a mapInPandas refine carrying whole rows)
+    from pyspark.sql.functions import pandas_udf
 
-    out_schema = cand.select(*point_cols, "polygon_id", "name").schema
-    return cand.mapInPandas(refine, out_schema)
+    @pandas_udf("boolean")
+    def inside_udf(pidx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        mask = edges.contains(pidx.to_numpy(),
+                              lon.to_numpy(dtype=np.float64),
+                              lat.to_numpy(dtype=np.float64))
+        return pd.Series(mask)
+
+    return (cand.filter(inside_udf(F.col("_pidx"), F.col(lon_col), F.col(lat_col)))
+                .select(*point_cols, "polygon_id", "name"))
 
 
 def _polygon_cells(min_lon, min_lat, max_lon, max_lat, zoom: int):

@@ -276,6 +276,23 @@ def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "feature_count", "bytes_len", "mvt")
 
 
+def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster->vector round trip over customer-derived points:
+    rasterize per z4 tile (PNG heatmap), threshold, re-vectorize the
+    coverage rectangles through the MVT polygon pipeline.  Rows-only
+    (PNG + protobuf not SQL-expressible); pytest asserts the ring
+    semantics."""
+    from .operators import raster as R
+
+    pts = _customer_images(spark, sf_dir)
+    assigned = T.assign_tiles_buffered(pts, zoom=4, extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    px = T.tile_local_px(assigned, extent=ENC_EXTENT)
+    rasters = R.rasterize_tiles(px, grid=32, extent=ENC_EXTENT)
+    vec = R.vectorize_tiles(rasters, threshold=1, extent=ENC_EXTENT)
+    return vec.select(F.col("zoom").cast("int"), "tile_x", "tile_y",
+                      "feature_count", "bytes_len")
+
+
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
@@ -309,6 +326,8 @@ QUERIES = {
     "event_user_stats": EV.q_event_user_stats,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
+    # raster<->vector materialization (rows-only: PNG/MVT not SQL)
+    "raster_vector": q_raster_vector,
 }
 
 ORACLES = {

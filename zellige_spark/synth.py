@@ -252,10 +252,14 @@ def gen_coverage_polygons(n: int = 50, seed: int = SEED) -> List[dict]:
     rng = np.random.default_rng([seed, 31337])
     out = []
     for j in range(n):
-        c = centers[j % len(centers)]
+        # jitter each polygon away from its cluster centre so a large
+        # dim table doesn't stack n/20 overlapping polygons per centre
+        # (which would make every clustered point match ~n/20 polygons)
+        base = centers[j % len(centers)]
+        c = base + rng.uniform(-0.2, 0.2, 2)
         k = int(rng.integers(5, 10))
         angles = np.sort(rng.uniform(0, 2 * np.pi, k))
-        radii = rng.uniform(0.01, 0.08, k)
+        radii = rng.uniform(0.05, 0.35, k)
         lon = c[0] + radii * np.cos(angles)
         lat = c[1] + radii * np.sin(angles)
         ring = np.stack([lon, lat], axis=1)
