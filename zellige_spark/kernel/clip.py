@@ -83,7 +83,7 @@ def quickclip_segments(bbox: Bbox, pts: np.ndarray) -> Tuple[np.ndarray, np.ndar
     y2 = np.where(reflect, -y2, y2)
     min_y = np.where(reflect, -max_y0, min_y0)
     max_y = np.where(reflect, -min_y0, max_y0)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         # checkX1 (:140-149): enter through the left edge
         m = keep & (x1 < min_x)
         new_y1 = y1 + (min_x - x1) * (y2 - y1) / (x2 - x1)
@@ -236,7 +236,7 @@ def clip_line_lb(bbox: Bbox, pts: np.ndarray) -> Optional[np.ndarray]:
     keep = np.ones(len(x1), dtype=bool)
     for p, q in (((-dx), (x1 - min_x)), (dx, (max_x - x1)),
                  ((-dy), (y1 - min_y)), (dy, (max_y - y1))):
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             r = q / p
         zero = p == 0
         keep &= ~(zero & (q < 0))
@@ -305,7 +305,7 @@ def _sh_one_pass(poly: np.ndarray, a, b) -> np.ndarray:
     dyp = s[:, 1] - e[:, 1]
     n1 = ax * by - ay * bx
     n2 = s[:, 0] * e[:, 1] - s[:, 1] * e[:, 0]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         d = dx * dyp - dy * dxp
         ix = (n1 * dxp - n2 * dx) / d
         iy = (n1 * dyp - n2 * dy) / d

@@ -356,6 +356,32 @@ def assemble_point_tiles_grouped(assigned: DataFrame, layer_name: str = "images"
 # strategy 3: explicit two-phase with hot-tile salting
 # ---------------------------------------------------------------------------
 
+def plan_salts(assigned: DataFrame, rows_per_group: int = 100_000) -> DataFrame:
+    """Count-based skew scan (SURVEY.md §2.10 hot-tile salting): tiles
+    whose row count exceeds ``rows_per_group`` get ceil(count/target)
+    salt buckets; everything else gets 1.  The result is a small
+    (hot tiles only, plus a default) plan meant to be broadcast-joined.
+
+    Cost: one partial-aggregated count per tile — the same shuffle key
+    the encode itself uses, so AQE can reuse statistics.
+    """
+    counts = assigned.groupBy("tile_key").agg(F.count(F.lit(1)).alias("n"))
+    return (counts.filter(F.col("n") > rows_per_group)
+                  .withColumn("n_salt",
+                              F.ceil(F.col("n") / F.lit(rows_per_group)).cast("int"))
+                  .select("tile_key", "n_salt"))
+
+
+def with_salt(assigned: DataFrame, salt_plan: DataFrame) -> DataFrame:
+    """Attach the salt column: pmod(hash(image_id), n_salt) for hot
+    tiles, 0 elsewhere.  salt_plan is broadcast (it holds hot tiles
+    only)."""
+    df = assigned.join(F.broadcast(salt_plan), "tile_key", "left")
+    n_salt = F.coalesce(F.col("n_salt"), F.lit(1))
+    return (df.withColumn("salt", F.pmod(F.xxhash64("image_id"), n_salt).cast("int"))
+              .drop("n_salt"))
+
+
 _PARTIAL_SCHEMA = ("zoom int, tile_x long, tile_y long, salt int, "
                    "min_id string, image_ids array<string>, "
                    "pxs array<double>, pys array<double>")
@@ -363,7 +389,8 @@ _PARTIAL_SCHEMA = ("zoom int, tile_x long, tile_y long, salt int, "
 
 def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
                                 extent: int = 4096, quantize: int = 1,
-                                buffer: int = 128, salt: int = 8) -> DataFrame:
+                                buffer: int = 128, salt: int = 8,
+                                auto_rows_per_group: Optional[int] = None) -> DataFrame:
     """Two-phase encode: phase A sorts and compacts each (tile, salt)
     sub-group into one array row — bounding any single task's group to
     ~1/salt of a hot tile — and phase B merge-sorts the sub-groups and
@@ -377,8 +404,15 @@ def assemble_point_tiles_salted(assigned: DataFrame, layer_name: str = "images",
     w = float(buffer)
     df = df.filter((F.col("px") >= -w) & (F.col("px") <= extent + w)
                    & (F.col("py") >= -w) & (F.col("py") <= extent + w))
-    df = df.select("zoom", "tile_x", "tile_y", "image_id", "px", "py")
-    df = df.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("int"))
+    if auto_rows_per_group:
+        # count-based skew scan: only hot tiles split, others salt=0
+        plan = plan_salts(assigned, auto_rows_per_group)
+        df = with_salt(df.withColumn("tile_key", T.tile_key(
+            F.col("zoom"), F.col("tile_x"), F.col("tile_y"))), plan)
+        df = df.select("zoom", "tile_x", "tile_y", "image_id", "px", "py", "salt")
+    else:
+        df = df.select("zoom", "tile_x", "tile_y", "image_id", "px", "py")
+        df = df.withColumn("salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("int"))
 
     def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id")
