@@ -121,6 +121,43 @@ def main() -> None:
         "dedup_minhash_lsh_800",
         lambda: Q.QUERIES["dedup_minhash_lsh"](spark, dd_dir).count())
 
+    # 7. scaling efficiency N -> 4N cores (north-rule criterion): run the
+    # full pipeline in cold subprocess JVMs at 2 and 8 cores (below this
+    # host's DRAM-bandwidth ceiling; see BENCH/BASELINE.md), best-of-2.
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        import subprocess
+
+        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1000000"))
+        # the workload must dwarf fixed overheads (at 300k rows the 2-core
+        # run is overhead-dominated and efficiency reads falsely low);
+        # pre-generate the big cache with THIS 32-core session so the
+        # 2-core subprocess doesn't pay generation
+        cached_images(spark, scaling_rows).count()
+
+        def run_at(cores):
+            cmd = [sys.executable,
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts", "pipeline_run.py"),
+                   "--cores", str(cores), "--rows", str(scaling_rows),
+                   "--repeat", "2"]
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+
+        try:
+            t0 = time.perf_counter()
+            r2 = run_at(2)
+            r8 = run_at(8)
+            timings["scaling_protocol"] = round(time.perf_counter() - t0, 3)
+            extras["scaling"] = {
+                "rows": scaling_rows,
+                "wall_2c": r2["wall_sec"], "wall_8c": r8["wall_sec"],
+                "speedup_2c_to_8c": round(r2["wall_sec"] / r8["wall_sec"], 3),
+                "efficiency_n_to_4n": round(r2["wall_sec"] / r8["wall_sec"] / 4.0, 3),
+            }
+        except Exception as exc:  # never lose the bench line to the protocol
+            extras["scaling"] = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

@@ -63,9 +63,13 @@ LINE_IN = np.array([(5.0, 5.0), (45.0, 50.0), (90.0, 140.0)])
 LINE_OUT = [[10.0, 10.625], [45.0, 50.0], [50.0, 60.0]]
 
 
-@pytest.mark.parametrize("fn", [c.clip_line_qc, c.clip_line_cs, c.clip_line_lb])
+from zellige_spark.kernel import clip_nln as cn  # noqa: E402
+
+
+@pytest.mark.parametrize("fn", [c.clip_line_qc, c.clip_line_cs, c.clip_line_lb,
+                                cn.clip_line_nln])
 def test_clip_line_all_algorithms(fn):
-    # ClipSpec.hs:214-230 — identical result across algorithms
+    # ClipSpec.hs:214-230 — identical result across all 4 algorithms
     assert fn(LINE_WINDOW, LINE_IN).tolist() == LINE_OUT
 
 
@@ -81,7 +85,8 @@ MULTILINE_OUT = [
 ]
 
 
-@pytest.mark.parametrize("fn", [c.clip_multiline_qc, c.clip_multiline_cs, c.clip_multiline_lb])
+@pytest.mark.parametrize("fn", [c.clip_multiline_qc, c.clip_multiline_cs,
+                                c.clip_multiline_lb, cn.clip_multiline_nln])
 def test_clip_multiline_reversed_order(fn):
     # ClipSpec.hs:131-138 — 6 lines in, 5 out, reversed order
     assert [l.tolist() for l in fn(LINE_WINDOW, MULTILINE_IN)] == MULTILINE_OUT
@@ -123,6 +128,27 @@ def test_sh_turning_point():
     turning = np.array([(125, 125), (175, 175), (75, 225), (25, 175), (125, 125)], dtype=float)
     res = c.sh_clip_ring((100.0, 100.0, 200.0, 200.0), turning)
     assert res.tolist() == [[125, 125], [175, 175], [125, 200], [100, 200], [100, 137.5], [125, 125]]
+
+
+def test_polygon_quickclip_whole_polygon_drop():
+    # traverse semantics (PolygonQuickClip.hs:30,39): one dead ring
+    # kills the whole polygon
+    inside = np.array([(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)], dtype=float)
+    outside = np.array([(900, 900), (910, 900), (910, 910), (900, 910), (900, 900)], dtype=float)
+    w = (0.0, 0.0, 100.0, 100.0)
+    assert c.clip_polygon_qc(w, [inside]) is not None
+    assert c.clip_polygon_qc(w, [inside, outside]) is None
+
+
+def test_polygon_quickclip_inside_unchanged_content():
+    ring = np.array([(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)], dtype=float)
+    out = c.clip_polygon_qc((0.0, 0.0, 100.0, 100.0), [ring])
+    assert out is not None and len(out) == 1
+    # fully-inside ring: lineToPointXY doubles every interior point
+    # (endpoint pairs of adjacent segments) — faithful to the reference
+    res = out[0]
+    assert (res[0] == res[-1]).all()
+    assert {tuple(p) for p in res} == {tuple(p) for p in ring}
 
 
 def test_point_in_extent_closed_box():

@@ -76,11 +76,14 @@ def test_clip_line_stays_in_window(pts):
 @given(st.lists(st.tuples(coord, coord), min_size=2, max_size=25))
 @settings(max_examples=150, deadline=None)
 def test_clip_algorithms_agree(pts):
-    """QuickClip / Cohen-Sutherland / Liang-Barsky produce the same
-    clipped line (ClipSpec.hs:214-230 generalized)."""
+    """QuickClip / Cohen-Sutherland / Liang-Barsky / NLN produce the
+    same clipped line (ClipSpec.hs:214-230 generalized)."""
+    from zellige_spark.kernel import clip_nln as cn
+
     window = (10.0, 10.0, 60.0, 60.0)
     arr = np.array(pts)
-    outs = [f(window, arr) for f in (c.clip_line_qc, c.clip_line_cs, c.clip_line_lb)]
+    outs = [f(window, arr) for f in (c.clip_line_qc, c.clip_line_cs,
+                                     c.clip_line_lb, cn.clip_line_nln)]
     if all(o is None for o in outs):
         return
     assert all(o is not None for o in outs)

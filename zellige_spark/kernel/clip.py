@@ -358,3 +358,48 @@ def clip_multipolygon_sh(bbox: Bbox, polys: Sequence[Sequence[np.ndarray]]) -> L
     empty ring lists are KEPT; the feature is dropped only when the
     polygon list itself is empty."""
     return [clip_polygon_sh(bbox, rings) for rings in polys]
+
+
+# ---------------------------------------------------------------------------
+# Polygon QuickClip (experimental path in the reference; never reached
+# from clipFeature — kept for §2.5 inventory parity)
+# ---------------------------------------------------------------------------
+
+def qc_clip_ring(bbox: Bbox, ring: np.ndarray) -> Optional[np.ndarray]:
+    """Clip one ring by treating its edges as independent QuickClip line
+    segments, flattening ALL endpoint pairs (lineToPointXY — no
+    segmentToLine dedup) and re-closing
+    (PolygonQuickClip.hs:41-62).  Can produce open/incorrect rings —
+    faithful to the reference's experimental behavior.
+    """
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(pts) <= 2:
+        return None  # foo: short input -> empty -> closeIfNot Nothing
+    # pointsToLines: closing edge (last, first) first, then consecutive
+    edges = np.concatenate([
+        np.concatenate([pts[-1:], pts[:1]], axis=1),
+        np.concatenate([pts[:-1], pts[1:]], axis=1),
+    ], axis=0)
+    segs = []
+    for e in edges:
+        res, _ = quickclip_segments(bbox, e.reshape(2, 2))
+        if len(res):
+            segs.append(res[0])
+    if not segs:
+        return None
+    flat = np.asarray(segs).reshape(-1, 2)  # lineToPointXY: all endpoints
+    if flat[0, 0] != flat[-1, 0] or flat[0, 1] != flat[-1, 1]:
+        flat = np.concatenate([flat, flat[:1]], axis=0)
+    return flat if len(flat) >= 4 else None
+
+
+def clip_polygon_qc(bbox: Bbox, rings: Sequence[np.ndarray]) -> Optional[List[np.ndarray]]:
+    """traverse semantics (PolygonQuickClip.hs:30,39): if ANY ring of
+    the polygon clips away, the WHOLE polygon is dropped (None)."""
+    out = []
+    for ring in rings:
+        res = qc_clip_ring(bbox, ring)
+        if res is None:
+            return None
+        out.append(res)
+    return out

@@ -40,9 +40,13 @@ def _shortest_distances(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nda
         d = pts - a
         return np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
     delta = b - a
-    u = ((pts[:, 0] - a[0]) * delta[0] + (pts[:, 1] - a[1]) * delta[1]) / (
-        delta[0] * delta[0] + delta[1] * delta[1]
-    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # a != b but delta^2 can underflow to 0 -> u = NaN; both NaN
+        # comparisons are False so the 'otherwise' branch runs with a
+        # NaN projection, matching Haskell's NaN propagation exactly
+        u = ((pts[:, 0] - a[0]) * delta[0] + (pts[:, 1] - a[1]) * delta[1]) / (
+            delta[0] * delta[0] + delta[1] * delta[1]
+        )
     proj = np.where(
         u[:, None] < 0,
         a[None, :],

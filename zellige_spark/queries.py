@@ -298,6 +298,7 @@ from .operators import images as IMG  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
 from .streaming import events as EV  # noqa: E402
+from .streaming import sessions as SESS  # noqa: E402
 
 QUERIES = {
     # spatial / tiling engine
@@ -324,6 +325,7 @@ QUERIES = {
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
+    "event_sessions": SESS.q_event_sessions,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
     # raster<->vector materialization (rows-only: PNG/MVT not SQL)
@@ -347,4 +349,5 @@ ORACLES = {
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
+    "event_sessions": SESS.sql_event_sessions(),
 }

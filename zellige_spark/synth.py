@@ -229,7 +229,11 @@ def images_df(spark, n_rows: int, seed: int = SEED, partitions: int = None):
         centers = cluster_centers(seed)
         for pdf in iterator:
             ids = pdf["id"].to_numpy()
-            yield gen_images_pandas_ids(ids, seed, centers)
+            # bounded output batches: a partition can hold millions of
+            # ids, and image bytes are ~KBs each — emitting one frame
+            # per partition OOMs the python worker
+            for i in range(0, len(ids), 8192):
+                yield gen_images_pandas_ids(ids[i:i + 8192], seed, centers)
 
     return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
 
