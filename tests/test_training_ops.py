@@ -64,6 +64,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from zellige_spark.operators import similarity as SIM
+
+    brute = SIM.q_ann_bruteforce(spark, SF).toPandas()
+    ivf = SIM.q_ann_ivf(spark, SF).toPandas()
+    b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    v = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    recall = len(b & v) / len(b)
+    # random embeddings are the hard case for IVF (neighbors spread
+    # across lists); 4-of-16 probes should still recover most of top-5
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: same centroids, same result
+    v2 = {(r.query_id, r.neighbor_id) for r in SIM.q_ann_ivf(spark, SF).toPandas().itertuples()}
+    assert v == v2
+
+
 def test_lang_id_behavior(spark):
     from zellige_spark.operators import text as TXT
 

@@ -136,39 +136,88 @@ class _EdgeTable:
 
 def pip_join_broadcast(points: DataFrame, polygons: DataFrame,
                        lon_col: str = "lon", lat_col: str = "lat",
-                       how: str = "inner") -> DataFrame:
+                       how: str = "inner", index_zoom: int = None,
+                       strategy: str = "auto") -> DataFrame:
     """points x polygons where point in polygon; polygons broadcast.
 
     polygons schema: polygon_id, name, rings array<array<array<double>>>,
     min_lon/min_lat/max_lon/max_lat (bbox prefilter columns).
     Output: point columns + polygon_id, name.
 
-    Physical shape: the polygon dim is collected driver-side once (it is
-    small by contract), preprocessed into a CSR edge table and captured
-    in the refine closure; Spark broadcast-joins only (idx, id, name,
-    bbox), so the bbox prefilter runs in codegen and candidate rows stay
-    ~40 bytes wide.
+    The polygon dim is collected driver-side once (small by contract)
+    and preprocessed into a CSR edge table captured in the refine
+    closure.  Candidate generation has two physical strategies:
+
+    * ``bnl``  — broadcast nested-loop on the bbox range condition.
+      Per-point cost is P codegen comparisons: CONSTANT per row, so it
+      is scale-viable (linear in N) and measured fastest for small dims
+      (P <= ~5000) where the comparisons are cheaper than the cell
+      join's probe+materialize overhead.
+    * ``cells`` — broadcast HASH equi-join on an XYZ cell id (each
+      polygon exploded driver-side over the cells its bbox covers at
+      ``index_zoom``), then the exact bbox filter in codegen.  Per-point
+      cost is ~1 hash probe: the right plan when P is large enough that
+      P-comparisons-per-row dominate.
+
+    ``auto`` picks bnl for P <= 5000, cells above.
     """
     poly_rows = polygons.select("polygon_id", "name", "rings",
                                 "min_lon", "min_lat", "max_lon", "max_lat").collect()
     edges = _EdgeTable(poly_rows)
     spark = points.sparkSession
+    if strategy == "auto":
+        strategy = "bnl" if len(poly_rows) <= 5000 else "cells"
+    if strategy == "bnl":
+        meta = spark.createDataFrame(
+            [(i, r["polygon_id"], r["name"], r["min_lon"], r["min_lat"],
+              r["max_lon"], r["max_lat"]) for i, r in enumerate(poly_rows)],
+            "_pidx int, polygon_id string, name string, min_lon double, "
+            "min_lat double, max_lon double, max_lat double")
+        cond = ((F.col(lon_col) >= F.col("min_lon")) & (F.col(lon_col) <= F.col("max_lon"))
+                & (F.col(lat_col) >= F.col("min_lat")) & (F.col(lat_col) <= F.col("max_lat")))
+        cand = points.join(F.broadcast(meta), cond, how="inner")
+        return _pip_refine(points, cand, edges, lon_col, lat_col)
+    if index_zoom is None:
+        import math
+        spans = sorted(max(r["max_lon"] - r["min_lon"], r["max_lat"] - r["min_lat"])
+                       for r in poly_rows) or [1.0]
+        med = max(spans[len(spans) // 2], 1e-6)
+        # cells ~4x finer than the median bbox: keeps the per-polygon
+        # cell fan-out tiny (~25-40 cells) while making a cell-match a
+        # tight superset of a bbox-match — a coarser grid lets every
+        # point in a dense cluster cell-match all the stacked polygons
+        # and bloats the pre-filter intermediate
+        index_zoom = int(min(14, max(0, math.floor(math.log2(360.0 / med)) + 2)))
+    # explode each polygon over its covered cells (driver side; dim is small)
+    meta_rows = []
+    for i, r in enumerate(poly_rows):
+        for ck in _polygon_cells(r["min_lon"], r["min_lat"],
+                                 r["max_lon"], r["max_lat"], index_zoom, pad=1):
+            meta_rows.append((ck, i, r["polygon_id"], r["name"],
+                              r["min_lon"], r["min_lat"], r["max_lon"], r["max_lat"]))
     meta = spark.createDataFrame(
-        [(i, r["polygon_id"], r["name"], r["min_lon"], r["min_lat"],
-          r["max_lon"], r["max_lat"]) for i, r in enumerate(poly_rows)],
-        "_pidx int, polygon_id string, name string, min_lon double, "
-        "min_lat double, max_lon double, max_lat double")
-    cond = ((F.col(lon_col) >= F.col("min_lon")) & (F.col(lon_col) <= F.col("max_lon"))
-            & (F.col(lat_col) >= F.col("min_lat")) & (F.col(lat_col) <= F.col("max_lat")))
-    cand = points.join(F.broadcast(meta), cond, how="inner")
+        meta_rows,
+        "cell_key long, _pidx int, polygon_id string, name string, "
+        "min_lon double, min_lat double, max_lon double, max_lat double")
+    pts = T.with_web_mercator(points, lon_col, lat_col)
+    tx, ty = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(index_zoom))
+    pts = pts.withColumn("cell_key", T.tile_key(F.lit(index_zoom), tx, ty))
+    cand = pts.join(F.broadcast(meta), "cell_key", how="inner")
+    cand = cand.filter(
+        (F.col(lon_col) >= F.col("min_lon")) & (F.col(lon_col) <= F.col("max_lon"))
+        & (F.col(lat_col) >= F.col("min_lat")) & (F.col(lat_col) <= F.col("max_lat")))
+    return _pip_refine(points, cand, edges, lon_col, lat_col)
+
+
+def _pip_refine(points: DataFrame, cand: DataFrame, edges: _EdgeTable,
+                lon_col: str, lat_col: str) -> DataFrame:
+    """Exact ray-cast refine as a scalar Arrow UDF filter: Spark projects
+    ONLY (_pidx, lon, lat) into the Python runner — candidate string
+    columns never cross the JVM<->Python boundary (3-4x less Arrow
+    traffic than a mapInPandas refine carrying whole rows)."""
+    from pyspark.sql.functions import pandas_udf
 
     point_cols = points.columns
-
-    # scalar Arrow UDF returning the containment mask: Spark projects
-    # ONLY (_pidx, lon, lat) into the Python runner — candidate string
-    # columns never cross the JVM<->Python boundary (3-4x less Arrow
-    # traffic than a mapInPandas refine carrying whole rows)
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def inside_udf(pidx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -181,15 +230,19 @@ def pip_join_broadcast(points: DataFrame, polygons: DataFrame,
                 .select(*point_cols, "polygon_id", "name"))
 
 
-def _polygon_cells(min_lon, min_lat, max_lon, max_lat, zoom: int):
-    """All XYZ cells a bbox covers at ``zoom`` (numpy helper)."""
+def _polygon_cells(min_lon, min_lat, max_lon, max_lat, zoom: int, pad: int = 0):
+    """All XYZ cells a bbox covers at ``zoom`` (numpy helper).  ``pad``
+    grows the range by whole cells — used to stay conservative when the
+    point side computes its cell with different (JVM) float transcendental
+    implementations than this (numpy/libm) side."""
     from ..kernel import mercator as km
 
+    n = (1 << zoom) - 1
     x0, y0 = km.xy3857_to_tile(km.lon_to_x(min_lon), km.lat_to_y(max_lat), zoom)
     x1, y1 = km.xy3857_to_tile(km.lon_to_x(max_lon), km.lat_to_y(min_lat), zoom)
     cells = []
-    for tx in range(int(x0), int(x1) + 1):
-        for ty in range(int(y0), int(y1) + 1):
+    for tx in range(max(0, int(x0) - pad), min(n, int(x1) + pad) + 1):
+        for ty in range(max(0, int(y0) - pad), min(n, int(y1) + pad) + 1):
             cells.append((zoom << 56) | (tx << 28) | ty)
     return cells
 

@@ -136,6 +136,69 @@ def lsh_signature_col(dim: int, planes: int = LSH_PLANES, col: str = "embedding"
     return F.expr("(" + " + ".join(bits) + ")")
 
 
+IVF_LISTS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int = IVF_LISTS,
+                   sample: int = 1024, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Deterministic driver-side Lloyd's k-means on a bounded sample —
+    the coarse quantizer for IVF.  At 10^12 rows the sample stays a
+    driver-side constant; training cost is independent of table size."""
+    rows = (emb.orderBy("vec_id").limit(sample)
+               .select("embedding").collect())
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng([seed, 4242])
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / (np.linalg.norm(c) + 1e-12)
+    return C
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer (driver-trained, broadcast as
+    literals), data bucketed by nearest centroid, queries probe their
+    IVF_NPROBE nearest lists, exact cosine re-rank, top-K.  Rows-only
+    for the driver; pytest measures recall vs brute force."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    C = _ivf_centroids(spark, emb)
+
+    def centroid_sim_exprs(col: str):
+        return [F.expr(" + ".join(f"CAST({col}[{i}] AS DOUBLE) * {C[j, i]!r}"
+                                  for i in range(dim))).alias(f"_c{j}")
+                for j in range(len(C))]
+
+    sims = emb.select("vec_id", "embedding", *centroid_sim_exprs("embedding"))
+    sim_arr = F.array(*[F.col(f"_c{j}") for j in range(len(C))])
+    # data side: each vector lands in its single best list
+    d = sims.withColumn("_sims", sim_arr).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"),
+        (F.expr("array_position(_sims, array_max(_sims))") - 1).cast("int").alias("list_id"))
+    # query side: probe the top-IVF_NPROBE lists
+    q = (sims.filter(F.col("vec_id") < N_QUERIES)
+             .withColumn("_sims", sim_arr)
+             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                     F.explode(F.slice(F.expr(
+                         "transform(array_sort(arrays_zip(transform(_sims, s -> -s), "
+                         "sequence(0, size(_sims) - 1))), p -> p['1'])"),
+                         1, IVF_NPROBE)).alias("list_id")))
+    cand = (q.join(d, "list_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("cos", F.expr(_cosine("qv", "dv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: 16 sign bits -> 8 2-bit bands; candidates share
     at least one band bucket; exact cosine re-rank, top-K.  Compared to

@@ -321,6 +321,7 @@ QUERIES = {
     # similarity search
     "ann_bruteforce": SIM.q_ann_bruteforce,
     "ann_lsh": SIM.q_ann_lsh,
+    "ann_ivf": SIM.q_ann_ivf,
     "embed_cosine_dup": SIM.q_embed_cosine_dup,
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
