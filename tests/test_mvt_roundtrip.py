@@ -155,6 +155,27 @@ def test_cursor_persists_across_lines_within_feature():
     assert tile["hello"]["features"][0]["geometry"] == [[(0, 0), (10, 0)], [(10, 10), (20, 10)]]
 
 
+def test_int32_overflow_coordinates():
+    """mvt-fixtures 049/050 semantics (MapnikVectorTileSpec.hs:248-257):
+    coordinates beyond int32 wrap through the uint32 zigzag on encode
+    and decode back through int32 truncation."""
+    import numpy as np
+
+    big = np.array([[2 ** 31 - 1, -(2 ** 31)]], dtype=np.int64)
+    cmds = mvt.point_feature_commands(big)
+    tile = mvt.decode_tile(_tile_with_geometry(mvt.GEOM_POINT, cmds.tolist()))
+    (pt,) = tile["hello"]["features"][0]["geometry"]
+    assert pt == (2 ** 31 - 1, -(2 ** 31))
+    # one past the int32 range wraps (zig truncates to uint32):
+    # zig(2^31) = 2^32 & 0xFFFFFFFF = 0 -> decodes to 0, exactly as the
+    # reference's fromIntegral-to-Word32 truncation does
+    over = np.array([[2 ** 31, 0]], dtype=np.int64)
+    cmds2 = mvt.point_feature_commands(over)
+    tile2 = mvt.decode_tile(_tile_with_geometry(mvt.GEOM_POINT, cmds2.tolist()))
+    (pt2,) = tile2["hello"]["features"][0]["geometry"]
+    assert pt2 == (0, 0)
+
+
 def test_varint_array_matches_scalar():
     vals = [0, 1, 127, 128, 300, 2 ** 21, 2 ** 32 - 1]
     arr = mvt.varint_array(np.array(vals, dtype=np.uint64))
