@@ -104,22 +104,15 @@ def main() -> None:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
 
-    # 6. near-dup dedup on a bounded corpus: the synthetic documents
-    # share one small vocabulary, so inter-document Jaccard is
-    # unrealistically high and shingle-postings self-joins at sf0.1 go
-    # quadratic (every pair is a near-dup candidate).  Cap the corpus at
-    # 800 docs — times the same operator shape without the degenerate
-    # blowup.  Real web corpora have heavy-tailed vocabularies where
-    # LSH banding prunes candidates; see operators/dedup.py LSH_BANDS.
-    dd_dir = os.path.join(CACHE_DIR, "dedup_bounded")
-    doc_path = os.path.join(dd_dir, "documents.parquet")
-    if not os.path.exists(os.path.join(doc_path, "_SUCCESS")):
-        (spark.read.parquet(f"{SF_DIR}/documents.parquet")
-         .orderBy("doc_id").limit(800)
-         .write.mode("overwrite").parquet(doc_path))
+    # 6. near-dup dedup over the FULL corpus via word-3-shingle MinHash
+    # (Broder w-shingling): word shingles draw from a combinatorial
+    # space, so random-pair Jaccard stays near 0 even on the synthetic
+    # corpus's tiny vocabulary and LSH banding prunes candidates — the
+    # char-3-gram variant (every pair a candidate on this vocabulary)
+    # remains the documented small-N verifier; see operators/dedup.py.
     extras["dedup_pairs"] = bench(
-        "dedup_minhash_lsh_800",
-        lambda: Q.QUERIES["dedup_minhash_lsh"](spark, dd_dir).count())
+        "dedup_minhash_words",
+        lambda: Q.QUERIES["dedup_minhash_words"](spark, SF_DIR).count())
 
     # 7. scaling efficiency N -> 4N cores (north-rule criterion): run the
     # full pipeline in cold subprocess JVMs at 2 and 8 cores (below this

@@ -49,6 +49,32 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, FEATURES_SCHEMA)
 
 
+def read_geojson_distributed(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed GeoJSON source: each FeatureCollection document is
+    read whole (``spark.read.text(wholetext=True)``, one row per file)
+    and parsed EXECUTOR-side in an Arrow-batched pass — the driver never
+    holds a document.  For a directory of many files this parallelizes
+    across files; use it over :func:`read_geojson` (driver-side, kept
+    for tiny inputs/reference parity) whenever inputs exceed driver
+    memory."""
+    import pandas as pd
+
+    txt = spark.read.text(path, wholetext=True)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for doc_str in pdf["value"]:
+                doc = json.loads(doc_str)
+                for feat in kpipe.geojson_to_features(doc):
+                    rows.append((feat["fid"], feat["geom_type"], feat["parts"],
+                                 json.dumps(feat["props"], sort_keys=True)))
+            yield pd.DataFrame(rows, columns=["fid", "geom_type", "parts",
+                                              "props_json"])
+
+    return txt.mapInPandas(parse, FEATURES_SCHEMA)
+
+
 def rows_to_features(pdf) -> List[dict]:
     """pandas rows (fid, geom_type, parts, props_json) -> kernel feature
     dicts."""

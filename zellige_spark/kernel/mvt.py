@@ -287,9 +287,13 @@ def encode_feature(fid: int, tags: Sequence[int], geom_type: int, geometry: np.n
 
 
 def encode_layer(name: str, features: Sequence[bytes], keys: Sequence[str],
-                 values: Sequence[Val], extent: int, version: int = 2) -> bytes:
+                 values: Sequence[Val], extent: int, version: int = 2,
+                 unknowns: bytes = b"") -> bytes:
     """Layer message in the golden wire order: version, name, features,
-    keys, values, extent (matches /root/reference/dump/small.mvt)."""
+    keys, values, extent (matches /root/reference/dump/small.mvt).
+    ``unknowns`` re-emits foreign fields preserved by the decoder
+    (VectorTile/Types.hs:23-35 ``unknowns`` passthrough), appended after
+    the known fields."""
     out = bytearray()
     out += _tag(15, 0) + varint(version)
     out += _len_delim(1, name.encode("utf-8"))
@@ -300,6 +304,7 @@ def encode_layer(name: str, features: Sequence[bytes], keys: Sequence[str],
     for v in values:
         out += _len_delim(4, encode_value(v))
     out += _tag(5, 0) + varint(extent)
+    out += unknowns
     return bytes(out)
 
 
@@ -507,6 +512,15 @@ def decode_geometry(geom_type: int, ints: List[int]):
     raise MvtError(f"unknown geom type {geom_type}")
 
 
+def _reencode_field(field: int, wire: int, v) -> bytes:
+    """Raw wire bytes of one scanned field (for unknowns passthrough)."""
+    if wire == 0:
+        return _tag(field, 0) + varint(v)
+    if wire == 2:
+        return _len_delim(field, bytes(v))
+    return _tag(field, wire) + bytes(v)  # fixed64 / fixed32 payloads
+
+
 def decode_layer(payload: bytes) -> dict:
     version = 1
     name = None
@@ -514,6 +528,7 @@ def decode_layer(payload: bytes) -> dict:
     keys: List[str] = []
     values: List[Val] = []
     raw_features = []
+    unknowns = bytearray()
     for field, wire, v in _scan_fields(payload):
         if field == 15:
             version = v
@@ -527,6 +542,8 @@ def decode_layer(payload: bytes) -> dict:
             values.append(decode_value(v))
         elif field == 5:
             extent = v
+        else:  # foreign field: preserve, don't drop (Types.hs:23-35)
+            unknowns += _reencode_field(field, wire, v)
     features = []
     for raw in raw_features:
         fid = 0
@@ -555,7 +572,8 @@ def decode_layer(payload: bytes) -> dict:
             "geometry_ints": geom_ints,
         })
     return {"version": version, "name": name, "extent": extent,
-            "keys": keys, "values": values, "features": features}
+            "keys": keys, "values": values, "features": features,
+            "unknowns": bytes(unknowns)}
 
 
 def decode_tile(buf: bytes) -> Dict[str, dict]:

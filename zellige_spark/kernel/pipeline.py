@@ -202,38 +202,101 @@ def _encode_staged(staged, cfg: TileConfig) -> bytes:
     poly_feats: List[bytes] = []
 
     for gt, fid, props, parts in assigned:
-        vals = kmvt.convert_props(props)
-        if gt in POINT_KINDS:
-            ipts = kmvt.coords_to_ipoints(np.concatenate([np.asarray(r) for r in parts[0]], axis=0))
-            if len(ipts) == 0:
-                continue
-            cmds = kmvt.point_feature_commands(ipts)
-            bucket = point_feats
-        elif gt in LINE_KINDS:
-            lines = []
-            for part in parts:
-                ipts = kmvt.convert_and_remove_dupes(part[0])
-                if len(ipts) > 1:  # convertLineString drops <2-pt lines
-                    lines.append(ipts)
-            if not lines:
-                continue
-            cmds = kmvt.line_feature_commands(lines)
-            bucket = line_feats
-        else:
-            polys = _polygon_to_int(parts)
-            cmds = kmvt.polygon_feature_commands(polys)
-            if len(cmds) == 0:
-                continue
-            bucket = poly_feats
-        tags = kmvt.build_tags(vals, keys, values)
-        gtype = (kmvt.GEOM_POINT if bucket is point_feats
-                 else kmvt.GEOM_LINESTRING if bucket is line_feats
-                 else kmvt.GEOM_POLYGON)
-        bucket.append(kmvt.encode_feature(fid, tags, gtype, cmds))
+        _encode_one(gt, fid, props, parts, keys, values,
+                    point_feats, line_feats, poly_feats)
 
     layer = kmvt.encode_layer(cfg.name, point_feats + line_feats + poly_feats,
                               keys.items, values.items, cfg.extent, cfg.version)
     return kmvt.encode_tile([layer])
+
+
+def _encode_one(gt, fid, props, parts, keys, values,
+                point_feats, line_feats, poly_feats) -> None:
+    """Encode one clipped+simplified feature into its geometry bucket
+    (int-conversion drops happen here, after id assignment)."""
+    vals = kmvt.convert_props(props)
+    if gt in POINT_KINDS:
+        ipts = kmvt.coords_to_ipoints(np.concatenate([np.asarray(r) for r in parts[0]], axis=0))
+        if len(ipts) == 0:
+            return
+        cmds = kmvt.point_feature_commands(ipts)
+        bucket = point_feats
+    elif gt in LINE_KINDS:
+        lines = []
+        for part in parts:
+            ipts = kmvt.convert_and_remove_dupes(part[0])
+            if len(ipts) > 1:  # convertLineString drops <2-pt lines
+                lines.append(ipts)
+        if not lines:
+            return
+        cmds = kmvt.line_feature_commands(lines)
+        bucket = line_feats
+    else:
+        polys = _polygon_to_int(parts)
+        cmds = kmvt.polygon_feature_commands(polys)
+        if len(cmds) == 0:
+            return
+        bucket = poly_feats
+    tags = kmvt.build_tags(vals, keys, values)
+    gtype = (kmvt.GEOM_POINT if bucket is point_feats
+             else kmvt.GEOM_LINESTRING if bucket is line_feats
+             else kmvt.GEOM_POLYGON)
+    bucket.append(kmvt.encode_feature(fid, tags, gtype, cmds))
+
+
+class StreamingTileEncoder:
+    """Incremental per-tile encoder — the reference's streaming fold
+    (GeoJsonStreamingToMvt.hs:25-57) as an accumulator object.  Each
+    ``add(feature)`` projects, clips, simplifies, and byte-encodes the
+    feature immediately; only the encoded feature records and the
+    key/value dictionaries stay resident, so a tile with millions of
+    line/polygon features costs O(encoded output), not O(raw geometry
+    held as one group).  ``finish()`` emits bytes identical to
+    :func:`encode_features` over the same feature sequence."""
+
+    def __init__(self, cfg: TileConfig):
+        self.cfg = cfg
+        self._bbox = kmerc.tile_bbox(cfg.z, cfg.x, cfg.y)
+        self._window = kclip.buffered_bbox(cfg.buffer, cfg.extent)
+        self._keys = kmvt.DictStore()
+        self._values = kmvt.DictStore()
+        self._point_feats: List[bytes] = []
+        self._line_feats: List[bytes] = []
+        self._poly_feats: List[bytes] = []
+        self._counter = 0
+
+    def add(self, feat: dict) -> None:
+        gt = feat["geom_type"]
+        if gt is None or gt == "NoGeometry":
+            return
+        parts = _project_parts(feat["parts"], self.cfg.extent,
+                               self.cfg.quantize, self._bbox)
+        parts = _clip_feature(gt, parts, self._window)
+        if parts is None:
+            return
+        parts = _simplify_feature(gt, parts, self.cfg.simplify)
+        if parts is None:
+            return
+        fid = feat.get("fid")
+        if fid is None:  # convertId counter-from-1 (GeoJsonToMvt.hs:54-60)
+            self._counter += 1
+            fid = self._counter
+        _encode_one(gt, int(fid), feat.get("props") or {}, parts,
+                    self._keys, self._values,
+                    self._point_feats, self._line_feats, self._poly_feats)
+
+    @property
+    def feature_count(self) -> int:
+        return (len(self._point_feats) + len(self._line_feats)
+                + len(self._poly_feats))
+
+    def finish(self) -> bytes:
+        layer = kmvt.encode_layer(
+            self.cfg.name,
+            self._point_feats + self._line_feats + self._poly_feats,
+            self._keys.items, self._values.items,
+            self.cfg.extent, self.cfg.version)
+        return kmvt.encode_tile([layer])
 
 
 def encode_features_local(features: Iterable[dict], cfg: TileConfig) -> bytes:

@@ -10,9 +10,12 @@ Five families (SURVEY-mandated training-data ops):
   verifier for the scalable MinHash path.
 * MinHash+LSH near-dup — 128 xxhash64-seeded min-hashes, banded LSH
   buckets generate candidates, exact Jaccard verifies (see LSH_BANDS
-  note below on the recall/cost knob).
-* SimHash — 64-bit token-vote hash via a vectorized pandas UDF; pairs
-  within Hamming distance <= d via 4x16-bit band blocking.
+  note below on the recall/cost knob).  Two shingle modes: char-3-gram
+  (reference-style, the small-N verifier) and word-3-shingle (Broder
+  w-shingling — the scale path; see the note above _shingles_words).
+* SimHash — 60-bit token-vote hash in pure JVM Column math (md5-nibble
+  token hashing, identical in DuckDB -> oracle-checked); pairs within
+  Hamming distance <= d via 4x15-bit band blocking.
 * embedding cosine near-dup — see operators/similarity.py.
 
 The near-dup queries run over a corpus UNION'd with deterministic
@@ -21,8 +24,6 @@ DuckDB), so the oracle checks real pairs, not an empty set — the raw
 synthetic corpus has no near-duplicates.
 """
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -209,55 +210,139 @@ sql_dedup_minhash_lsh = sql_dedup_ngram_jaccard
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF; pairs via 16-bit band blocking)
+# MinHash + LSH over WORD 3-shingles (the web-scale shingling choice)
 # ---------------------------------------------------------------------------
+#
+# Character 3-grams draw from a few thousand distinct shingles, so any
+# corpus with a bounded vocabulary (like the synthetic one) makes every
+# document pair share most shingles and the LSH candidate set goes
+# quadratic.  Word n-shingles (Broder's original w-shingling) draw from
+# a combinatorial space (|vocab|^n), keeping random-pair Jaccard near 0
+# — this variant runs the FULL corpus in the benchmark where the
+# char-gram variant is the documented small-N verifier.
+
+def _shingles_words(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs — JVM higher-order
+    functions; explicit size guard because sequence(1,0) descends."""
+    return (df
+            .withColumn("_toks", F.split(F.col("nt"), " "))
+            .withColumn("sh", F.expr(
+                f"CASE WHEN size(_toks) >= {n} THEN "
+                f"transform(sequence(0, size(_toks) - {n}), "
+                f"i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
+                f"ELSE array() END"))
+            .select("doc_id", F.explode("sh").alias("shingle"))
+            .distinct())
+
+
+def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over word-3-shingles: banded
+    candidates -> exact word-shingle Jaccard verify.  Same recall math
+    as the char-gram variant (64x2 bands, miss ~4e-13 at 0.6)."""
+    aug = _augmented(spark, sf_dir)
+    sh = _shingles_words(aug).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cands = lsh_candidates(minhash_signatures(sh))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+                   .groupBy("doc_a", "doc_b")
+                   .agg(F.count(F.lit(1)).alias("common")))
+    return (common
+            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+            .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b"))
+
+
+def sql_dedup_minhash_words() -> str:
+    return f"""
+    WITH aug AS ({_AUG_DUCK}),
+    tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END) AS shingle
+      FROM tk
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pure JVM Column math; pairs via 15-bit band blocking)
+# ---------------------------------------------------------------------------
+#
+# 60-bit SimHash with an md5-derived token hash so the whole operator is
+# expressible identically in Spark SQL and DuckDB (oracle-checked):
+# the token's 64-bit-ish hash is the first 15 hex nibbles of md5(token),
+# decoded digit-by-digit via instr('0123456789abcdef', ...) — both
+# engines produce the same lowercase hex, so signatures are bit-equal.
+# 60 bits split into 4x15-bit bands: a pair within Hamming distance <= 3
+# shares at least one exact band (pigeonhole).
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
+_HEXD = "0123456789abcdef"
+
+
+def _token_counts(df: DataFrame, text_col: str = "nt") -> DataFrame:
+    return (df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token"))
+              .filter(F.length("token") > 0)
+              .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt")))
+
 
 def simhash_signatures(df: DataFrame, text_col: str = "nt") -> DataFrame:
-    """64-bit SimHash per doc: tokens vote per bit, weighted by count.
-    Token hashing is numpy-vectorized inside an Arrow-batched UDF."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            # FNV-1a 64-bit per token, vectorized over unique tokens
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            hs = np.empty(len(uniq), dtype=np.uint64)
-            for j, tok in enumerate(uniq):
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[j] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            val = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    val |= (1 << b)
-            out[i] = val - 0x10000000000000000 if val >= 0x8000000000000000 else val
-        return pd.Series(out)
-
-    return df.select("doc_id", simhash(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash): per-bit weighted token votes, all JVM Column
+    math (explode -> md5 -> nibble decode -> 60 conditional sums); no
+    Python in the plan.  Docs with no tokens produce no signature row
+    (the oracle does the same)."""
+    toks = _token_counts(df, text_col).withColumn("_h", F.md5("token"))
+    # 15 hex digits -> d0 (most significant nibble) .. d14
+    digs = toks.select(
+        "doc_id", "cnt",
+        *[(F.instr(F.lit(_HEXD), F.substring("_h", j + 1, 1)) - 1).cast("long").alias(f"_d{j}")
+          for j in range(15)])
+    votes = [
+        F.sum(F.col("cnt") *
+              (F.shiftright(F.col(f"_d{14 - b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+              ).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)]
+    agg = digs.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance <= 3 over the augmented
-    corpus, via 4x16-bit band blocking (a pair within distance 3 shares
-    at least one exact 16-bit band).  No SQL oracle (bit-level hashing
-    not expressible); rows-only + pytest numpy oracle."""
+    corpus, via 4x15-bit band blocking.  Oracle-checked: the md5-nibble
+    hash makes the signature identical in DuckDB."""
     aug = _augmented(spark, sf_dir)
     sig = simhash_signatures(aug).cache()
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for b in range(4)])).alias("bs"))
+                     F.shiftright("simhash", _BAND_W * b)
+                      .bitwiseAND(F.lit((1 << _BAND_W) - 1)).alias("chunk"))
+            for b in range(SIMHASH_BANDS)])).alias("bs"))
     bands = bands.select("doc_id", "simhash", "bs.band", "bs.chunk")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -271,3 +356,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("hamming", ham.cast("int"))
                 .filter(F.col("hamming") <= 3)
                 .select("doc_a", "doc_b", "hamming"))
+
+
+def sql_dedup_simhash() -> str:
+    votes = ",\n        ".join(
+        f"SUM(cnt * ((((instr('{_HEXD}', substr(h, {(14 - b // 4) + 1}, 1)) - 1) >> {b % 4}) & 1) * 2 - 1)) AS v{b}"
+        for b in range(SIMHASH_BITS))
+    sim = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                     for b in range(SIMHASH_BITS))
+    bands = ",".join(f"({b})" for b in range(SIMHASH_BANDS))
+    return f"""
+    WITH aug AS ({_AUG_DUCK}),
+    tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS token FROM aug
+      ) WHERE length(token) > 0 GROUP BY doc_id, token
+    ),
+    dig AS (SELECT doc_id, cnt, md5(token) AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM dig GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sim} AS simhash FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, t.band,
+             (simhash >> ({_BAND_W} * t.band)) & {(1 << _BAND_W) - 1} AS chunk
+      FROM sig CROSS JOIN (VALUES {bands}) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """

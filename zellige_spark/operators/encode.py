@@ -57,9 +57,16 @@ TILE_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
 # ---------------------------------------------------------------------------
 
 def _varints_concat(vals: np.ndarray) -> tuple:
-    """Varint-encode a uint64 array; returns (bytes, per-value byte length)."""
+    """Varint-encode a uint64 array; returns (bytes, per-value byte length).
+
+    The chunk matrix is sized to the batch's actual max value (typical
+    tile deltas need 2-3 varint bytes, not the worst-case 10): this
+    helper runs ~9 times per Arrow batch in the encode fold and its
+    intermediates dominate the fold's DRAM traffic, which is the scaling
+    ceiling on multi-core hosts."""
     v = np.asarray(vals, dtype=np.uint64)
-    nb = 10
+    vmax = int(v.max()) if len(v) else 0
+    nb = max(1, (vmax.bit_length() + 6) // 7)
     shifts = (np.uint64(7) * np.arange(nb, dtype=np.uint64))[None, :]
     chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
     sig = np.maximum(nb - (chunks[:, ::-1] != 0).argmax(axis=1), 1)
@@ -103,9 +110,12 @@ def _assemble_records(n: int, parts) -> tuple:
         starts = rec_starts[:-1] + prefix
         if isinstance(p, (bytes, bytearray)):
             src = np.frombuffer(bytes(p), dtype=np.uint8)
-            # broadcast the constant into every record
-            idx = starts[:, None] + np.arange(len(src))[None, :]
-            out[idx.reshape(-1)] = np.tile(src, n)
+            if len(src) == 1:  # the common case: one scatter, no index matrix
+                out[starts] = src[0]
+            else:
+                # broadcast the constant into every record
+                idx = starts[:, None] + np.arange(len(src))[None, :]
+                out[idx.reshape(-1)] = np.tile(src, n)
         else:
             data = p[0]
             # dest = start_of_field_in_record + within-field position

@@ -108,6 +108,70 @@ def assemble_feature_tiles(assigned: DataFrame, layer_name: str = "layer",
             .applyInPandas(encode, TILE_SCHEMA))
 
 
+def assemble_feature_tiles_streaming(assigned: DataFrame, layer_name: str = "layer",
+                                     extent: int = 4096, buffer: int = 128,
+                                     quantize: int = 1, simplify: str = "none",
+                                     num_partitions: int = None) -> DataFrame:
+    """Sorted-partition streaming fold for generic geometry — the same
+    shape as encode.assemble_point_tiles_streaming: repartition(tile) ->
+    sortWithinPartitions(tile, fid) -> mapInPandas with a per-tile
+    StreamingTileEncoder.  A giant line/polygon tile never materializes
+    as one pandas group: each feature is clipped + byte-encoded as its
+    Arrow batch streams through, and only encoded records stay resident.
+
+    Byte-identical to assemble_feature_tiles when fids give a total
+    order (test-asserted)."""
+
+    keys = ["zoom", "tile_x", "tile_y"]
+    if num_partitions:
+        df = assigned.repartition(num_partitions, *keys)
+    else:
+        df = assigned.repartition(*keys)
+    df = df.sortWithinPartitions(*keys, "fid")
+    cols = ["zoom", "tile_x", "tile_y", "mvt", "feature_count", "bytes_len"]
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_key = None
+        enc = None
+
+        def finish():
+            mvt = enc.finish()
+            z, tx, ty = open_key
+            return (z, tx, ty, mvt, enc.feature_count, len(mvt))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            zs = pdf["zoom"].to_numpy()
+            xs = pdf["tile_x"].to_numpy()
+            ys = pdf["tile_y"].to_numpy()
+            change = np.nonzero((np.diff(zs) != 0) | (np.diff(xs) != 0)
+                                | (np.diff(ys) != 0))[0] + 1
+            bounds = [0, *change.tolist(), len(pdf)]
+            rows = []
+            feats_all = io_geojson.rows_to_features(pdf)
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                key = (int(zs[lo]), int(xs[lo]), int(ys[lo]))
+                if open_key is not None and key != open_key:
+                    rows.append(finish())
+                    enc, open_key = None, None
+                if enc is None:
+                    open_key = key
+                    enc = kpipe.StreamingTileEncoder(kpipe.TileConfig(
+                        name=layer_name, z=key[0], x=key[1], y=key[2],
+                        buffer=buffer, extent=extent,
+                        quantize=quantize, simplify=simplify))
+                for feat in feats_all[lo:hi]:
+                    enc.add(feat)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if enc is not None:
+            yield pd.DataFrame([finish()], columns=cols)
+
+    return df.mapInPandas(fold, TILE_SCHEMA)
+
+
 def _count_features(tile_bytes: bytes) -> int:
     from ..kernel import mvt as kmvt
 

@@ -88,6 +88,94 @@ def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
     return out
 
 
+def _ring_bound_km(active: DataFrame, ring: int, index_zoom: int,
+                   q_lon: str, q_lat: str):
+    """Conservative lower bound (km, haversine-comparable) on the
+    distance from each query point to anything OUTSIDE its ring-R cell
+    block.  If the k-th found distance is below this bound, no
+    undiscovered point can beat it — the adaptive expansion's stop rule.
+
+    Mercator edge distance is converted to ground distance with the
+    block's worst-case (smallest) cos(lat) scale factor, then mapped to
+    the haversine sphere radius (6371 km vs the 6378.137 km projection
+    radius) — every step rounds the bound DOWN."""
+    n = 2 ** index_zoom
+    res = 2.0 * T.MAX_EXTENTS / n
+    big = F.lit(1.0e18)
+    qm = T.with_web_mercator(active, q_lon, q_lat)
+    qx, qy = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(index_zoom))
+    qm = qm.withColumn("_qx", qx).withColumn("_qy", qy)
+    x = F.col("x3857")
+    y = F.col("y3857")
+    xmin = (F.col("_qx") - ring) * F.lit(res) - F.lit(T.MAX_EXTENTS)
+    xmax = (F.col("_qx") + ring + 1) * F.lit(res) - F.lit(T.MAX_EXTENTS)
+    dx = F.least(x - xmin, xmax - x)
+    if 2 * ring + 1 >= n:  # x wraps the antimeridian: full coverage
+        dx = big
+    top_row = F.col("_qy") - ring     # northern block edge (row index)
+    bot_row = F.col("_qy") + ring + 1
+    y_top = F.lit(T.MAX_EXTENTS) - top_row * F.lit(res)
+    y_bot = F.lit(T.MAX_EXTENTS) - bot_row * F.lit(res)
+    dy_n = F.when(top_row <= 0, big).otherwise(y_top - y)
+    dy_s = F.when(bot_row >= n, big).otherwise(y - y_bot)
+    m = F.least(dx, dy_n, dy_s)
+
+    def lat_at(y_merc):
+        clamped = F.greatest(F.least(y_merc, F.lit(T.MAX_EXTENTS)),
+                             F.lit(-T.MAX_EXTENTS))
+        return F.degrees(F.lit(2.0) * F.atan(F.exp(clamped / F.lit(T.WGS84_MAJOR_RADIUS)))
+                         - F.lit(3.141592653589793 / 2.0))
+
+    cos_min = F.least(F.cos(F.radians(lat_at(y_top))), F.cos(F.radians(lat_at(y_bot))))
+    bound = m * cos_min * F.lit(6371000.0 / T.WGS84_MAJOR_RADIUS) / F.lit(1000.0)
+    return qm.withColumn("_bound_km", bound)
+
+
+def knn_kring_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
+                       index_zoom: int = 5, start_ring: int = 1,
+                       query_id: str = "query_id", data_id: str = "image_id",
+                       q_lon: str = "lon", q_lat: str = "lat",
+                       d_lon: str = "lon", d_lat: str = "lat",
+                       broadcast_queries: bool = True) -> DataFrame:
+    """k-ring kNN with adaptive ring expansion (SURVEY §2.10 "expand
+    ring radius until k found"): rings double per round; a query is
+    settled once it has k candidates whose k-th distance is strictly
+    inside the ring's conservative ground-distance bound (or once the
+    block covers the whole grid).  Equals brute force on any density —
+    sparse regions just take more rounds.  Each round is one candidate
+    join over the still-active queries only; lineage is truncated per
+    round so round r doesn't recompute rounds < r."""
+    n = 2 ** index_zoom
+    ring = max(1, start_ring)
+    active = queries
+    settled = []
+    while True:
+        res = knn_kring(active, data, k=k, index_zoom=index_zoom, max_ring=ring,
+                        query_id=query_id, data_id=data_id,
+                        q_lon=q_lon, q_lat=q_lat, d_lon=d_lon, d_lat=d_lat,
+                        broadcast_queries=broadcast_queries)
+        if ring >= n - 1:  # block == whole grid: nothing left to find
+            settled.append(res)
+            break
+        qb = _ring_bound_km(active, ring, index_zoom, q_lon, q_lat)
+        stats = (res.groupBy(query_id)
+                    .agg(F.count(F.lit(1)).alias("_nc"), F.max("dist_km").alias("_kth")))
+        sat = (stats.join(qb.select(query_id, "_bound_km"), query_id)
+                    .filter((F.col("_nc") >= k) & (F.col("_kth") < F.col("_bound_km")))
+                    .select(query_id))
+        settled.append(res.join(sat, query_id, "left_semi")
+                          .localCheckpoint(eager=True))
+        active = (active.join(sat, query_id, "left_anti")
+                        .localCheckpoint(eager=True))
+        if active.isEmpty():
+            break
+        ring = min(2 * ring, n - 1)
+    out = settled[0]
+    for part in settled[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def knn_bruteforce(queries: DataFrame, data: DataFrame, k: int = 5,
                    query_id: str = "query_id", data_id: str = "image_id",
                    q_lon: str = "lon", q_lat: str = "lat",

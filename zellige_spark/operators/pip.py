@@ -136,9 +136,10 @@ class _EdgeTable:
 
 def pip_join_broadcast(points: DataFrame, polygons: DataFrame,
                        lon_col: str = "lon", lat_col: str = "lat",
-                       how: str = "inner", index_zoom: int = None,
+                       index_zoom: int = None,
                        strategy: str = "auto") -> DataFrame:
-    """points x polygons where point in polygon; polygons broadcast.
+    """points x polygons where point in polygon (inner join semantics);
+    polygons broadcast.
 
     polygons schema: polygon_id, name, rings array<array<array<double>>>,
     min_lon/min_lat/max_lon/max_lat (bbox prefilter columns).
@@ -260,8 +261,11 @@ def pip_join_bucketed(points: DataFrame, polygons: DataFrame, index_zoom: int = 
     def cells_of(pdf: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in pdf:
             batch = batch.copy()
+            # pad=1, mirroring the broadcast 'cells' strategy: the point
+            # side computes its cell with JVM tan/log, which can differ
+            # from this numpy path by one cell at tile boundaries
             batch["cell_keys"] = [
-                _polygon_cells(a, b, c, d, index_zoom)
+                _polygon_cells(a, b, c, d, index_zoom, pad=1)
                 for a, b, c, d in zip(batch["min_lon"], batch["min_lat"],
                                       batch["max_lon"], batch["max_lat"])
             ]

@@ -16,8 +16,10 @@ embedding array<float>, label) — ANN for training-data pipelines.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 K = 5
 N_QUERIES = 20
@@ -82,7 +84,15 @@ def sql_ann_bruteforce() -> str:
 def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over a corpus augmented with slightly
     noised copies (vec_id + 1_000_000, every element * 1.01 — a pure
-    scaling keeps cosine == 1), so the oracle checks real pairs."""
+    scaling keeps cosine == 1), so the oracle checks real pairs.
+
+    Scale path: sign-LSH band buckets generate candidates (the same
+    candidates->verify shape as dedup_minhash_lsh), exact cosine
+    verifies — no crossJoin anywhere in the plan.  A cosine-1 pair has
+    bit-identical signatures, so every injected dup is a candidate in
+    every band; for borderline pairs (cos just above the 0.95
+    threshold) the 8x2-bit bands give per-pair candidate recall
+    1-(1-p^2)^8 ~ 1-2e-6 at p=cos->agreement 0.899."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb.createOrReplaceTempView("embeddings")
     aug = spark.sql("""
@@ -92,13 +102,20 @@ def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding
         FROM embeddings WHERE vec_id % 5 = 0
     """)
-    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    pairs = (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-              .withColumn("cos", F.expr(_cosine("va", "vb")))
-              .filter(F.col("cos") >= DUP_COS)
-              .select("vec_a", "vec_b"))
-    return pairs
+    dim = int(aug.select(F.size("embedding").alias("d")).first()["d"])
+    sig = lsh_signature_udf(dim)
+    base = aug.select("vec_id", "embedding", sig(F.col("embedding")).alias("sig"))
+    bands = _explode_bands(base, "sig")
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                     "band", "bucket")
+    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                     "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "va", "vec_b", "vb").distinct())
+    return (cand.withColumn("cos", F.expr(_cosine("va", "vb")))
+                .filter(F.col("cos") >= DUP_COS)
+                .select("vec_a", "vec_b"))
 
 
 def sql_embed_cosine_dup() -> str:
@@ -125,15 +142,42 @@ def _hyperplanes(dim: int, planes: int = LSH_PLANES, seed: int = 42) -> np.ndarr
     return rng.standard_normal((planes, dim))
 
 
-def lsh_signature_col(dim: int, planes: int = LSH_PLANES, col: str = "embedding"):
-    """Sign-bit signature as a JVM expression: bit p set iff
-    dot(embedding, plane_p) > 0.  Hyperplanes are inlined literals."""
-    H = _hyperplanes(dim, planes)
-    bits = []
-    for p in range(planes):
-        terms = " + ".join(f"CAST({col}[{i}] AS DOUBLE) * {H[p, i]!r}" for i in range(dim))
-        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr("(" + " + ".join(bits) + ")")
+def _stack(emb: pd.Series) -> np.ndarray:
+    """Arrow hands fixed-dim list columns over as an object array of
+    per-row ndarrays; stack to (n, dim) float64 for one BLAS matmul."""
+    return np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+
+
+def lsh_signature_udf(dim: int, planes: int = LSH_PLANES, seed: int = 42):
+    """Sign-bit signature as an Arrow-batched matrix multiply: one
+    ``X @ H.T`` per batch against the broadcast (planes, dim) hyperplane
+    matrix, bits packed into a long.  Replaces the inlined-literal SQL
+    expression form, whose O(dim x planes) expression tree fell out of
+    codegen at realistic dims (>= 512)."""
+    H = _hyperplanes(dim, planes, seed)
+    weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def sig(emb: pd.Series) -> pd.Series:
+        X = _stack(emb)
+        bits = (X @ H.T) > 0.0
+        vals = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    return sig
+
+
+def _explode_bands(df: DataFrame, sig_col: str,
+                   n_bands: int = LSH_N_BANDS, band_bits: int = LSH_BAND_BITS) -> DataFrame:
+    """(vec_id, embedding, band, bucket) rows — one per signature band."""
+    mask = (1 << band_bits) - 1
+    bands = df.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(sig_col, band_bits * b).bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(n_bands)])).alias("bs"))
+    return bands.select("vec_id", "embedding", "bs.band", "bs.bucket")
 
 
 IVF_LISTS = 16
@@ -162,34 +206,40 @@ def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int = IVF_LISTS,
     return C
 
 
+def ivf_toplists_udf(C: np.ndarray, nprobe: int):
+    """Top-``nprobe`` IVF lists per vector as an Arrow-batched matmul
+    against the broadcast (k, dim) centroid matrix — stable argsort so
+    ties break toward the lower list id, matching the previous SQL
+    array_sort tie rule."""
+
+    @pandas_udf("array<int>")
+    def toplists(emb: pd.Series) -> pd.Series:
+        X = _stack(emb)
+        sims = X @ C.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return toplists
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse k-means quantizer (driver-trained, broadcast as
-    literals), data bucketed by nearest centroid, queries probe their
-    IVF_NPROBE nearest lists, exact cosine re-rank, top-K.  Rows-only
-    for the driver; pytest measures recall vs brute force."""
+    a numpy matrix inside an Arrow-batched UDF), data bucketed by
+    nearest centroid, queries probe their IVF_NPROBE nearest lists,
+    exact cosine re-rank, top-K.  Rows-only for the driver; pytest
+    measures recall vs brute force (incl. dim=512)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
     C = _ivf_centroids(spark, emb)
-
-    def centroid_sim_exprs(col: str):
-        return [F.expr(" + ".join(f"CAST({col}[{i}] AS DOUBLE) * {C[j, i]!r}"
-                                  for i in range(dim))).alias(f"_c{j}")
-                for j in range(len(C))]
-
-    sims = emb.select("vec_id", "embedding", *centroid_sim_exprs("embedding"))
-    sim_arr = F.array(*[F.col(f"_c{j}") for j in range(len(C))])
+    lists = ivf_toplists_udf(C, IVF_NPROBE)
+    sims = emb.select("vec_id", "embedding", lists(F.col("embedding")).alias("_lists"))
     # data side: each vector lands in its single best list
-    d = sims.withColumn("_sims", sim_arr).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"),
-        (F.expr("array_position(_sims, array_max(_sims))") - 1).cast("int").alias("list_id"))
+    d = sims.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("dv"),
+                    F.col("_lists")[0].alias("list_id"))
     # query side: probe the top-IVF_NPROBE lists
     q = (sims.filter(F.col("vec_id") < N_QUERIES)
-             .withColumn("_sims", sim_arr)
              .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-                     F.explode(F.slice(F.expr(
-                         "transform(array_sort(arrays_zip(transform(_sims, s -> -s), "
-                         "sequence(0, size(_sims) - 1))), p -> p['1'])"),
-                         1, IVF_NPROBE)).alias("list_id")))
+                     F.explode("_lists").alias("list_id")))
     cand = (q.join(d, "list_id")
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .withColumn("cos", F.expr(_cosine("qv", "dv"))))
@@ -206,16 +256,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
-    sig = lsh_signature_col(dim)
-    base = emb.select("vec_id", "embedding", sig.alias("sig"))
-    mask = (1 << LSH_BAND_BITS) - 1
-    bands = base.select(
-        "vec_id", "embedding",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright("sig", LSH_BAND_BITS * b).bitwiseAND(F.lit(mask)).alias("bucket"))
-            for b in range(LSH_N_BANDS)])).alias("bs"))
-    bands = bands.select("vec_id", "embedding", "bs.band", "bs.bucket")
+    sig = lsh_signature_udf(dim)
+    base = emb.select("vec_id", "embedding", sig(F.col("embedding")).alias("sig"))
+    bands = _explode_bands(base, "sig")
     q = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "band", "bucket")
     d = bands.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"),

@@ -181,8 +181,8 @@ def sql_pip_polygon() -> str:
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _nation_points(spark, sf_dir).withColumnRenamed("n_nationkey", "query_id")
     data = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "data_id")
-    out = KNN.knn_kring(queries, data, k=5, index_zoom=3, max_ring=2,
-                        query_id="query_id", data_id="data_id")
+    out = KNN.knn_kring_adaptive(queries, data, k=5, index_zoom=3, start_ring=2,
+                                 query_id="query_id", data_id="data_id")
     return out.select(F.col("query_id").cast("long").alias("query_id"),
                       F.col("neighbor_id").cast("long").alias("neighbor_id"),
                       F.col("rank").cast("int").alias("rank"))
@@ -317,6 +317,7 @@ QUERIES = {
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": DD.q_dedup_minhash_lsh,
+    "dedup_minhash_words": DD.q_dedup_minhash_words,
     "dedup_simhash": DD.q_dedup_simhash,
     # similarity search
     "ann_bruteforce": SIM.q_ann_bruteforce,
@@ -346,6 +347,8 @@ ORACLES = {
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
+    "dedup_minhash_words": DD.sql_dedup_minhash_words(),
+    "dedup_simhash": DD.sql_dedup_simhash(),
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "event_windows": EV.sql_event_windows(),

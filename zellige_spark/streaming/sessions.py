@@ -103,17 +103,20 @@ def stream_event_sessions(spark: SparkSession, input_path: str, checkpoint: str)
         else:
             sid, start, last, n = 1, None, None, 0
         closed = []
-        for pdf in pdf_iter:
-            for e in sorted(pdf["e"].tolist()):
-                if start is None:
-                    start, last, n = e, e, 1
-                elif e - last > GAP_SECONDS:
-                    closed.append((user_id, sid, n, start, last))
-                    sid += 1
-                    start, last, n = e, e, 1
-                else:
-                    last = e
-                    n += 1
+        # drain ALL Arrow chunks before sorting: a user whose micro-batch
+        # spans multiple chunks is not guaranteed chunk-ordered, so a
+        # per-chunk sort would fabricate session boundaries
+        events = sorted(e for pdf in pdf_iter for e in pdf["e"].tolist())
+        for e in events:
+            if start is None:
+                start, last, n = e, e, 1
+            elif e - last > GAP_SECONDS:
+                closed.append((user_id, sid, n, start, last))
+                sid += 1
+                start, last, n = e, e, 1
+            else:
+                last = e
+                n += 1
         if start is not None:
             state.update((sid, start, last, n))
             state.setTimeoutDuration(60_000)
