@@ -120,6 +120,51 @@ def test_ann_ivf_dim512(spark, dim512_dir):
 # SimHash: pure-JVM plan + DuckDB oracle equality at sf0.001
 # ---------------------------------------------------------------------------
 
+def test_phash_near_dup_matches_numpy(spark):
+    from zellige_spark.operators import images as IMG
+
+    rng = np.random.default_rng(99)
+    base = [int(x) for x in rng.integers(-2**63, 2**63 - 1, 40, dtype=np.int64)]
+    rows = [(f"i{k:03d}", p) for k, p in enumerate(base)]
+    # inject near-dups at hamming 0..3 (flip 0-3 distinct bits)
+    for k in (0, 5, 11, 17):
+        flips = int(np.int64(0))
+        for bit in range(k % 4):
+            flips |= 1 << (7 * bit + 3)
+        rows.append((f"i{k:03d}_dup", int(np.int64(base[k] ^ flips))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in IMG.phash_near_dup(df, max_hamming=3).collect()}
+    # numpy brute force
+    ids = [r[0] for r in rows]
+    ph = np.array([r[1] for r in rows], dtype=np.int64).view(np.uint64)
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            h = bin(int(ph[i] ^ ph[j])).count("1")
+            if h <= 3:
+                exp.add((a, b, h))
+    assert got == exp
+    assert len(exp) >= 4  # every injected dup found
+
+
+def test_bpe_regex_token_count_matches_python(spark):
+    import math
+    import re
+
+    from zellige_spark.operators import text as TXT
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    out = TXT.q_token_count(spark, SF).toPandas().set_index("doc_id")
+    pat = re.compile(TXT._BPE_RE)
+    for r in docs.head(100).itertuples():
+        squashed = re.sub(r"\s+", " ", r.text.strip()).lower()
+        runs = pat.findall(squashed)
+        expected = sum(math.floor((len(t.strip()) + 3) / 4.0) for t in runs)
+        assert out.loc[r.doc_id, "n_bpe_regex"] == expected, r.doc_id
+
+
 def test_simhash_plan_has_no_python(spark):
     from zellige_spark.operators import dedup as DD
 

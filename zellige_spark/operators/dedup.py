@@ -64,15 +64,30 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_AUG_SPARK)
 
 
+# Shingle construction note: a naive `transform(sequence(...), i ->
+# substring(nt, i, 3))` inlines the upstream nt expression (trim +
+# regexp_replace + lower) into EVERY lambda element after Catalyst's
+# project collapsing — O(doc_length) regex evaluations per document.
+# Both shingle builders therefore reference the element array only a
+# constant number of times per ROW: three slices zipped, one transform.
+
+def _sliding3(arr: str, joiner: str) -> str:
+    """SQL for 3-grams of array column ``arr`` via arrays_zip of three
+    slices (constant references to ``arr`` per row)."""
+    n = f"size({arr})"
+    zipped = (f"arrays_zip(slice({arr}, 1, {n} - 2), "
+              f"slice({arr}, 2, {n} - 2), slice({arr}, 3, {n} - 2))")
+    return (f"CASE WHEN {n} >= 3 THEN "
+            f"transform({zipped}, s -> {joiner}) ELSE array() END")
+
+
 def _shingles(df: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 3-gram shingle) pairs — JVM higher-order
+    """Distinct (doc_id, char-3-gram shingle) pairs — JVM higher-order
     functions, no Python."""
-    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
-    # empty array, so short docs need the explicit length guard + filter
     return (df
+            .withColumn("_ch", F.split(F.col("nt"), ""))
             .withColumn("sh", F.expr(
-                "filter(transform(sequence(1, greatest(length(nt) - 2, 1)), "
-                "i -> substring(nt, i, 3)), s -> length(s) = 3)"))
+                _sliding3("_ch", "concat(s['0'], s['1'], s['2'])")))
             .select("doc_id", F.explode("sh").alias("shingle"))
             .distinct())
 
@@ -155,12 +170,14 @@ def sql_dedup_ngram_jaccard() -> str:
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, array<long> signature): min over shingles of
-    xxhash64(shingle, seed p) for each permutation p — all JVM-side."""
+    """(doc_id, h0..h{perms-1}): min over shingles of
+    xxhash64(shingle, seed p) for each permutation p — all JVM-side.
+    The signature stays as WIDE columns, not an array: banding indexes
+    into it, and Catalyst's project collapsing would otherwise inline
+    the 128-element array construction into every subscript."""
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
             for p in range(perms)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[F.col(f"h{p}") for p in range(perms)]).alias("sig"))
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
@@ -171,7 +188,7 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("sig_hash"))
+                     F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig_hash"))
             for b in range(bands)])).alias("bs"))
     banded = banded.select("doc_id", "bs.band", "bs.sig_hash")
     a = banded.alias("a")
@@ -189,20 +206,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.6 threshold with 64x2 bands; asserted by the shared oracle)."""
     aug = _augmented(spark, sf_dir)
     sh = _shingles(aug).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cands = lsh_candidates(minhash_signatures(sh))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-                   .groupBy("doc_a", "doc_b")
-                   .agg(F.count(F.lit(1)).alias("common")))
-    out = (common
-           .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-           .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
-           .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-           .select("doc_a", "doc_b"))
-    return out
+    return _verify_candidates(sh, lsh_candidates(minhash_signatures(sh)))
 
 
 # oracle: identical to the exact n-gram pair set
@@ -221,16 +225,13 @@ sql_dedup_minhash_lsh = sql_dedup_ngram_jaccard
 # — this variant runs the FULL corpus in the benchmark where the
 # char-gram variant is the documented small-N verifier.
 
-def _shingles_words(df: DataFrame, n: int = 3) -> DataFrame:
+def _shingles_words(df: DataFrame) -> DataFrame:
     """Distinct (doc_id, 3-word shingle) pairs — JVM higher-order
-    functions; explicit size guard because sequence(1,0) descends."""
+    functions (see the shingle-construction note above _sliding3)."""
     return (df
             .withColumn("_toks", F.split(F.col("nt"), " "))
             .withColumn("sh", F.expr(
-                f"CASE WHEN size(_toks) >= {n} THEN "
-                f"transform(sequence(0, size(_toks) - {n}), "
-                f"i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
-                f"ELSE array() END"))
+                _sliding3("_toks", "concat_ws(' ', s['0'], s['1'], s['2'])")))
             .select("doc_id", F.explode("sh").alias("shingle"))
             .distinct())
 
@@ -241,16 +242,27 @@ def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the char-gram variant (64x2 bands, miss ~4e-13 at 0.6)."""
     aug = _augmented(spark, sf_dir)
     sh = _shingles_words(aug).cache()
+    return _verify_candidates(sh, lsh_candidates(minhash_signatures(sh)))
+
+
+def _verify_candidates(sh: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs.  The candidate
+    set and the per-doc size table are orders of magnitude smaller than
+    the shingle table (LSH's whole point), so both are broadcast — the
+    shingle table shuffles ONCE (the b-side co-location join); AQE can
+    still demote the hints if a pathological corpus inflates them."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cands = lsh_candidates(minhash_signatures(sh))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-                   .groupBy("doc_a", "doc_b")
-                   .agg(F.count(F.lit(1)).alias("common")))
+    common = (a.join(F.broadcast(cands), "doc_a")
+               .join(b, ["doc_b", "shingle"])
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).alias("common")))
     return (common
-            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                              .withColumnRenamed("sz", "sz_a")), "doc_a")
+            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                              .withColumnRenamed("sz", "sz_b")), "doc_b")
             .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b"))

@@ -106,6 +106,40 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
         "(video_id, frame_idx, frame_bytes, w, h)")
 
 
+def phash_near_dup(images: DataFrame, max_hamming: int = 3,
+                   id_col: str = "image_id",
+                   phash_col: str = "phash") -> DataFrame:
+    """Perceptual image near-dup pairs: Hamming distance <= max_hamming
+    over the 64-bit phash column, candidates via 4x16-bit band blocking
+    (pigeonhole: distance <= 3 shares at least one exact band) — the
+    SimHash pair machinery applied to the image modality.  Pure JVM
+    Column math; at 10^12 images the band join shards on (band, chunk)
+    like any hash join."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit blocking guarantees recall only for "
+                         "max_hamming <= 3; add bands for larger radii")
+    bands = images.select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(phash_col, 16 * b)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for b in range(4)])).alias("bs"))
+    bands = bands.select("_id", "_ph", "bs.band", "bs.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                     F.col("a._ph").alias("ph_a"), F.col("b._ph").alias("ph_b"))
+             .distinct())
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
 def q_image_pipeline(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; protobuf/pixel logic not SQL-expressible):
     synthesize the input_hint-shaped table deterministically, run the

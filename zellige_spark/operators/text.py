@@ -45,15 +45,31 @@ _SQUASHED = f"regexp_replace(trim(text), '\\\\s+', ' ')"
 _TOKENS = f"(CASE WHEN length({_SQUASHED}) = 0 THEN 0 ELSE {_occurrences(_SQUASHED, ' ')} + 1 END)"
 
 
+# BPE-ish subword count: GPT-2-style pre-tokenization (letter runs,
+# digit runs, punctuation runs, each with an optional leading space —
+# no lookahead, so Java regex and RE2 agree), then each run contributes
+# ceil(len/4) subword pieces (wordpiece-style length splitting).
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+_BPE_COUNT_SPARK = (
+    f"aggregate(regexp_extract_all(lower({_SQUASHED}), '{_BPE_RE}', 0), 0L, "
+    f"(acc, t) -> acc + CAST(floor((length(trim(t)) + 3) / 4.0) AS BIGINT))")
+_BPE_COUNT_DUCK = (
+    f"CAST(coalesce(list_sum(list_transform("
+    f"regexp_extract_all(lower({_SQUASHED}), '{_BPE_RE}'), "
+    f"t -> CAST(floor((length(trim(t)) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT)")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate
-    (ceil(chars/4) is the classic bytes-per-token heuristic) as pure
-    Column math."""
+    """Whitespace token count + two subword estimates: the classic
+    chars/4 heuristic and a BPE-ish regex segmentation (GPT-2-style
+    pre-tokenizer runs, ceil(len/4) pieces per run) — all pure Column
+    math, oracle-pinned in DuckDB."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return df.select(
         "doc_id",
         F.expr(_TOKENS).cast("long").alias("n_tokens"),
         F.ceil(F.length(F.expr(_SQUASHED)) / F.lit(4)).cast("long").alias("n_bpe_est"),
+        F.expr(_BPE_COUNT_SPARK).alias("n_bpe_regex"),
     )
 
 
@@ -61,7 +77,8 @@ def sql_token_count() -> str:
     return f"""
     SELECT doc_id,
            CAST({_TOKENS} AS BIGINT) AS n_tokens,
-           CAST(ceil(length({_SQUASHED}) / 4) AS BIGINT) AS n_bpe_est
+           CAST(ceil(length({_SQUASHED}) / 4) AS BIGINT) AS n_bpe_est,
+           {_BPE_COUNT_DUCK} AS n_bpe_regex
     FROM documents
     """
 
