@@ -178,6 +178,25 @@ def sql_pip_polygon() -> str:
 # q: knn — 25 nation query points, k=5 nearest customers via k-ring
 # ---------------------------------------------------------------------------
 
+def q_pip_polygon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as q_pip_polygon through the NON-broadcast path
+    (cell-bucketed equi-join, both sides shuffle once) — the strategy a
+    large polygon dim takes at scale; identical oracle."""
+    import numpy as np
+
+    pts = _customer_points(spark, sf_dir)
+    ring = [[float(x), float(y)] for x, y in PIP_POLY]
+    arr = np.asarray(ring)
+    polys = spark.createDataFrame(
+        [("poly0", "fixed", [ring],
+          float(arr[:, 0].min()), float(arr[:, 1].min()),
+          float(arr[:, 0].max()), float(arr[:, 1].max()))],
+        "polygon_id string, name string, rings array<array<array<double>>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double")
+    out = PIP.pip_join_bucketed(pts, polys, index_zoom=5)
+    return out.select("c_custkey", "polygon_id")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _nation_points(spark, sf_dir).withColumnRenamed("n_nationkey", "query_id")
     data = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "data_id")
@@ -305,6 +324,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
     "pip_polygon": q_pip_polygon,
+    "pip_polygon_bucketed": q_pip_polygon_bucketed,
     "knn_kring": q_knn,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
@@ -338,6 +358,7 @@ ORACLES = {
     "tile_assign": sql_tile_assign(),
     "tile_counts": sql_tile_counts(),
     "pip_polygon": sql_pip_polygon(),
+    "pip_polygon_bucketed": sql_pip_polygon(),
     "knn_kring": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
     "token_count": TXT.sql_token_count(),
