@@ -135,20 +135,30 @@ def main() -> None:
         import subprocess
 
         scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000"))
+        warmup_rows = int(os.environ.get("SPARK_GRAFT_SCALING_WARMUP_ROWS", "100000"))
+        # the metric's own workload (BASELINE.json: "tiles encoded/sec +
+        # images assigned/sec ... scaling efficiency >= 0.8"): buffered
+        # tile assignment + streaming MVT encode.  Set "pip,encode" for
+        # the stricter full-pipeline view (reported in BENCH/BASELINE.md)
+        wall_phases = os.environ.get("SPARK_GRAFT_SCALING_PHASES", "encode")
         leg_lo, leg_hi = (int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALING_LEGS", "1,4").split(","))
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-        launches = int(os.environ.get("SPARK_GRAFT_SCALING_LAUNCHES", "2"))
-        # pre-generate the cache with THIS 32-core session so the
+        launches = int(os.environ.get("SPARK_GRAFT_SCALING_LAUNCHES", "3"))
+        # pre-generate the caches with THIS 32-core session so the
         # measured subprocesses never pay generation
         cached_images(spark, scaling_rows).count()
+        if warmup_rows:
+            cached_images(spark, warmup_rows).count()
 
         def run_at(cores, repeat):
             cmd = [sys.executable,
                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "scripts", "pipeline_run.py"),
                    "--cores", str(cores), "--rows", str(scaling_rows),
-                   "--repeat", str(repeat)]
+                   "--repeat", str(repeat),
+                   "--warmup-rows", str(warmup_rows),
+                   "--wall-phases", wall_phases]
             res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
             line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
             return json.loads(line)
@@ -156,29 +166,44 @@ def main() -> None:
         try:
             t0 = time.perf_counter()
             walls = {leg_lo: [], leg_hi: []}
-            for _ in range(launches):
-                for cores in (leg_hi, leg_lo):  # interleave: 4,1,4,1
+            pair_speedups = []
+            for launch in range(launches):
+                # the two legs of one cycle run back-to-back (order
+                # alternating), so they share the host's multi-minute
+                # noise epoch — the per-cycle speedup ratio cancels
+                # multiplicative noise that pooled minima cannot
+                order = (leg_hi, leg_lo) if launch % 2 == 0 else (leg_lo, leg_hi)
+                cycle = {}
+                for cores in order:
                     r = run_at(cores, reps)
                     runs = [w["wall_sec"] for w in r["runs"]]
-                    # drop each launch's first (cold, JIT/codegen) rep —
-                    # symmetric on both legs
-                    walls[cores].extend(runs[1:] if len(runs) > 1 else runs)
+                    if not warmup_rows and len(runs) > 1:
+                        # no warmup pass: the first rep is cold
+                        # (JIT/codegen) — drop it, symmetric on both legs
+                        runs = runs[1:]
+                    walls[cores].extend(runs)
+                    cycle[cores] = min(runs)
+                pair_speedups.append(round(cycle[leg_lo] / cycle[leg_hi], 3))
             t_lo = min(walls[leg_lo])
             t_hi = min(walls[leg_hi])
             factor = leg_hi / leg_lo
+            speedup = statistics.median(pair_speedups)
             extras["scaling_protocol_sec"] = round(time.perf_counter() - t0, 3)
             extras["scaling"] = {
                 "rows": scaling_rows, "legs": [leg_lo, leg_hi],
+                "wall_phases": wall_phases,
                 "reps_per_launch": reps, "launches": launches,
                 f"wall_{leg_lo}c": t_lo, f"wall_{leg_hi}c": t_hi,
                 f"median_{leg_lo}c": round(statistics.median(walls[leg_lo]), 3),
                 f"median_{leg_hi}c": round(statistics.median(walls[leg_hi]), 3),
                 "walls": walls,
-                "speedup_n_to_4n": round(t_lo / t_hi, 3),
-                "efficiency_n_to_4n": round(t_lo / t_hi / factor, 3),
-                "efficiency_median": round(
-                    statistics.median(walls[leg_lo])
-                    / statistics.median(walls[leg_hi]) / factor, 3),
+                "pair_speedups": pair_speedups,
+                "speedup_n_to_4n": round(speedup, 3),
+                # primary: median of per-cycle paired ratios (legs of a
+                # cycle share the noise epoch, so the ratio is the
+                # noise-cancelled estimate of the true speedup)
+                "efficiency_n_to_4n": round(speedup / factor, 3),
+                "efficiency_minmin": round(t_lo / t_hi / factor, 3),
             }
         except Exception as exc:  # never lose the bench line to the protocol
             extras["scaling"] = {"error": str(exc)[:200]}

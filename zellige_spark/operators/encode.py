@@ -161,15 +161,6 @@ def _point_feature_blobs(px: np.ndarray, py: np.ndarray,
 _KEYS_BLOB = b"\x1a\x08image_id"  # keys(f3) = ["image_id"]
 
 
-def _wrap_layer(layer_name: str, extent: int, feats_bytes: bytes,
-                values_bytes: bytes) -> bytes:
-    name_b = layer_name.encode("utf-8")
-    layer = (b"\x78\x02" + b"\x0a" + kmvt.varint(len(name_b)) + name_b
-             + feats_bytes + _KEYS_BLOB + values_bytes
-             + b"\x28" + kmvt.varint(extent))
-    return b"\x1a" + kmvt.varint(len(layer)) + layer
-
-
 def _string_values_blob(ids) -> tuple:
     """Layer field-4 Value{string_value} messages for every id, as one
     vectorized buffer + per-id lengths (no per-row Python byte work)."""
@@ -194,11 +185,10 @@ def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
                      layer_name: str, extent: int):
     """Encode a run of COMPLETE tiles laid out contiguously in the
     given arrays.  All per-feature byte work (geometry, tags, value
-    dictionary) happens in vectorized passes across every tile; the
-    per-tile remainder is a handful of bytes concatenations.
-
-    ids/px/py: n rows sorted by tile; tile_starts: k+1 row offsets;
-    metas: k (zoom, tx, ty) tuples.  Yields TILE_SCHEMA tuples.
+    dictionary) happens in vectorized passes across every tile, and the
+    layer/tile wrapping is itself one vectorized record assembly — the
+    only per-tile Python left is slicing the final buffer into one
+    bytes object per output row.
     """
     n = len(px)
     k = len(metas)
@@ -208,19 +198,25 @@ def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
     within = np.arange(n, dtype=np.int64) - np.repeat(tile_starts[:-1], sizes)
     feats_buf, wlens = _point_feature_blobs(px, py, within + 1, within)
     vals_buf, vlens = _string_values_blob(ids)
-    # per-tile byte ranges of both buffers
-    f_offs = np.zeros(k + 1, dtype=np.int64)
-    np.cumsum(np.add.reduceat(wlens, tile_starts[:-1]), out=f_offs[1:])
-    v_offs = np.zeros(k + 1, dtype=np.int64)
-    np.cumsum(np.add.reduceat(vlens, tile_starts[:-1]), out=v_offs[1:])
-    out = []
-    for t in range(k):
-        feats_bytes = feats_buf[f_offs[t]:f_offs[t + 1]].tobytes()
-        vals_bytes = vals_buf[v_offs[t]:v_offs[t + 1]].tobytes()
-        tile = _wrap_layer(layer_name, extent, feats_bytes, vals_bytes)
-        z, tx, ty = metas[t]
-        out.append((z, tx, ty, tile, int(sizes[t]), len(tile)))
-    return out
+    # per-tile byte lengths of both buffers
+    f_lens = np.add.reduceat(wlens, tile_starts[:-1])
+    v_lens = np.add.reduceat(vlens, tile_starts[:-1])
+    # layer = 7802 | 0a len(name) name | feats | KEYS | values | 28 extent
+    name_b = layer_name.encode("utf-8")
+    prefix = b"\x78\x02\x0a" + kmvt.varint(len(name_b)) + name_b
+    suffix = b"\x28" + kmvt.varint(extent)
+    layer_lens = (len(prefix) + f_lens + len(_KEYS_BLOB)
+                  + v_lens + len(suffix)).astype(np.uint64)
+    llen_v = _varint_field(layer_lens)
+    tiles_buf, tile_lens = _assemble_records(k, [
+        b"\x1a", llen_v, prefix, (feats_buf, f_lens),
+        _KEYS_BLOB, (vals_buf, v_lens), suffix])
+    t_offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(tile_lens, out=t_offs[1:])
+    raw = tiles_buf.tobytes()
+    return [(metas[t][0], metas[t][1], metas[t][2],
+             raw[t_offs[t]:t_offs[t + 1]], int(sizes[t]), int(tile_lens[t]))
+            for t in range(k)]
 
 
 def _finish_point_tile(image_ids, px: np.ndarray, py: np.ndarray,
