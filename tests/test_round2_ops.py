@@ -165,6 +165,31 @@ def test_bpe_regex_token_count_matches_python(spark):
         assert out.loc[r.doc_id, "n_bpe_regex"] == expected, r.doc_id
 
 
+def test_embed_quantize_roundtrip_error_bound(spark):
+    from zellige_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = SIM.quantize_embeddings(emb).collect()
+    src = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    assert len(out) > 0
+    for r in out:
+        x = src[r["vec_id"]]
+        q = np.asarray(r["qvec"], dtype=np.float64)
+        deq = q * r["scale"] / 127.0
+        # symmetric int8: reconstruction error <= half a quant step
+        assert np.abs(deq - x).max() <= r["scale"] / 127.0 / 2 + 1e-12
+        assert np.abs(q).max() <= 127
+
+
+def test_audio_stub_raises(spark):
+    from zellige_spark.operators import images as IMG
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        IMG.sample_audio_windows(None)
+
+
 def test_simhash_plan_has_no_python(spark):
     from zellige_spark.operators import dedup as DD
 

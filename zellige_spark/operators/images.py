@@ -96,6 +96,16 @@ def resize_block_mean(images: DataFrame, out_w: int = 8, out_h: int = 8) -> Data
     return images.mapInPandas(run, RESIZE_SCHEMA)
 
 
+def sample_audio_windows(audio: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """Audio window sampling STUB: the container has no audio codecs.
+    The call shape (opaque binary column + typed metadata in, exploded
+    window rows out) is the real contract; decoding raises."""
+    raise NotImplementedError(
+        "audio decoding unavailable in this environment; "
+        "expected plumbing: mapInPandas(audio) -> rows "
+        "(audio_id, window_idx, pcm_bytes, sample_rate, n_samples)")
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling STUB: the container has no video codecs.
     The call shape (binary column in, exploded frame rows out) is the

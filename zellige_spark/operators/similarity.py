@@ -134,6 +134,55 @@ def sql_embed_cosine_dup() -> str:
 
 
 # ---------------------------------------------------------------------------
+# embedding quantization (int8, symmetric per-vector scale)
+# ---------------------------------------------------------------------------
+
+_ABS_MAX = "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+# round-half-up via floor(x+0.5): deterministic and identical in Spark
+# and DuckDB (their round() builtins disagree on halves)
+_QVEC = (f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / {_ABS_MAX}"
+         f" * 127.0 + 0.5) AS INT))")
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/transfer
+    format ANN indexes serve at scale): q_i = round_half_up(x_i/s*127),
+    s = max|x|.  Pure Column math; the driver compares integer
+    summaries of the quantized vector (full arrays don't merge in the
+    oracle harness) — sum/min/max pin every element through the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb.filter(F.expr(_ABS_MAX) > 0)
+               .select("vec_id",
+                       F.expr(f"aggregate({_QVEC}, 0L, (a, q) -> a + q)").alias("q_sum"),
+                       F.expr(f"array_min({_QVEC})").cast("int").alias("q_min"),
+                       F.expr(f"array_max({_QVEC})").cast("int").alias("q_max"),
+                       F.expr(f"CAST(floor({_ABS_MAX} * 1000000000.0) AS BIGINT)")
+                        .alias("scale_e9")))
+
+
+def sql_embed_quantize() -> str:
+    mx = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+    qv = (f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / {mx}"
+          f" * 127.0 + 0.5) AS INT))")
+    return f"""
+    SELECT vec_id,
+           CAST(list_sum({qv}) AS BIGINT) AS q_sum,
+           CAST(list_min({qv}) AS INT) AS q_min,
+           CAST(list_max({qv}) AS INT) AS q_max,
+           CAST(floor({mx} * 1000000000.0) AS BIGINT) AS scale_e9
+    FROM embeddings WHERE {mx} > 0
+    """
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, scale double, qvec array<int>) — the full quantized
+    column for storage; dequantize(q) = q * scale / 127."""
+    return (emb.filter(F.expr(_ABS_MAX) > 0)
+               .select("vec_id", F.expr(_ABS_MAX).alias("scale"),
+                       F.expr(_QVEC).alias("qvec")))
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 

@@ -344,6 +344,7 @@ QUERIES = {
     "ann_lsh": SIM.q_ann_lsh,
     "ann_ivf": SIM.q_ann_ivf,
     "embed_cosine_dup": SIM.q_embed_cosine_dup,
+    "embed_quantize": SIM.q_embed_quantize,
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
@@ -372,6 +373,7 @@ ORACLES = {
     "dedup_simhash": DD.sql_dedup_simhash(),
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
+    "embed_quantize": SIM.sql_embed_quantize(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_sessions": SESS.sql_event_sessions(),
