@@ -51,6 +51,30 @@ def test_read_geojson_distributed_parity(spark):
         assert drv == dist and len(drv) > 0
 
 
+def test_pyfiles_zip_is_self_contained(tmp_path):
+    """The spark-submit --py-files deployment unit imports standalone
+    (kernel runs from the zip with no repo checkout on sys.path)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "zellige_spark.zip")
+    subprocess.run([sys.executable, "scripts/build_pyfiles.py", out],
+                   check=True, cwd="/root/repo", capture_output=True)
+    code = (
+        f"import sys; sys.path.insert(0, {out!r});\n"
+        "import numpy as np\n"
+        "from zellige_spark.kernel import mvt, mercator\n"
+        "cmds = mvt.point_feature_commands(np.array([[3, 4]]))\n"
+        "t = mvt.encode_tile([mvt.encode_layer('l', "
+        "[mvt.encode_feature(1, [], mvt.GEOM_POINT, cmds)], [], [], 4096)])\n"
+        "assert mvt.decode_tile(t)['l']['features'][0]['geometry'] == [(3, 4)]\n"
+        "print('zip-ok')\n")
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "zip-ok" in res.stdout
+
+
 def test_stream_tile_refresh_replay_is_idempotent(spark, tmp_path):
     from zellige_spark import synth
     from zellige_spark.operators import encode as E
