@@ -51,6 +51,31 @@ def test_read_geojson_distributed_parity(spark):
         assert drv == dist and len(drv) > 0
 
 
+def test_stream_tile_refresh_semijoin_fallback(spark, tmp_path):
+    """touched_cap=1 forces the broadcast semi-join path (no driver
+    collect of tile keys); tiles must still equal the batch recompute."""
+    from zellige_spark import synth
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import tiles as T
+    from zellige_spark.streaming.tiles import read_latest_tiles, stream_tile_refresh
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = synth.gen_images_pandas(0, 120)[["image_id", "lon", "lat"]]
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+
+    q, store = stream_tile_refresh(spark, src, str(tmp_path / "work"),
+                                   zoom=4, touched_cap=1)
+    q.awaitTermination(240)
+    latest = read_latest_tiles(spark, store).toPandas() \
+        .sort_values(["tile_x", "tile_y"], ignore_index=True)
+    expected = E.assemble_point_tiles_streaming(
+        T.assign_tiles_buffered(spark.read.parquet(src), zoom=4)).toPandas() \
+        .sort_values(["tile_x", "tile_y"], ignore_index=True)
+    assert len(latest) == len(expected) > 1
+    assert (latest["mvt"] == expected["mvt"]).all()
+
+
 def test_pyfiles_zip_is_self_contained(tmp_path):
     """The spark-submit --py-files deployment unit imports standalone
     (kernel runs from the zip with no repo checkout on sys.path)."""
