@@ -25,37 +25,31 @@ TILE_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
                "feature_count long, bytes_len long")
 
 
+# Single-pass feature bbox over the 4-level parts nesting — pure JVM
+# Column math (least/greatest fold over the flattened point list), no
+# Python in the assignment path.  Delivered through F.inline (a
+# generator, evaluated ONCE per row) rather than 4 struct-field
+# projections, which Catalyst's project collapsing would inline into 4
+# separate O(points) folds.
+_BBOX_EXPR = """aggregate(
+  flatten(flatten(parts)),
+  named_struct('min_lon', double('Infinity'),  'min_lat', double('Infinity'),
+               'max_lon', double('-Infinity'), 'max_lat', double('-Infinity')),
+  (acc, pt) -> named_struct(
+      'min_lon', least(acc.min_lon, pt[0]), 'min_lat', least(acc.min_lat, pt[1]),
+      'max_lon', greatest(acc.max_lon, pt[0]), 'max_lat', greatest(acc.max_lat, pt[1])))"""
+
+
 def assign_feature_tiles(features: DataFrame, zoom: int,
                          extent: int = 4096, buffer: int = 128) -> DataFrame:
     """Fan each feature out to the tiles its lon/lat bbox (expanded by
-    the buffer fraction) covers at ``zoom``.  The bbox math runs in a
-    vectorized Arrow pass (the nested parts column must be walked once);
-    the fan-out explode stays JVM-side."""
+    the buffer fraction) covers at ``zoom``.  Everything — the bbox
+    fold, the mercator tile-fraction math, the fan-out explode — is
+    JVM Column code inside whole-stage codegen."""
     pad_frac = float(buffer) / float(extent)
 
-    def bboxes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                xs, ys = [], []
-                for part in r.parts:
-                    for ring in part:
-                        a = np.asarray([np.asarray(p) for p in ring], dtype=np.float64)
-                        xs.append(a[:, 0]); ys.append(a[:, 1])
-                x = np.concatenate(xs); y = np.concatenate(ys)
-                rows.append((r.fid, r.geom_type, r.parts, r.props_json,
-                             float(x.min()), float(y.min()),
-                             float(x.max()), float(y.max())))
-            yield pd.DataFrame(rows, columns=[
-                "fid", "geom_type", "parts", "props_json",
-                "min_lon", "min_lat", "max_lon", "max_lat"])
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(list(features.schema.fields) + [
-        T.StructField(c, T.DoubleType()) for c in
-        ("min_lon", "min_lat", "max_lon", "max_lat")])
-    fb = features.mapInPandas(bboxes, schema)
+    fb = features.select(*features.columns,
+                         F.inline(F.array(F.expr(_BBOX_EXPR))))
 
     n = 2 ** zoom
     # tile range covered by the bbox (+ buffer margin in tile fractions)

@@ -15,6 +15,9 @@ embedding array<float>, label) — ANN for training-data pipelines.
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -24,14 +27,49 @@ from pyspark.sql.functions import pandas_udf
 K = 5
 N_QUERIES = 20
 DUP_COS = 0.95
-# 16 sign-bit planes split into 8 bands x 2 bits.  The test corpus is
-# isotropic random (top-5 cosine ~0.36 => per-plane agreement p~0.62),
-# so recall needs short bands: 1-(1-p^2)^8 ~ 0.98.  With clustered
-# real-world embeddings (p >= 0.85) widen bands (e.g. 4x4 or 2x8) to
-# cut candidate volume — band shape is the recall/cost knob.
+# Small-corpus signature shape: 16 sign-bit planes split into 8 bands
+# x 2 bits.  The test corpus is isotropic random (top-5 cosine ~0.36
+# => per-plane agreement p~0.62), so recall needs short bands:
+# 1-(1-p^2)^8 ~ 0.98.  NEVER use this shape on a large corpus — 2-bit
+# bands mean 4 buckets/band, so the band self-join degenerates to
+# ~N^2/8 candidate pairs.  ``lsh_params`` below scales the shape with
+# corpus size; these constants are only the n <= SMALL_CORPUS leg.
 LSH_PLANES = 16
 LSH_BAND_BITS = 2
 LSH_N_BANDS = LSH_PLANES // LSH_BAND_BITS
+
+# Above this corpus size the signature widens to ceil(log2(n))-bit
+# bands (capped at 16 so 4 bands still pack into one int64) with
+# Hamming-1 multi-probe (Lv et al., multi-probe LSH) recovering the
+# recall that wide bands cost.  16384 = the largest n where even the
+# worst small-shape case (4 buckets/band -> n^2/8 candidates) stays
+# around ~2k candidates/row — beyond it the wide shape is strictly
+# better on any distribution.
+SMALL_CORPUS = 16384
+
+
+class LshParams(NamedTuple):
+    planes: int
+    band_bits: int
+    n_bands: int
+    probe: bool  # Hamming-1 multi-probe on the query/left side
+
+
+def lsh_params(n: int) -> LshParams:
+    """Signature shape derived from corpus size so candidate volume
+    stays O(n): with b-bit bands a random (isotropic) pair collides in
+    one band w.p. 2^-b, so expected candidates ~ L * n^2 / 2^(b+1);
+    choosing b ~ log2(n) makes that ~L*n/2.  Recall at wide bands comes
+    from Hamming-1 multi-probe: a cos-0.95 pair (per-plane agreement
+    p=0.899) survives a 16-bit band w.p. p^16 + 16*p^15*(1-p) ~ 0.51,
+    so 4 probed bands give pair recall ~0.94 (vs 0.55 unprobed).
+    Candidate-count linearity is pinned by
+    ``tests/test_round3_ops.py::test_lsh_candidates_linear_at_1e5``."""
+    if n <= SMALL_CORPUS:
+        return LshParams(LSH_PLANES, LSH_BAND_BITS, LSH_N_BANDS, False)
+    band_bits = min(16, max(8, math.ceil(math.log2(max(n, 2)))))
+    n_bands = max(4, 64 // band_bits)
+    return LshParams(n_bands * band_bits, band_bits, n_bands, True)
 
 
 def _dot(a: str, b: str) -> str:
@@ -91,8 +129,10 @@ def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies — no crossJoin anywhere in the plan.  A cosine-1 pair has
     bit-identical signatures, so every injected dup is a candidate in
     every band; for borderline pairs (cos just above the 0.95
-    threshold) the 8x2-bit bands give per-pair candidate recall
-    1-(1-p^2)^8 ~ 1-2e-6 at p=cos->agreement 0.899."""
+    threshold) the small-corpus 8x2-bit bands give per-pair candidate
+    recall 1-(1-p^2)^8 ~ 1-2e-6 at p=cos->agreement 0.899; at scale
+    the shape widens via ``lsh_params`` (log2(n)-bit bands + Hamming-1
+    probe) so candidates stay O(n)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb.createOrReplaceTempView("embeddings")
     aug = spark.sql("""
@@ -102,18 +142,17 @@ def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding
         FROM embeddings WHERE vec_id % 5 = 0
     """)
+    # parquet metadata count — aug adds ~n/5 noised copies
+    n = emb.count()
+    p = lsh_params(n + n // 5 + 1)
     dim = int(aug.select(F.size("embedding").alias("d")).first()["d"])
-    sig = lsh_signature_udf(dim)
-    base = aug.select("vec_id", "embedding", sig(F.col("embedding")).alias("sig"))
-    bands = _explode_bands(base, "sig")
-    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-                     "band", "bucket")
-    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-                     "band", "bucket")
-    cand = (a.join(b, ["band", "bucket"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "va", "vec_b", "vb").distinct())
-    return (cand.withColumn("cos", F.expr(_cosine("va", "vb")))
+    sig = lsh_signature_udf(dim, p.planes)
+    base = aug.select("vec_id", sig(F.col("embedding")).alias("sig"))
+    cand = lsh_candidate_pairs(base, p)
+    va = aug.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+                .withColumn("cos", F.expr(_cosine("va", "vb")))
                 .filter(F.col("cos") >= DUP_COS)
                 .select("vec_a", "vec_b"))
 
@@ -216,17 +255,42 @@ def lsh_signature_udf(dim: int, planes: int = LSH_PLANES, seed: int = 42):
     return sig
 
 
-def _explode_bands(df: DataFrame, sig_col: str,
-                   n_bands: int = LSH_N_BANDS, band_bits: int = LSH_BAND_BITS) -> DataFrame:
-    """(vec_id, embedding, band, bucket) rows — one per signature band."""
-    mask = (1 << band_bits) - 1
-    bands = df.select(
-        "vec_id", "embedding",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright(sig_col, band_bits * b).bitwiseAND(F.lit(mask)).alias("bucket"))
-            for b in range(n_bands)])).alias("bs"))
-    return bands.select("vec_id", "embedding", "bs.band", "bs.bucket")
+def _explode_bands(df: DataFrame, sig_col: str, p: LshParams,
+                   probe: bool = False) -> DataFrame:
+    """(vec_id, band, bucket) rows — one per signature band, plus the
+    ``band_bits`` Hamming-1 probe buckets per band when ``probe``.
+
+    Deliberately carries ONLY the id: shuffling the embedding payload
+    through an L(1+b)-way explode multiplies vector bytes moved by up
+    to ~70x; callers join vectors back at verify/re-rank time instead,
+    paying a candidate-sized shuffle of ids."""
+    mask = (1 << p.band_bits) - 1
+    entries = []
+    for b in range(p.n_bands):
+        base = (F.shiftrightunsigned(F.col(sig_col), p.band_bits * b)
+                 .bitwiseAND(F.lit(mask)))
+        entries.append(F.struct(F.lit(b).alias("band"), base.alias("bucket")))
+        if probe:
+            for i in range(p.band_bits):
+                entries.append(F.struct(F.lit(b).alias("band"),
+                                        base.bitwiseXOR(F.lit(1 << i)).alias("bucket")))
+    bands = df.select("vec_id", F.explode(F.array(*entries)).alias("bs"))
+    return bands.select("vec_id", "bs.band", "bs.bucket")
+
+
+def lsh_candidate_pairs(base: DataFrame, p: LshParams) -> DataFrame:
+    """Distinct unordered candidate id pairs (vec_a < vec_b) from the
+    band self-join of a (vec_id, sig) frame.  The probe side flips each
+    band bit once, so pairs within band-Hamming distance 1 are
+    candidates even when their exact buckets differ; the unprobed side
+    keeps the join's right input at n*L rows."""
+    a = (_explode_bands(base, "sig", p, probe=p.probe)
+         .select(F.col("vec_id").alias("vec_a"), "band", "bucket"))
+    b = (_explode_bands(base, "sig", p, probe=False)
+         .select(F.col("vec_id").alias("vec_b"), "band", "bucket"))
+    return (a.join(b, ["band", "bucket"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b").distinct())
 
 
 IVF_LISTS = 16
@@ -275,8 +339,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse k-means quantizer (driver-trained, broadcast as
     a numpy matrix inside an Arrow-batched UDF), data bucketed by
     nearest centroid, queries probe their IVF_NPROBE nearest lists,
-    exact cosine re-rank, top-K.  Rows-only for the driver; pytest
-    measures recall vs brute force (incl. dim=512)."""
+    exact cosine re-rank, top-K.  Rows-only for the driver but with a
+    self-verifying ``recall_e3`` column vs the in-job exact top-K;
+    pytest measures recall vs brute force (incl. dim=512)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     C = _ivf_centroids(spark, emb)
     lists = ivf_toplists_udf(C, IVF_NPROBE)
@@ -293,30 +358,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .withColumn("cos", F.expr(_cosine("qv", "dv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
+    topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= K)
                 .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+    return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: 16 sign bits -> 8 2-bit bands; candidates share
-    at least one band bucket; exact cosine re-rank, top-K.  Compared to
-    brute force in pytest (recall), rows-only for the driver."""
+    """LSH-bucketed ANN: sign-bit band buckets (shape from
+    ``lsh_params``) generate candidates — the tiny query side carries
+    the Hamming-1 probes at scale — then exact cosine re-rank, top-K.
+    Compared to brute force in pytest (recall), and the driver output
+    carries a self-verifying ``recall_e3`` column vs the exact top-K
+    (computed in-job on the sampled query set)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"])
-    sig = lsh_signature_udf(dim)
-    base = emb.select("vec_id", "embedding", sig(F.col("embedding")).alias("sig"))
-    bands = _explode_bands(base, "sig")
-    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "band", "bucket")
-    d = bands.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"),
-                     "band", "bucket")
-    cand = (q.join(d, ["band", "bucket"])
-             .filter(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "qv", "neighbor_id", "dv").distinct())
-    scored = cand.withColumn("cos", F.expr(_cosine("qv", "dv")))
+    n = emb.count()
+    p = lsh_params(n)
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    sig = lsh_signature_udf(dim, p.planes)
+    base = emb.select("vec_id", sig(F.col("embedding")).alias("sig"))
+    q = (_explode_bands(base.filter(F.col("vec_id") < N_QUERIES), "sig", p, probe=p.probe)
+         .select(F.col("vec_id").alias("query_id"), "band", "bucket"))
+    d = (_explode_bands(base, "sig", p, probe=False)
+         .select(F.col("vec_id").alias("neighbor_id"), "band", "bucket"))
+    cand_ids = (q.join(d, ["band", "bucket"])
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id").distinct())
+    qv = F.broadcast(emb.filter(F.col("vec_id") < N_QUERIES)
+                        .select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("qv")))
+    dv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"))
+    scored = (cand_ids.join(dv, "neighbor_id").join(qv, "query_id")
+                      .withColumn("cos", F.expr(_cosine("qv", "dv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= K)
                   .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+    return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
+
+
+def with_recall(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
+    """Append per-query ``recall_e3`` = 1000 * |approx ∩ exact| / K as
+    an integer column, so the driver's rows-only check becomes a real
+    quality gate (pytest asserts a >=0.9 floor on the mean).  The exact
+    side is the brute-force top-K restricted to the same N_QUERIES
+    sampled queries — a K*N_QUERIES-row frame, broadcast."""
+    hits = (approx_topk.join(
+                F.broadcast(exact_topk.select("query_id", "neighbor_id")
+                                      .withColumn("_hit", F.lit(1))),
+                ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.floor(F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 1000 / K)
+                  .cast("int").alias("recall_e3")))
+    return approx_topk.join(F.broadcast(hits), "query_id").select(
+        "query_id", "neighbor_id", "rank", "recall_e3")
