@@ -81,15 +81,24 @@ def _sliding3(arr: str, joiner: str) -> str:
             f"transform({zipped}, s -> {joiner}) ELSE array() END")
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """Distinct (doc_id, char-3-gram shingle) pairs — JVM higher-order
-    functions, no Python."""
+def _char_shingle_arrays(df: DataFrame) -> DataFrame:
+    """One row per doc: (doc_id, shs) with shs the doc's DISTINCT
+    char-3-gram array — JVM higher-order functions, no Python.
+    Distinctness comes from ``array_distinct`` on the per-row shingle
+    array: doc_id is unique per input row, so within-row dedup IS
+    global dedup — and it costs zero shuffles where ``.distinct()``
+    after an explode shuffled the whole shingle table."""
     return (df
             .withColumn("_ch", F.split(F.col("nt"), ""))
             .withColumn("sh", F.expr(
                 _sliding3("_ch", "concat(s['0'], s['1'], s['2'])")))
-            .select("doc_id", F.explode("sh").alias("shingle"))
-            .distinct())
+            .select("doc_id", F.array_distinct("sh").alias("shs")))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct (doc_id, char-3-gram shingle) pairs (exploded form)."""
+    return _char_shingle_arrays(df).select(
+        "doc_id", F.explode("shs").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +191,19 @@ def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
 
 def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
                    perms: int = MINHASH_PERMS) -> DataFrame:
-    """Band the signature, bucket-join on (band, band-hash)."""
+    """Band the signature, bucket on (band, band-hash), emit all
+    unordered pairs within each bucket.
+
+    ONE shuffle (the bucket groupBy, with map-side partial
+    collect_set) instead of the former self-join's two shuffles — and
+    the signature aggregation upstream runs once, not once per join
+    side.  Pairs are generated JVM-side from the sorted per-bucket id
+    array (i < j by construction, so no filter); the trailing
+    ``distinct`` over pairs is a shuffle of the ~O(n) candidate set,
+    not the banded table.  Bucket cardinality is bounded by the
+    banding design (band width scales with log2(n) in the scale-path
+    variants), so the per-bucket pair array stays small; a corpus
+    that overflows it would have drowned the old self-join too."""
     rows = perms // bands
     banded = sig.select(
         "doc_id",
@@ -191,13 +212,14 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
                      F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig_hash"))
             for b in range(bands)])).alias("bs"))
     banded = banded.select("doc_id", "bs.band", "bs.sig_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig_hash") == F.col("b.sig_hash"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+    buckets = (banded.groupBy("band", "sig_hash")
+                     .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+                     .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS doc_a, b AS doc_b))))")).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,8 +227,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact n-gram pair set whenever LSH recall holds (P(miss) ~ 4e-13 at
     the 0.6 threshold with 64x2 bands; asserted by the shared oracle)."""
     aug = _augmented(spark, sf_dir)
-    sh = _shingles(aug).cache()
-    return _verify_candidates(sh, lsh_candidates(minhash_signatures(sh)))
+    arrs = _char_shingle_arrays(aug).cache()
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(sh)))
 
 
 # oracle: identical to the exact n-gram pair set
@@ -225,15 +248,21 @@ sql_dedup_minhash_lsh = sql_dedup_ngram_jaccard
 # — this variant runs the FULL corpus in the benchmark where the
 # char-gram variant is the documented small-N verifier.
 
-def _shingles_words(df: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle) pairs — JVM higher-order
-    functions (see the shingle-construction note above _sliding3)."""
+def _word_shingle_arrays(df: DataFrame) -> DataFrame:
+    """One row per doc: (doc_id, shs) with shs the doc's DISTINCT
+    word-3-shingle array — JVM higher-order functions (see the
+    shingle-construction note above _sliding3)."""
     return (df
             .withColumn("_toks", F.split(F.col("nt"), " "))
             .withColumn("sh", F.expr(
                 _sliding3("_toks", "concat_ws(' ', s['0'], s['1'], s['2'])")))
-            .select("doc_id", F.explode("sh").alias("shingle"))
-            .distinct())
+            .select("doc_id", F.array_distinct("sh").alias("shs")))
+
+
+def _shingles_words(df: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs (exploded form)."""
+    return _word_shingle_arrays(df).select(
+        "doc_id", F.explode("shs").alias("shingle"))
 
 
 def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,29 +270,32 @@ def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> exact word-shingle Jaccard verify.  Same recall math
     as the char-gram variant (64x2 bands, miss ~4e-13 at 0.6)."""
     aug = _augmented(spark, sf_dir)
-    sh = _shingles_words(aug).cache()
-    return _verify_candidates(sh, lsh_candidates(minhash_signatures(sh)))
+    arrs = _word_shingle_arrays(aug).cache()
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(sh)))
 
 
-def _verify_candidates(sh: DataFrame, cands: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs.  The candidate
-    set and the per-doc size table are orders of magnitude smaller than
-    the shingle table (LSH's whole point), so both are broadcast — the
-    shingle table shuffles ONCE (the b-side co-location join); AQE can
-    still demote the hints if a pathological corpus inflates them."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (a.join(F.broadcast(cands), "doc_a")
-               .join(b, ["doc_b", "shingle"])
-               .groupBy("doc_a", "doc_b")
-               .agg(F.count(F.lit(1)).alias("common")))
-    return (common
-            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                              .withColumnRenamed("sz", "sz_a")), "doc_a")
-            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-                              .withColumnRenamed("sz", "sz_b")), "doc_b")
-            .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+def _verify_candidates(docsets: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against the
+    per-doc distinct-shingle ARRAY table (doc_id, shs).
+
+    Each candidate pair joins its two arrays and intersects them
+    JVM-side (``array_intersect``).  Join cardinality is
+    O(candidates) with array payloads — there is no shingle-row-level
+    join at all, so the heavy shuffle the previous shape paid
+    (candidate-expanded shingles vs the full shingle table on
+    (doc, shingle)) is gone.  Per-pair work in the intersect is
+    O(|A|+|B|) hash-set probing; a hot doc appearing in many pairs
+    duplicates only its array, bounded by its candidate fan-out.  At
+    dim-table scale AQE broadcasts the doc-array side; on a giant
+    corpus both joins degrade gracefully to hash joins keyed by doc
+    id."""
+    a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard", F.col("common")
+                        / (F.size("sh_a") + F.size("sh_b") - F.col("common")))
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b"))
 
