@@ -1,0 +1,206 @@
+"""Ports of the mvt-fixtures 003/016/017-022/032-040/042/046 semantics
+(MapnikVectorTileSpec.hs:38-41, :81-133, :134-212, :226-241; the fixture
+.mvt binaries are a git submodule not vendored in /root/reference, so
+each tile is reconstructed with OUR encoder — or raw protobuf field
+writers for the malformed cases — and the decode is asserted against
+the spec's expected geometry/metadata/feature counts).
+
+Strictness note: fixtures 040/042 (tags pointing past the key/value
+tables) raise lazily in the reference (`Data.Sequence.index` out of
+bounds on metadata ACCESS, MapnikVectorTileSpec.hs:226-241); our
+decoder builds metadata eagerly, so the same defect surfaces as an
+IndexError at decode time.  Fixture 025 (layer without features) is
+deliberately NOT ported: the reference errors because its conversion
+targets a non-empty feature list, but this engine's tiling operators
+emit legitimately empty layers (buffered bbox over-assignment), so
+empty layers decode fine here by design (feature_tiles.py docstring).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from zellige_spark.kernel import mvt
+
+HELLO_WORLD = {"hello": ("st", "world")}
+
+
+def _layer_tile(feats_spec, name="hello", version=2, extent=4096):
+    """feats_spec: list of (props|None, geom_type, command_ints)."""
+    keys = mvt.DictStore()
+    values = mvt.DictStore()
+    feats = []
+    for fid, (props, gtype, cmds) in enumerate(feats_spec, start=1):
+        tags = mvt.build_tags(props or {}, keys, values)
+        feats.append(mvt.encode_feature(fid, tags, gtype, cmds))
+    layer = mvt.encode_layer(name, feats, keys.items, values.items,
+                             extent, version)
+    return mvt.decode_tile(mvt.encode_tile([layer]))[name]
+
+
+def _basic_checks(lyr, name, version, n_features):
+    # basicLayerChecks (MapnikVectorTileSpec.hs:338-343)
+    assert lyr["name"] == name
+    assert lyr["version"] == version
+    assert lyr["extent"] == 4096
+    assert len(lyr["features"]) == n_features
+
+
+def test_fixture_017_valid_point():
+    cmds = mvt.point_feature_commands(np.array([(25, 17)], dtype=np.int64))
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_POINT, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["type"] == mvt.GEOM_POINT
+    assert f["geometry"] == [(25, 17)]
+    assert f["metadata"] == HELLO_WORLD
+    assert f["id"] == 1
+
+
+def test_fixture_018_valid_linestring():
+    line = np.array([(2, 2), (2, 10), (10, 10)], dtype=np.int64)
+    cmds = mvt.line_feature_commands([line])
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_LINESTRING, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["type"] == mvt.GEOM_LINESTRING
+    assert f["geometry"] == [[(2, 2), (2, 10), (10, 10)]]
+    assert f["metadata"] == HELLO_WORLD
+
+
+def test_fixture_019_valid_polygon():
+    ring = np.array([(3, 6), (8, 12), (20, 34), (3, 6)], dtype=np.int64)
+    cmds = mvt.polygon_feature_commands([(ring, [])])
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_POLYGON, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["type"] == mvt.GEOM_POLYGON
+    outer, inners = f["geometry"][0]
+    # decode re-closes the ring in memory (Internal.hs:232): spec
+    # expects [Point 3 6, Point 8 12, Point 20 34, Point 3 6]
+    assert outer == [(3, 6), (8, 12), (20, 34), (3, 6)]
+    assert inners == []
+    assert f["metadata"] == HELLO_WORLD
+
+
+def test_fixture_020_valid_multipoint():
+    cmds = mvt.point_feature_commands(np.array([(5, 7), (3, 2)], dtype=np.int64))
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_POINT, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["geometry"] == [(5, 7), (3, 2)]
+    assert f["metadata"] == HELLO_WORLD
+
+
+def test_fixture_021_valid_multilinestring():
+    l1 = np.array([(2, 2), (2, 10), (10, 10)], dtype=np.int64)
+    l2 = np.array([(1, 1), (3, 5)], dtype=np.int64)
+    cmds = mvt.line_feature_commands([l1, l2])
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_LINESTRING, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["geometry"] == [[(2, 2), (2, 10), (10, 10)], [(1, 1), (3, 5)]]
+    assert f["metadata"] == HELLO_WORLD
+
+
+def test_fixture_022_valid_multipolygon():
+    o1 = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=np.int64)
+    o2 = np.array([(11, 11), (20, 11), (20, 20), (11, 20), (11, 11)], dtype=np.int64)
+    # spec's inner ring winds opposite to the outers
+    inner = np.array([(13, 13), (13, 17), (17, 17), (17, 13), (13, 13)], dtype=np.int64)
+    cmds = mvt.polygon_feature_commands([(o1, []), (o2, [(inner, [])])])
+    lyr = _layer_tile([(HELLO_WORLD, mvt.GEOM_POLYGON, cmds)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    p1, p2 = f["geometry"]
+    assert p1[0] == [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    assert p1[1] == []
+    assert p2[0] == [(11, 11), (20, 11), (20, 20), (11, 20), (11, 11)]
+    assert [r for r, _ in p2[1]] == [
+        [(13, 13), (13, 17), (17, 17), (17, 13), (13, 13)]]
+    assert f["metadata"] == HELLO_WORLD
+
+
+POINT_CMDS = mvt.point_feature_commands(np.array([(25, 17)], dtype=np.int64))
+F32_31 = struct.unpack("<f", struct.pack("<f", 3.1))[0]
+
+VALUE_FIXTURES = [
+    # (fixture, metadata expected after decode)
+    ("032", {"key1": ("st", "i am a string value")}),
+    ("033", {"key1": ("fl", F32_31)}),
+    ("034", {"key1": ("do", 1.23)}),
+    ("035", {"key1": ("i64", 6)}),
+    ("036", {"key1": ("w64", 87948)}),
+    ("037", {"key1": ("s64", 87948)}),
+    ("038", {"float_value": ("fl", F32_31), "double_value": ("do", 1.23),
+             "int_value": ("i64", 6), "uint_value": ("w64", 87948),
+             "sint_value": ("s64", -87948), "bool_value": ("b", True),
+             "string_value": ("st", "ello")}),
+]
+
+
+@pytest.mark.parametrize("fixture,meta", VALUE_FIXTURES,
+                         ids=[f[0] for f in VALUE_FIXTURES])
+def test_fixtures_032_038_property_value_types(fixture, meta):
+    lyr = _layer_tile([(meta, mvt.GEOM_POINT, POINT_CMDS)])
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["geometry"] == [(25, 17)]
+    assert f["metadata"] == meta
+    # every distinct value got its own dictionary slot
+    assert len(lyr["values"]) == len(meta)
+    assert sorted(lyr["keys"]) == sorted(meta)
+
+
+def test_fixture_039_version_1_is_encoded():
+    lyr = _layer_tile([(None, mvt.GEOM_POINT, POINT_CMDS)], version=1)
+    _basic_checks(lyr, "hello", 1, 1)
+
+
+def test_fixture_016_valid_unknown_geometry():
+    feat = mvt.encode_feature(1, [], 0, np.empty(0, dtype=np.uint64))
+    layer = mvt.encode_layer("hello", [feat], [], [], 4096)
+    lyr = mvt.decode_tile(mvt.encode_tile([layer]))["hello"]
+    _basic_checks(lyr, "hello", 2, 1)
+    f = lyr["features"][0]
+    assert f["type"] == 0
+    assert f["geometry"] is None
+
+
+def test_fixture_003_missing_geometry_type_defaults_unknown():
+    # raw feature with id + geometry but NO type field -> proto default
+    # UNKNOWN (vector_tile.proto 2.1 L41), feature still counted
+    raw = (mvt._tag(1, 0) + mvt.varint(1)
+           + mvt._len_delim(4, mvt.varint_array(POINT_CMDS.astype(np.uint64))))
+    layer = mvt.encode_layer("hello", [raw], [], [], 4096)
+    lyr = mvt.decode_tile(mvt.encode_tile([layer]))["hello"]
+    _basic_checks(lyr, "hello", 2, 1)
+    assert lyr["features"][0]["type"] == 0
+    assert lyr["features"][0]["geometry"] is None
+
+
+@pytest.mark.parametrize("tags", [[2, 0], [0, 2]], ids=["040-bad-key",
+                                                        "042-bad-value"])
+def test_fixtures_040_042_out_of_bounds_tags(tags):
+    keys = mvt.DictStore()
+    values = mvt.DictStore()
+    mvt.build_tags({"key1": ("st", "v")}, keys, values)  # 1 key, 1 value
+    feat = mvt.encode_feature(1, tags, mvt.GEOM_POINT, POINT_CMDS)
+    layer = mvt.encode_layer("hello", [feat], keys.items, values.items, 4096)
+    with pytest.raises(IndexError):
+        mvt.decode_tile(mvt.encode_tile([layer]))
+
+
+def test_fixture_046_duplicate_linestring_point_dropped():
+    # MoveTo(2,2), LineTo[(0,8),(0,0)] -> the zero-delta repeat is
+    # dropped on expand: LineString [(2,2),(2,10)]
+    ints = [mvt._cmd_int(1, 1), int(mvt.zig(np.array([2]))[0]), int(mvt.zig(np.array([2]))[0]),
+            mvt._cmd_int(2, 2)] + [int(x) for x in mvt.zig(np.array([0, 8, 0, 0]))]
+    feat = mvt.encode_feature(1, [], mvt.GEOM_LINESTRING,
+                              np.array(ints, dtype=np.uint64))
+    layer = mvt.encode_layer("hello", [feat], [], [], 4096)
+    lyr = mvt.decode_tile(mvt.encode_tile([layer]))["hello"]
+    f = lyr["features"][0]
+    assert f["geometry"] == [[(2, 2), (2, 10)]]
+    assert f["metadata"] == {}

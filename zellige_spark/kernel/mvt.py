@@ -456,6 +456,13 @@ def _expand(cursor: Tuple[int, int], diffs: List[Tuple[int, int]]) -> List[Tuple
 def decode_geometry(geom_type: int, ints: List[int]):
     """Decode command ints into point/line/polygon structures with the
     reference validation semantics (Internal.hs:174-244)."""
+    if geom_type == 0:
+        # GeomType.UNKNOWN is VALID (mvt-fixture 016): the reference
+        # keeps such features in a dedicated _unknowns seq, counts them
+        # in numberOfFeatures, and never parses their commands
+        # (VectorTile/Types.hs:28,37-38; Internal.hs:168-169 maps any
+        # command list to a unit marker).  Geometry decodes to None.
+        return None
     cmds = parse_commands(ints)
     if geom_type == GEOM_POINT:
         if not cmds:
@@ -560,7 +567,13 @@ def decode_layer(payload: bytes) -> dict:
             elif field == 4:
                 geom_ints = _packed_varints(v) if wire == 2 else geom_ints + [v]
         if gtype is None:
-            raise MvtError("Missing geometry type.")
+            # proto3 default: a missing type field reads as
+            # GeomType.UNKNOWN (vector_tile.proto 2.1 L41; mvt-fixture
+            # 003 decodes successfully).  The reference's "Missing
+            # geometry type." branch (Internal.hs:354) is unreachable
+            # for wire-level absence because its generated protobuf
+            # code applies the same default.
+            gtype = 0
         if len(tags) % 2 != 0:
             raise MvtError("Uneven number of parameters given.")
         meta = {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags), 2)}
