@@ -102,3 +102,40 @@ def test_ann_recall_column_truthful(spark, qname):
     mean_recall = sum(ext.values()) / len(ext)
     floor = 0.9 if qname == "q_ann_lsh" else 0.5
     assert mean_recall >= floor, f"{qname} mean recall {mean_recall}"
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase generic feature tiles: byte-identical to grouped
+# ---------------------------------------------------------------------------
+
+def _mixed_features(spark):
+    from pyspark.sql import Window
+    from zellige_spark import io_geojson
+
+    feats = io_geojson.read_geojson(
+        spark, "/root/reference/test/integration/small.json").unionByName(
+        io_geojson.read_geojson(
+            spark, "/root/reference/test/integration/10056.json"))
+    w = Window.orderBy("geom_type", "props_json")
+    return feats.withColumn("fid", F.row_number().over(w).cast("long"))
+
+
+@pytest.mark.parametrize("mode", ["fixed", "auto"])
+def test_feature_tiles_salted_matches_grouped(spark, mode):
+    from zellige_spark.operators import feature_tiles as FT
+
+    feats = _mixed_features(spark)
+    assigned = FT.assign_feature_tiles(feats, zoom=15, extent=2048)
+    grouped = FT.assemble_feature_tiles(assigned, layer_name="demo",
+                                        extent=2048).toPandas() \
+        .sort_values(["zoom", "tile_x", "tile_y"], ignore_index=True)
+    kwargs = ({"salt": 4} if mode == "fixed"
+              else {"auto_rows_per_group": 2})  # tiny cap: every tile salts
+    salted = FT.assemble_feature_tiles_salted(
+        assigned, layer_name="demo", extent=2048, **kwargs).toPandas() \
+        .sort_values(["zoom", "tile_x", "tile_y"], ignore_index=True)
+    assert len(grouped) == len(salted) and len(grouped) > 0
+    assert (grouped["feature_count"].to_numpy()
+            == salted["feature_count"].to_numpy()).all()
+    for a, b in zip(grouped["mvt"], salted["mvt"]):
+        assert bytes(a) == bytes(b)  # byte-identical strategies

@@ -210,37 +210,47 @@ def _encode_staged(staged, cfg: TileConfig) -> bytes:
     return kmvt.encode_tile([layer])
 
 
-def _encode_one(gt, fid, props, parts, keys, values,
-                point_feats, line_feats, poly_feats) -> None:
-    """Encode one clipped+simplified feature into its geometry bucket
-    (int-conversion drops happen here, after id assignment)."""
-    vals = kmvt.convert_props(props)
+def stage_feature_cmds(gt, parts):
+    """Int-conversion + geometry command build for ONE clipped+
+    simplified feature: (gtype, cmds) with cmds None when the feature
+    drops at this stage.  A dropped feature still consumed its feature
+    id (convertId runs before int-conversion, GeoJsonToMvt.hs:54-60),
+    which is why drop status must survive to whichever phase assigns
+    counter ids — the salted two-phase generic assembler relies on
+    this being the single source of truth for phase A."""
     if gt in POINT_KINDS:
         ipts = kmvt.coords_to_ipoints(np.concatenate([np.asarray(r) for r in parts[0]], axis=0))
         if len(ipts) == 0:
-            return
-        cmds = kmvt.point_feature_commands(ipts)
-        bucket = point_feats
-    elif gt in LINE_KINDS:
+            return kmvt.GEOM_POINT, None
+        return kmvt.GEOM_POINT, kmvt.point_feature_commands(ipts)
+    if gt in LINE_KINDS:
         lines = []
         for part in parts:
             ipts = kmvt.convert_and_remove_dupes(part[0])
             if len(ipts) > 1:  # convertLineString drops <2-pt lines
                 lines.append(ipts)
         if not lines:
-            return
-        cmds = kmvt.line_feature_commands(lines)
-        bucket = line_feats
-    else:
-        polys = _polygon_to_int(parts)
-        cmds = kmvt.polygon_feature_commands(polys)
-        if len(cmds) == 0:
-            return
-        bucket = poly_feats
+            return kmvt.GEOM_LINESTRING, None
+        return kmvt.GEOM_LINESTRING, kmvt.line_feature_commands(lines)
+    polys = _polygon_to_int(parts)
+    cmds = kmvt.polygon_feature_commands(polys)
+    if len(cmds) == 0:
+        return kmvt.GEOM_POLYGON, None
+    return kmvt.GEOM_POLYGON, cmds
+
+
+def _encode_one(gt, fid, props, parts, keys, values,
+                point_feats, line_feats, poly_feats) -> None:
+    """Encode one clipped+simplified feature into its geometry bucket
+    (int-conversion drops happen here, after id assignment)."""
+    gtype, cmds = stage_feature_cmds(gt, parts)
+    if cmds is None:
+        return
+    vals = kmvt.convert_props(props)
     tags = kmvt.build_tags(vals, keys, values)
-    gtype = (kmvt.GEOM_POINT if bucket is point_feats
-             else kmvt.GEOM_LINESTRING if bucket is line_feats
-             else kmvt.GEOM_POLYGON)
+    bucket = (point_feats if gtype == kmvt.GEOM_POINT
+              else line_feats if gtype == kmvt.GEOM_LINESTRING
+              else poly_feats)
     bucket.append(kmvt.encode_feature(fid, tags, gtype, cmds))
 
 

@@ -166,6 +166,140 @@ def assemble_feature_tiles_streaming(assigned: DataFrame, layer_name: str = "lay
     return df.mapInPandas(fold, TILE_SCHEMA)
 
 
+_SALTED_PARTIAL_SCHEMA = (
+    "zoom int, tile_x long, tile_y long, salt int, "
+    "fids array<long>, kinds array<int>, cmds array<array<long>>, "
+    "props array<string>")
+
+
+def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer",
+                                  extent: int = 4096, buffer: int = 128,
+                                  quantize: int = 1, simplify: str = "none",
+                                  salt: int = 8,
+                                  auto_rows_per_group: int = None) -> DataFrame:
+    """Hot-tile two-phase encode for GENERIC geometry (the line/polygon
+    analogue of encode.assemble_point_tiles_salted): phase A runs the
+    expensive per-feature work — project, clip, simplify,
+    int-conversion, geometry command build — on each (tile, salt)
+    sub-group, bounding any single task to ~1/salt of a hot tile (a
+    z0-heavy polygon corpus no longer lands on one task).  Phase B
+    merge-sorts the sub-groups by fid and runs only the parts that are
+    inherently tile-global and O(output bytes): counter-id assignment,
+    the first-seen key/value dictionaries, and layer/tile assembly.
+
+    Byte-identical to assemble_feature_tiles when fids give a total
+    order (test-asserted); dropped-at-int-conversion features keep
+    their id slot via ``kernel.pipeline.stage_feature_cmds`` returning
+    cmds=None (stored as an empty array).
+
+    With ``auto_rows_per_group`` set, a count-based skew scan salts
+    ONLY tiles above that row count (everything else salt=0), so the
+    two-phase overhead is paid exactly where the skew is."""
+    keys = ["zoom", "tile_x", "tile_y"]
+    if auto_rows_per_group:
+        counts = assigned.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+        plan = (counts.filter(F.col("_n") > auto_rows_per_group)
+                      .withColumn("_n_salt", F.ceil(F.col("_n") / F.lit(auto_rows_per_group))
+                                   .cast("int"))
+                      .select(*keys, "_n_salt"))
+        df = assigned.join(F.broadcast(plan), keys, "left")
+        n_salt = F.coalesce(F.col("_n_salt"), F.lit(1))
+        df = (df.withColumn("salt", F.pmod(F.coalesce(F.xxhash64("fid"), F.lit(0)), n_salt)
+                             .cast("int"))
+                .drop("_n", "_n_salt"))
+    else:
+        df = assigned.withColumn(
+            "salt", F.pmod(F.coalesce(F.xxhash64("fid"), F.lit(0)), F.lit(salt)).cast("int"))
+
+    def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("fid", na_position="first", kind="stable")
+        z = int(pdf["zoom"].iloc[0])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        cfg = kpipe.TileConfig(name=layer_name, z=z, x=tx, y=ty,
+                               buffer=buffer, extent=extent,
+                               quantize=quantize, simplify=simplify)
+        bbox = kpipe.kmerc.tile_bbox(z, tx, ty)
+        window = kpipe.kclip.buffered_bbox(buffer, extent)
+        fids, kinds, cmds_out, props = [], [], [], []
+        for feat, pjson in zip(io_geojson.rows_to_features(pdf),
+                               pdf["props_json"].tolist()):
+            gt = feat["geom_type"]
+            if gt is None or gt == "NoGeometry":
+                continue
+            parts = kpipe._project_parts(feat["parts"], cfg.extent,
+                                         cfg.quantize, bbox)
+            parts = kpipe._clip_feature(gt, parts, window)
+            if parts is None:
+                continue
+            parts = kpipe._simplify_feature(gt, parts, cfg.simplify)
+            if parts is None:
+                continue
+            gtype, cmds = kpipe.stage_feature_cmds(gt, parts)
+            fids.append(feat["fid"])
+            kinds.append(int(gtype))
+            cmds_out.append([] if cmds is None else [int(x) for x in cmds])
+            props.append(pjson)
+        return pd.DataFrame({
+            "zoom": [z], "tile_x": [tx], "tile_y": [ty],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "fids": [fids], "kinds": [kinds], "cmds": [cmds_out],
+            "props": [props],
+        })
+
+    partial = (df.groupBy("zoom", "tile_x", "tile_y", "salt")
+                 .applyInPandas(phase_a, _SALTED_PARTIAL_SCHEMA))
+
+    from ..kernel import mvt as kmvt
+
+    def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        fids, kinds, cmds_all, props = [], [], [], []
+        for r in pdf.itertuples(index=False):
+            fids.extend(r.fids)
+            kinds.extend(r.kinds)
+            cmds_all.extend(r.cmds)
+            props.extend(r.props)
+        # fid-sorted merge, missing fids first (the grouped path's
+        # na_position="first"); fids must be a total order for
+        # determinism, same contract as the streaming fold
+        # missing fids arrive as None or NaN depending on the Arrow path
+        key = np.array([float("-inf") if (f is None or f != f) else float(f)
+                        for f in fids])
+        order = np.argsort(key, kind="stable")
+        keys_s = kmvt.DictStore()
+        values_s = kmvt.DictStore()
+        buckets = {kmvt.GEOM_POINT: [], kmvt.GEOM_LINESTRING: [],
+                   kmvt.GEOM_POLYGON: []}
+        counter = 0
+        for i in order:
+            fid = fids[i]
+            if fid is None or fid != fid:
+                counter += 1
+                fid = counter
+            if len(cmds_all[i]) == 0:  # int-conversion drop: id consumed, no output
+                continue
+            vals = kmvt.convert_props(json.loads(props[i]))
+            tags = kmvt.build_tags(vals, keys_s, values_s)
+            buckets[int(kinds[i])].append(kmvt.encode_feature(
+                int(fid), tags, int(kinds[i]),
+                np.asarray(cmds_all[i], dtype=np.uint64)))
+        feats = (buckets[kmvt.GEOM_POINT] + buckets[kmvt.GEOM_LINESTRING]
+                 + buckets[kmvt.GEOM_POLYGON])
+        layer = kmvt.encode_layer(layer_name, feats, keys_s.items,
+                                  values_s.items, extent)
+        mvt_bytes = kmvt.encode_tile([layer])
+        return pd.DataFrame({
+            "zoom": [int(pdf["zoom"].iloc[0])],
+            "tile_x": [int(pdf["tile_x"].iloc[0])],
+            "tile_y": [int(pdf["tile_y"].iloc[0])],
+            "mvt": [mvt_bytes], "feature_count": [len(feats)],
+            "bytes_len": [len(mvt_bytes)],
+        })
+
+    return (partial.groupBy("zoom", "tile_x", "tile_y")
+            .applyInPandas(phase_b, TILE_SCHEMA))
+
+
 def _count_features(tile_bytes: bytes) -> int:
     from ..kernel import mvt as kmvt
 
