@@ -4,10 +4,12 @@ the Spark-side plumbing for image-bearing training-data tables
 (BASELINE.json input_hint schema: image_id, bytes, w, h, fmt, caption,
 phash, lon, lat).
 
-Real codecs (raw / ppm / png-via-zlib) live in zellige_spark.synth;
-formats the sandbox can't decode (jpeg/webp/video) are stubbed behind
-NotImplementedError with the Spark plumbing (schema, batching, UDF
-signatures) fully real and tested.
+Real codecs: raw / ppm / png-via-zlib (zellige_spark.synth) and
+baseline JPEG (pure-numpy ITU-T T.81 implementation,
+zellige_spark.kernel.jpeg).  Formats the sandbox genuinely can't
+decode (webp/video/audio) are stubbed behind NotImplementedError with
+the Spark plumbing (schema, batching, UDF signatures) fully real and
+tested.
 
 Per-row invariants (input_hint): decoded-pixel allclose vs source
 (PSNR >= 40 dB for lossy re-encodes), caption equality, phash equality.
@@ -30,8 +32,12 @@ STATS_SCHEMA = ("image_id string, fmt string, w int, h int, "
 
 
 def decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode a payload; unsupported codecs raise (documented stub)."""
-    if fmt in ("raw", "ppm", "png"):
+    """Decode a payload; unsupported codecs raise (documented stub).
+
+    jpeg is REAL: a pure-numpy baseline JFIF codec (public ITU-T T.81
+    spec, `kernel/jpeg.py`) — the biggest codec stub retired.  webp /
+    video remain stubbed (no spec-feasible pure-numpy path here)."""
+    if fmt in ("raw", "ppm", "png", "jpeg"):
         return synth.decode_image(bytes(data), fmt, w, h)
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this "

@@ -122,6 +122,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from .kernel import jpeg as kjpeg
+
+        return kjpeg.decode_jpeg(bytes(data))
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -132,6 +136,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        from .kernel import jpeg as kjpeg
+
+        return kjpeg.encode_jpeg(pixels)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
