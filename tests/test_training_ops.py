@@ -133,8 +133,9 @@ def test_video_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         IMG.sample_video_frames(None)
+    # jpeg is REAL since round 3 (kernel/jpeg.py); webp stays stubbed
     with pytest.raises(NotImplementedError):
-        IMG.decode_any(b"xx", "jpeg", 4, 4)
+        IMG.decode_any(b"xx", "webp", 4, 4)
 
 
 def test_streaming_windows_match_batch(spark, tmp_path):
