@@ -204,3 +204,52 @@ def test_fixture_046_duplicate_linestring_point_dropped():
     f = lyr["features"][0]
     assert f["geometry"] == [[(2, 2), (2, 10)]]
     assert f["metadata"] == {}
+
+
+def test_fixture_001_empty_tile():
+    assert mvt.decode_tile(b"") == {}
+    assert mvt.decode_tile(mvt.encode_tile([])) == {}
+
+
+def test_fixtures_023_024_required_layer_fields():
+    cmds = mvt.point_feature_commands(np.array([(25, 17)], dtype=np.int64))
+    feat = mvt.encode_feature(1, [], mvt.GEOM_POINT, cmds)
+    # layer with features + extent but NO name (field 1)
+    no_name = (mvt._tag(15, 0) + mvt.varint(2)
+               + mvt._len_delim(2, feat)
+               + mvt._tag(5, 0) + mvt.varint(4096))
+    with pytest.raises(mvt.MvtError, match="Required fields missing"):
+        mvt.decode_tile(mvt.encode_tile([no_name]))
+    # layer with name + features but NO version (field 15)
+    no_version = (mvt._len_delim(1, b"hello")
+                  + mvt._len_delim(2, feat)
+                  + mvt._tag(5, 0) + mvt.varint(4096))
+    with pytest.raises(mvt.MvtError, match="Required fields missing"):
+        mvt.decode_tile(mvt.encode_tile([no_version]))
+
+
+def test_fixtures_026_027_extra_and_unused_values():
+    # 026: a Value message carrying an unknown extra field BEFORE the
+    # legal one still decodes to the legal type; 027: an unused value in
+    # the table does not disturb a metadata-less feature
+    extra = mvt._tag(8, 0) + mvt.varint(5)          # unknown field 8
+    legal = mvt._len_delim(1, b"world")             # string_value
+    assert mvt.decode_value(extra + legal) == ("st", "world")
+    cmds = mvt.point_feature_commands(np.array([(25, 17)], dtype=np.int64))
+    feat = mvt.encode_feature(1, [], mvt.GEOM_POINT, cmds)  # no tags
+    layer = mvt.encode_layer("hello", [feat], ["unused_k"],
+                             [("b", True)], 4096)
+    lyr = mvt.decode_tile(mvt.encode_tile([layer]))["hello"]
+    assert lyr["features"][0]["metadata"] == {}
+    assert lyr["values"] == [("b", True)]
+
+
+def test_fixture_030_two_geometry_move_tos_invalid_point():
+    # a point feature whose geometry holds two MoveTo command runs
+    # (fixture 030 "two geometry fields"): invalid for Point
+    ints = [mvt._cmd_int(1, 1), 0, 0, mvt._cmd_int(1, 1), 2, 2]
+    feat = mvt.encode_feature(1, [], mvt.GEOM_POINT,
+                              np.array(ints, dtype=np.uint64))
+    layer = mvt.encode_layer("hello", [feat], [], [], 4096)
+    with pytest.raises(mvt.MvtError, match="Invalid command found in Point"):
+        mvt.decode_tile(mvt.encode_tile([layer]))

@@ -529,8 +529,8 @@ def _reencode_field(field: int, wire: int, v) -> bytes:
 
 
 def decode_layer(payload: bytes) -> dict:
-    version = 1
-    name = None
+    version = None  # required proto2 field (fixture 024 errors when absent)
+    name = None     # required proto2 field (fixture 023 errors when absent)
     extent = 4096
     keys: List[str] = []
     values: List[Val] = []
@@ -551,6 +551,12 @@ def decode_layer(payload: bytes) -> dict:
             extent = v
         else:  # foreign field: preserve, don't drop (Types.hs:23-35)
             unknowns += _reencode_field(field, wire, v)
+    if name is None or version is None:
+        # layer name and version are proto2 REQUIRED fields — a tile
+        # missing either is malformed (mvt-fixtures 023/024; the
+        # reference surfaces its protobuf library's "Required fields
+        # missing when processing ProtoName")
+        raise MvtError("Required fields missing when processing ProtoName")
     features = []
     for raw in raw_features:
         fid = 0
