@@ -212,14 +212,27 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
                      F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig_hash"))
             for b in range(bands)])).alias("bs"))
     banded = banded.select("doc_id", "bs.band", "bs.sig_hash")
-    buckets = (banded.groupBy("band", "sig_hash")
-                     .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    return banded_pairs(banded, "doc_id", ("band", "sig_hash"),
+                        out_cols=("doc_a", "doc_b"))
+
+
+def banded_pairs(banded: DataFrame, id_col: str,
+                 band_cols=("band", "sig_hash"),
+                 out_cols=("id_a", "id_b")) -> DataFrame:
+    """Distinct unordered id pairs sharing any band bucket — the
+    single-shuffle blocking shape used by MinHash LSH, SimHash, and
+    phash near-dup: groupBy the bucket key (map-side partial
+    collect_set), generate i<j pairs JVM-side from the sorted id
+    array, distinct over the O(candidates) pair set."""
+    a, b = out_cols
+    buckets = (banded.groupBy(*band_cols)
+                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
                      .filter(F.size("ids") > 1))
     pairs = buckets.select(F.explode(F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "b -> struct(a AS doc_a, b AS doc_b))))")).alias("p"))
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+        f"flatten(transform(ids, (a, i) -> "
+        f"transform(slice(ids, i + 2, size(ids) - i - 1), "
+        f"b -> struct(a AS {a}, b AS {b}))))")).alias("p"))
+    return pairs.select(f"p.{a}", f"p.{b}").distinct()
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,23 +394,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented(spark, sf_dir)
     sig = simhash_signatures(aug).cache()
     bands = sig.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftright("simhash", _BAND_W * b)
                       .bitwiseAND(F.lit((1 << _BAND_W) - 1)).alias("chunk"))
             for b in range(SIMHASH_BANDS)])).alias("bs"))
-    bands = bands.select("doc_id", "simhash", "bs.band", "bs.chunk")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-             .distinct())
+    bands = bands.select("doc_id", "bs.band", "bs.chunk")
+    cand = banded_pairs(bands, "doc_id", ("band", "chunk"),
+                        out_cols=("doc_a", "doc_b"))
+    sha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    shb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", ham.cast("int"))
+    return (cand.join(sha, "doc_a").join(shb, "doc_b")
+                .withColumn("hamming", ham.cast("int"))
                 .filter(F.col("hamming") <= 3)
                 .select("doc_a", "doc_b", "hamming"))
 

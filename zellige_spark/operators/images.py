@@ -134,24 +134,24 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 3,
     if max_hamming > 3:
         raise ValueError("4x16-bit blocking guarantees recall only for "
                          "max_hamming <= 3; add bands for larger radii")
-    bands = images.select(
-        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"),
+    from .dedup import banded_pairs
+
+    base = images.select(F.col(id_col).alias("_id"),
+                         F.col(phash_col).alias("_ph"))
+    bands = base.select(
+        "_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright(phash_col, 16 * b)
+                     F.shiftright("_ph", 16 * b)
                       .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
             for b in range(4)])).alias("bs"))
-    bands = bands.select("_id", "_ph", "bs.band", "bs.chunk")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                     F.col("a._ph").alias("ph_a"), F.col("b._ph").alias("ph_b"))
-             .distinct())
+    bands = bands.select("_id", "bs.band", "bs.chunk")
+    cand = banded_pairs(bands, "_id", ("band", "chunk"))
+    pa = base.select(F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"))
+    pb = base.select(F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b"))
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
-    return (cand.withColumn("hamming", ham)
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+                .withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
 
