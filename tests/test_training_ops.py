@@ -131,11 +131,18 @@ def test_resize_block_mean(spark):
 def test_video_stub_raises(spark):
     from zellige_spark.operators import images as IMG
 
-    with pytest.raises(NotImplementedError):
-        IMG.sample_video_frames(None)
-    # jpeg is REAL since round 3 (kernel/jpeg.py); webp stays stubbed
+    # jpeg (kernel/jpeg.py), wav and y4m (kernel/media.py) are REAL
+    # since round 3; webp and compressed audio/video stay stubbed
     with pytest.raises(NotImplementedError):
         IMG.decode_any(b"xx", "webp", 4, 4)
+    vids = spark.createDataFrame([("v0", b"xx", "mp4")],
+                                 "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError"):
+        IMG.sample_video_frames(vids).collect()
+    auds = spark.createDataFrame([("a0", b"xx", "mp3")],
+                                 "audio_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError"):
+        IMG.sample_audio_windows(auds).collect()
 
 
 def test_streaming_windows_match_batch(spark, tmp_path):

@@ -102,24 +102,77 @@ def resize_block_mean(images: DataFrame, out_w: int = 8, out_h: int = 8) -> Data
     return images.mapInPandas(run, RESIZE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = ("audio_id string, window_idx int, pcm_bytes binary, "
+                       "sample_rate int, n_samples int, rms double, "
+                       "peak double")
+
+
 def sample_audio_windows(audio: DataFrame, window_ms: int = 1000) -> DataFrame:
-    """Audio window sampling STUB: the container has no audio codecs.
-    The call shape (opaque binary column + typed metadata in, exploded
-    window rows out) is the real contract; decoding raises."""
-    raise NotImplementedError(
-        "audio decoding unavailable in this environment; "
-        "expected plumbing: mapInPandas(audio) -> rows "
-        "(audio_id, window_idx, pcm_bytes, sample_rate, n_samples)")
+    """Audio window sampling over (audio_id, bytes, fmt) rows: WAV
+    (RIFF PCM / IEEE float) decodes FOR REAL via the pure-numpy parser
+    in `kernel/media.py`; each clip explodes into fixed-length mono
+    windows carrying float32 PCM plus rms/peak stats.  Compressed
+    codecs (mp3/aac/...) raise NotImplementedError inside the UDF —
+    the only remaining stub surface for audio."""
+    from ..kernel import media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio codec {r.fmt!r} requires a decoder library "
+                        f"not present in this environment (wav is real)")
+                x, rate = media.decode_wav(bytes(r.bytes))
+                mono = x.mean(axis=1)
+                win = max(1, int(rate * window_ms / 1000))
+                for wi in range(0, (len(mono) + win - 1) // win):
+                    seg = mono[wi * win:(wi + 1) * win]
+                    rows.append((r.audio_id, wi,
+                                 seg.astype(np.float32).tobytes(), rate,
+                                 len(seg), float(np.sqrt(np.mean(seg ** 2))),
+                                 float(np.max(np.abs(seg)))))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "window_idx", "pcm_bytes", "sample_rate",
+                "n_samples", "rms", "peak"])
+
+    return audio.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = ("video_id string, frame_idx int, w int, h int, "
+                      "bytes binary, fmt string")
 
 
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling STUB: the container has no video codecs.
-    The call shape (binary column in, exploded frame rows out) is the
-    real contract; decoding raises."""
-    raise NotImplementedError(
-        "video decoding unavailable in this environment; "
-        "expected plumbing: mapInPandas(videos) -> rows "
-        "(video_id, frame_idx, frame_bytes, w, h)")
+    """Video frame sampling over (video_id, bytes, fmt) rows: Y4M
+    (YUV4MPEG2) decodes FOR REAL via `kernel/media.py` — fixed-size
+    frame payloads make sampling frame k an O(1) offset seek, so a
+    long clip costs only the frames actually emitted.  Sampled frames
+    come out as raw RGB rows ready for `decode_any`/resize.
+    Compressed codecs (h264/vp9/...) raise NotImplementedError inside
+    the UDF — the only remaining stub surface for video."""
+    from ..kernel import media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "y4m":
+                    raise NotImplementedError(
+                        f"video codec {r.fmt!r} requires a decoder library "
+                        f"not present in this environment (y4m is real)")
+                data = bytes(r.bytes)
+                _, meta = media.decode_y4m(data, frame_indices=[])
+                idxs = list(range(0, meta["n_frames"], every_n))
+                frames, _ = media.decode_y4m(data, frame_indices=idxs)
+                for k, fi in enumerate(idxs):
+                    rows.append((r.video_id, fi, meta["w"], meta["h"],
+                                 frames[k].tobytes(), "raw"))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "w", "h", "bytes", "fmt"])
+
+    return videos.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 def phash_near_dup(images: DataFrame, max_hamming: int = 3,
