@@ -123,8 +123,8 @@ def main() -> None:
     # corpus's tiny vocabulary and LSH banding prunes candidates — the
     # char-3-gram variant (every pair a candidate on this vocabulary)
     # remains the documented small-N verifier; see operators/dedup.py.
-    # plan warmup (untimed): the 128-expression minhash aggregate costs
-    # ~14 s of one-time Janino codegen/JIT per JVM; Spark caches the
+    # plan warmup (untimed): the wide minhash aggregate (64 min-exprs)
+    # costs seconds of one-time Janino codegen/JIT per JVM; Spark caches the
     # generated classes by plan shape, so a tiny-corpus run compiles
     # them and the timed run measures steady-state throughput (as a
     # long-lived cluster executor would see)

