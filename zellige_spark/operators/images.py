@@ -209,6 +209,47 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 3,
                 .select("id_a", "id_b", "hamming"))
 
 
+def q_audio_windows(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; PCM bit-twiddling not SQL-expressible):
+    50 deterministic synthetic WAV tone clips -> fixed 500 ms mono
+    windows with rms/peak stats through the real RIFF parser."""
+    from ..kernel import media
+
+    rows = []
+    for i in range(50):
+        rate = 8000
+        dur = 0.6 + (i % 5) * 0.35
+        t = np.arange(int(rate * dur)) / rate
+        x = 0.4 * np.sin(2 * np.pi * (220.0 + 20.0 * i) * t)
+        rows.append((f"a{i:03d}", media.encode_wav(x, rate), "wav"))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = sample_audio_windows(df, window_ms=500)
+    return out.select("audio_id", "window_idx", "sample_rate", "n_samples",
+                      F.round("rms", 6).alias("rms_r"),
+                      F.round("peak", 6).alias("peak_r"))
+
+
+def q_video_frames(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; YUV plane parsing not SQL-expressible):
+    20 deterministic synthetic Y4M clips -> every-3rd raw RGB frame
+    with a crc32 over the pixel bytes (decode determinism pin)."""
+    from ..kernel import media
+
+    rows = []
+    for i in range(20):
+        n = 6 + (i % 9)
+        yy, xx = np.mgrid[0:24, 0:32]
+        frames = np.stack([
+            np.stack([(xx * 8 + k * 16 + i) % 256, (yy * 8) % 256,
+                      np.full((24, 32), (64 + k) % 256)], axis=-1)
+            for k in range(n)]).astype(np.uint8)
+        rows.append((f"v{i:03d}", media.encode_y4m(frames), "y4m"))
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = sample_video_frames(df, every_n=3)
+    return out.select("video_id", "frame_idx", "w", "h",
+                      F.crc32("bytes").alias("frame_crc"))
+
+
 def q_image_pipeline(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; protobuf/pixel logic not SQL-expressible):
     synthesize the input_hint-shaped table deterministically, run the

@@ -351,6 +351,10 @@ QUERIES = {
     "event_sessions": SESS.q_event_sessions,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
+    # multimodal audio/video sampling over the real WAV/Y4M parsers
+    # (rows-only: PCM/YUV bit layouts not SQL-expressible)
+    "audio_windows": IMG.q_audio_windows,
+    "video_frames": IMG.q_video_frames,
     # raster<->vector materialization (rows-only: PNG/MVT not SQL)
     "raster_vector": q_raster_vector,
 }
