@@ -182,12 +182,16 @@ def test_embed_quantize_roundtrip_error_bound(spark):
         assert np.abs(q).max() <= 127
 
 
-def test_audio_stub_raises(spark):
+def test_audio_compressed_codec_raises(spark):
+    # round 3 made WAV real (kernel/media.py); the remaining stub
+    # surface is compressed codecs, which raise inside the UDF
     from zellige_spark.operators import images as IMG
 
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        IMG.sample_audio_windows(None)
+    df = spark.createDataFrame([("a0", b"\x00\x01", "mp3")],
+                               "audio_id string, bytes binary, fmt string")
+    with _pytest.raises(Exception, match="NotImplementedError|decoder library"):
+        IMG.sample_audio_windows(df).collect()
 
 
 def test_simhash_plan_has_no_python(spark):

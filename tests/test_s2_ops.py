@@ -1,0 +1,139 @@
+"""Spark-side S2 index tests: Column twin == numpy kernel, pure-JVM
+plan, DuckDB oracle parity, and S2-backed kNN == brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zellige_spark.kernel import s2 as K
+from zellige_spark.operators import knn as KNN
+from zellige_spark.operators import s2cells as S2C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def random_points(spark):
+    rng = np.random.default_rng(99)
+    n = 20000
+    pdf = pd.DataFrame({"id": np.arange(n),
+                        "lon": rng.uniform(-180, 180, n),
+                        "lat": rng.uniform(-90, 90, n)})
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_column_twin_matches_kernel(spark, random_points):
+    pdf, df = random_points
+    level = 12
+    out = (S2C.with_s2_cell(df, level)
+           .select("id", "s2_face", "s2_i", "s2_j", "s2_pos", "s2_cid")
+           .orderBy("id").toPandas())
+    face, i, j, pos = K.lonlat_to_cell(pdf.lon.to_numpy(), pdf.lat.to_numpy(), level)
+    assert np.array_equal(out.s2_face.to_numpy(), face)
+    assert np.array_equal(out.s2_i.to_numpy(), i)
+    assert np.array_equal(out.s2_j.to_numpy(), j)
+    assert np.array_equal(out.s2_pos.to_numpy(), pos)
+    assert np.array_equal(out.s2_cid.to_numpy(), K.cid_pack(face, pos, level))
+
+
+def test_assignment_plan_is_pure_jvm(spark, random_points):
+    _, df = random_points
+    plan = S2C.with_s2_cell(df, 12)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # assignment is shuffle-free
+
+
+def test_driver_query_matches_duckdb_oracle(spark):
+    import duckdb
+
+    sp = (S2C.q_s2_cell_assign(spark, SF)
+          .orderBy("c_custkey", "level").toPandas())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{SF}/customer.parquet')")
+    du = con.execute(S2C.sql_s2_cell_assign()
+                     + " ORDER BY c_custkey, level").fetchdf()
+    assert len(sp) == len(du) > 0
+    for c in ["c_custkey", "level", "s2_face", "s2_pos", "s2_cid"]:
+        assert np.array_equal(sp[c].to_numpy(), du[c].to_numpy()), c
+
+
+def test_hierarchy_inside_driver_query(spark):
+    out = S2C.q_s2_cell_assign(spark, SF).toPandas()
+    by_level = {lv: g.set_index("c_custkey") for lv, g in out.groupby("level")}
+    l12, l8 = by_level[12], by_level[8]
+    joined = l12.join(l8, rsuffix="_8")
+    assert np.array_equal(joined.s2_cid.to_numpy() >> (2 * 4),
+                          joined.s2_cid_8.to_numpy())
+
+
+def test_knn_s2_fixed_ring_equals_brute_on_dense(spark):
+    rng = np.random.default_rng(5)
+    d = spark.createDataFrame(pd.DataFrame({
+        "data_id": np.arange(4000),
+        "lon": rng.uniform(-180, 180, 4000),
+        "lat": rng.uniform(-85, 85, 4000)}))
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(30),
+        "lon": rng.uniform(-180, 180, 30),
+        "lat": rng.uniform(-85, 85, 30)}))
+    got = (S2C.knn_s2_kring(q, d, k=5, level=2, ring=3, data_id="data_id")
+           .select("query_id", "neighbor_id", "rank")
+           .orderBy("query_id", "rank").toPandas())
+    want = (KNN.knn_bruteforce(q, d, k=5, data_id="data_id")
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank").toPandas())
+    assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+def test_knn_s2_adaptive_equals_brute_on_sparse(spark):
+    # 40 points clustered in one region, queries far away and inside:
+    # the fixed-ring contract would need a huge ring; adaptive expands
+    rng = np.random.default_rng(3)
+    d = spark.createDataFrame(pd.DataFrame({
+        "data_id": np.arange(40),
+        "lon": rng.uniform(100, 110, 40),
+        "lat": rng.uniform(-10, 0, 40)}))
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1, 2],
+        "lon": [-150.0, 105.0, 30.0],
+        "lat": [80.0, -5.0, 45.0]}))
+    got = (S2C.knn_s2_adaptive(q, d, k=5, level=4, start_ring=1, data_id="data_id")
+           .select("query_id", "neighbor_id", "rank")
+           .orderBy("query_id", "rank").toPandas())
+    want = (KNN.knn_bruteforce(q, d, k=5, data_id="data_id")
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank").toPandas())
+    assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+def test_knn_s2_fewer_than_k(spark):
+    d = spark.createDataFrame(pd.DataFrame({
+        "data_id": [0, 1], "lon": [10.0, 11.0], "lat": [45.0, 45.5]}))
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": [7], "lon": [-120.0], "lat": [-30.0]}))
+    got = (S2C.knn_s2_adaptive(q, d, k=5, level=3, data_id="data_id")
+           .orderBy("rank").toPandas())
+    assert list(got.neighbor_id) in ([0, 1], [1, 0])
+    assert len(got) == 2  # all that exist
+
+
+def test_knn_s2_driver_query_matches_brute_oracle(spark):
+    from zellige_spark.queries import CUST_LAT, CUST_LON, NAT_LAT, NAT_LON
+
+    got = (S2C.q_knn_s2(spark, SF)
+           .orderBy("query_id", "rank").toPandas())
+    queries = (spark.read.parquet(f"{SF}/nation.parquet")
+               .select(F.col("n_nationkey").alias("query_id"),
+                       F.expr(NAT_LON).alias("lon"), F.expr(NAT_LAT).alias("lat")))
+    data = (spark.read.parquet(f"{SF}/customer.parquet")
+            .select(F.col("c_custkey").alias("data_id"),
+                    F.expr(CUST_LON).alias("lon"), F.expr(CUST_LAT).alias("lat")))
+    want = (KNN.knn_bruteforce(queries, data, k=5,
+                               query_id="query_id", data_id="data_id")
+            .select(F.col("query_id").cast("long"),
+                    F.col("neighbor_id").cast("long"),
+                    F.col("rank").cast("int"))
+            .orderBy("query_id", "rank").toPandas())
+    assert np.array_equal(got.to_numpy(), want.to_numpy())

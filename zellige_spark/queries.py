@@ -314,6 +314,7 @@ def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
+from .operators import s2cells as S2C  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
 from .streaming import events as EV  # noqa: E402
@@ -326,6 +327,10 @@ QUERIES = {
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     "knn_kring": q_knn,
+    # S2 hierarchical sphere index (north rule "H3/S2 index"): pure
+    # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
+    "s2_cell_assign": S2C.q_s2_cell_assign,
+    "knn_s2": S2C.q_knn_s2,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
     # text analysis
@@ -365,6 +370,9 @@ ORACLES = {
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "knn_kring": sql_knn(),
+    "s2_cell_assign": S2C.sql_s2_cell_assign(),
+    # the S2 index must not change the kNN answer: same brute oracle
+    "knn_s2": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
