@@ -394,8 +394,18 @@ def _packed_varints(payload: bytes) -> List[int]:
     return out
 
 
+#: expected protobuf wire type per Value one-of field (string=2,
+#: float=5, double=1, int/uint/sint/bool=0) — a known field arriving
+#: with the wrong wire type is malformed (mvt-fixture 010: an int
+#: pretending to be a string must NOT silently decode)
+_VALUE_WIRES = {1: 2, 2: 5, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
 def decode_value(payload: bytes) -> Val:
     for field, wire, v in _scan_fields(payload):
+        if field in _VALUE_WIRES and wire != _VALUE_WIRES[field]:
+            raise MvtError(
+                f"Unknown field found or failure parsing field {field} in Value")
         if field == 1:
             return ("st", v.decode("utf-8"))
         if field == 2:
@@ -536,7 +546,14 @@ def decode_layer(payload: bytes) -> dict:
     values: List[Val] = []
     raw_features = []
     unknowns = bytearray()
+    # known layer fields must arrive with their declared wire type
+    # (mvt-fixtures 007/008/013: version/extent/key encoded as the
+    # wrong type must error, matching the reference's protobuf layer)
+    layer_wires = {15: 0, 1: 2, 2: 2, 3: 2, 4: 2, 5: 0}
     for field, wire, v in _scan_fields(payload):
+        if field in layer_wires and wire != layer_wires[field]:
+            raise MvtError(
+                f"Unknown field found or failure parsing field {field} in Layer")
         if field == 15:
             version = v
         elif field == 1:
