@@ -102,6 +102,13 @@ def main() -> None:
     extras["mvt_bytes"] = int(row[2])
     extras["tiles_per_sec"] = round(row[0] / timings["encode_z0_14"])
 
+    # 2b. S2 cell assignment at level 12 (pure Column math: the
+    # hierarchical sphere index behind knn_s2 / range partitioning)
+    from zellige_spark.operators import s2cells as S2C
+    n_s2 = bench("s2_assign_l12",
+                 lambda: S2C.with_s2_cell(pts, 12).count())
+    extras["s2_cells_assigned_per_sec"] = round(n_s2 / timings["s2_assign_l12"])
+
     # 3. PIP join vs 2000-polygon dim table
     extras["pip_matches"] = bench(
         "pip_join", lambda: PIP.pip_join_broadcast(pts, polys).count())

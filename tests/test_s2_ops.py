@@ -119,6 +119,49 @@ def test_knn_s2_fewer_than_k(spark):
     assert len(got) == 2  # all that exist
 
 
+def test_repartition_by_s2_locality_ranges_disjoint(spark, tmp_path):
+    # range partitioning by the Hilbert cid must yield files whose cid
+    # ranges are non-overlapping compact regions — the property that
+    # lets cid-range predicates prune files at scale
+    rng = np.random.default_rng(11)
+    n = 20000
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(n),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-90, 90, n)}))
+    out = S2C.repartition_by_s2_locality(df, level=10, partitions=8)
+    path = str(tmp_path / "s2layout")
+    out.write.parquet(path)
+    import glob
+
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["s2_cid"])
+        c = t.column("s2_cid").to_numpy()
+        if len(c):
+            ranges.append((c.min(), c.max()))
+            # sorted within the file -> row-group stats prune in-file
+            assert np.all(np.diff(c) >= 0)
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint cid ranges across files
+
+    # a predicate covering exactly one file's cid range returns exactly
+    # that file's rows, and the scan pushes the cid filter down
+    back = spark.read.parquet(path)
+    lo, hi = int(ranges[2][0]), int(ranges[2][1])
+    one_file = back.filter((F.col("s2_cid") >= lo) & (F.col("s2_cid") <= hi))
+    per_file_rows = pq.read_table(
+        sorted(glob.glob(f"{path}/part-*.parquet"))[0].rsplit("/", 1)[0],
+        columns=["s2_cid"]).column("s2_cid").to_numpy()
+    want = int(((per_file_rows >= lo) & (per_file_rows <= hi)).sum())
+    assert one_file.count() == want > 0
+    plan = one_file._jdf.queryExecution().executedPlan().toString()
+    assert "s2_cid" in plan and "PushedFilters" in plan
+
+
 def test_knn_s2_driver_query_matches_brute_oracle(spark):
     from zellige_spark.queries import CUST_LAT, CUST_LON, NAT_LAT, NAT_LON
 

@@ -282,6 +282,28 @@ def knn_s2_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
     return out
 
 
+# --- spatial-locality layout -----------------------------------------------
+
+def repartition_by_s2_locality(df: DataFrame, level: int = 12,
+                               partitions: int | None = None,
+                               lon_col: str = "lon",
+                               lat_col: str = "lat") -> DataFrame:
+    """Range-partition rows by S2 cid so each output partition (and
+    hence each written file) covers a compact spatial region.
+
+    This is the cid's reason to be a HILBERT index and not just a hash:
+    cid order is spatial order, so ``repartitionByRange`` gives files
+    whose cid min/max ranges are non-overlapping compact regions, and a
+    cid-range predicate (any "near X" query after ``with_s2_cell``)
+    prunes to the few files whose stats overlap — at 100 TB the
+    difference between touching ~everything and touching a handful of
+    files.  Rows are additionally sorted by cid inside each partition
+    so parquet row-group stats prune within files too."""
+    df = with_s2_cell(df, level, lon_col, lat_col)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, F.col("s2_cid")).sortWithinPartitions("s2_cid")
+
+
 # --- driver queries --------------------------------------------------------
 
 # Derived coordinates for the s2 oracle: same integer lattices as
