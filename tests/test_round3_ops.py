@@ -139,3 +139,49 @@ def test_feature_tiles_salted_matches_grouped(spark, mode):
             == salted["feature_count"].to_numpy()).all()
     for a, b in zip(grouped["mvt"], salted["mvt"]):
         assert bytes(a) == bytes(b)  # byte-identical strategies
+
+
+# --- connected components over near-dup pairs ------------------------------
+
+def test_connected_components_shapes(spark):
+    from zellige_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, star 10-(11,12,13), singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # pointer jumping: a 64-node path collapses well inside max_iter
+    from zellige_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "doc_a long, doc_b long")
+    got = connected_components(pairs, max_iter=10).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 64
+
+
+def test_dedup_components_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from zellige_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    sp = DD.q_dedup_components(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    du = con.execute(DD.sql_dedup_components()).fetchdf()
+    assert len(sp) == len(du) > 0
+    import numpy as np
+    assert np.array_equal(sp["doc_id"].to_numpy(), du["doc_id"].to_numpy())
+    assert np.array_equal(sp["component"].to_numpy(), du["component"].to_numpy())
+    # at least one non-trivial cluster exists (augmented corpus)
+    assert (sp["component"] != sp["doc_id"]).any()

@@ -451,3 +451,102 @@ def sql_dedup_simhash() -> str:
     SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """
+
+
+# --- connected components over near-dup pairs ------------------------------
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b", max_iter: int = 30) -> DataFrame:
+    """Connected components of the near-dup pair graph: (node, component)
+    with component = min node id reachable.  The dedup families emit
+    PAIRS; a training pipeline needs components to pick one canonical
+    document per duplicate cluster (keep min id, drop the rest).
+
+    Plan: min-label propagation with pointer jumping.  Each round is
+    (1) every node takes the min of its own and its neighbors' labels
+    (one join + one groupBy shuffle over the edge table) and (2) a
+    pointer-jumping step label <- label(label) (one self-join), which
+    collapses chains exponentially — O(log n) rounds on a path graph
+    instead of O(n).  Rounds localCheckpoint so round r never recomputes
+    rounds < r; each round costs O(|E|) shuffle traffic, so the total is
+    O(|E| log n) — the standard scalable CC recipe.  Near-dup clusters
+    are short-diameter in practice; convergence is detected exactly
+    (no label changed), with ``max_iter`` as a safety bound."""
+    edges = (pairs.select(F.col(a).cast("long").alias("src"),
+                          F.col(b).cast("long").alias("dst"))
+             .union(pairs.select(F.col(b).cast("long").alias("src"),
+                                 F.col(a).cast("long").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("node").alias("dst"),
+                                       F.col("comp").alias("dcomp")), "dst")
+                   .groupBy("src").agg(F.min("dcomp").alias("nbr")))
+        stepped = (labels
+                   .join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
+                   .select("node", F.least(F.col("comp"),
+                                           F.coalesce("nbr", F.col("comp"))).alias("comp")))
+        # pointer jumping: comp <- comp's own current label (labels are
+        # always node ids, so the lookup is total)
+        jumped = (stepped
+                  .join(stepped.select(F.col("node").alias("cnode"),
+                                       F.col("comp").alias("ccomp")),
+                        stepped.comp == F.col("cnode"), "left")
+                  .select("node", F.coalesce("ccomp", "comp").alias("comp"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+                   .filter(F.col("comp") != F.col("old")))
+        labels = jumped
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_canonical(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Full-corpus component assignment: every doc gets the component id
+    (min doc id of its duplicate cluster; singletons map to themselves).
+    Downstream, `filter(doc_id == component)` keeps one canonical doc
+    per cluster — the end-to-end dedup decision."""
+    comps = connected_components(pairs)
+    return (docs.select(F.col(id_col).cast("long").alias(id_col))
+            .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col)).alias("component")))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization over the MinHash-words pair graph: every
+    augmented doc -> its duplicate-cluster component id."""
+    pairs = q_dedup_minhash_words(spark, sf_dir)
+    docs = _augmented(spark, sf_dir).select("doc_id")
+    return dedup_canonical(docs, pairs).orderBy("doc_id")
+
+
+def sql_dedup_components() -> str:
+    # transitive closure by recursive CTE (UNION dedups, so it
+    # terminates); component = min reachable node — tractable at the
+    # oracle scale because near-dup clusters are tiny
+    pair_sql = sql_dedup_minhash_words()
+    return f"""
+    WITH RECURSIVE _pairs AS ({pair_sql}),
+    _edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM _pairs
+      UNION ALL SELECT doc_b, doc_a FROM _pairs
+    ),
+    _reach(node, r) AS (
+      SELECT s, d FROM _edges
+      UNION
+      SELECT _reach.node, _edges.d FROM _reach JOIN _edges ON _reach.r = _edges.s
+    ),
+    _comp AS (
+      SELECT node, least(node, MIN(r)) AS component FROM _reach GROUP BY node
+    ),
+    _aug AS ({_AUG_DUCK})
+    SELECT CAST(_aug.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(_comp.component, _aug.doc_id) AS BIGINT) AS component
+    FROM _aug LEFT JOIN _comp ON _comp.node = _aug.doc_id
+    ORDER BY doc_id
+    """

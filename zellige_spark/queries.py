@@ -344,6 +344,8 @@ QUERIES = {
     "dedup_minhash_lsh": DD.q_dedup_minhash_lsh,
     "dedup_minhash_words": DD.q_dedup_minhash_words,
     "dedup_simhash": DD.q_dedup_simhash,
+    # pair graph -> duplicate clusters -> canonical doc per cluster
+    "dedup_components": DD.q_dedup_components,
     # similarity search
     "ann_bruteforce": SIM.q_ann_bruteforce,
     "ann_lsh": SIM.q_ann_lsh,
@@ -383,6 +385,7 @@ ORACLES = {
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
     "dedup_minhash_words": DD.sql_dedup_minhash_words(),
     "dedup_simhash": DD.sql_dedup_simhash(),
+    "dedup_components": DD.sql_dedup_components(),
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "embed_quantize": SIM.sql_embed_quantize(),
