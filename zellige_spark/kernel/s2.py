@@ -274,33 +274,55 @@ def neighbors(face, i, j, level):
     return (np.stack(fs, axis=1), np.stack(is_, axis=1), np.stack(js, axis=1))
 
 
-def kring_cids(face, i, j, level, ring):
-    """Compact cids of every cell within ``ring`` neighbor expansions of
-    each input cell.  Returns a list of sorted int64 arrays (one per
-    input cell) — query-side fan-out for the kNN join, so inputs are
-    small by contract (the data side never calls this)."""
+def kring_flat(face, i, j, level, ring):
+    """Vectorized k-ring over a whole BATCH of cells at once: returns
+    ``(owners, cids)`` — for each input index m, the sorted compact
+    cids of every cell within ``ring`` neighbor expansions of cell m
+    appear with ``owners == m``.  The expansion is whole-batch numpy
+    (one ``neighbors`` call + int64 set algebra per ring; no per-row
+    Python loop), so a large query table fans out in one Arrow pass."""
     face = np.atleast_1d(np.asarray(face, dtype=np.int64))
     i = np.atleast_1d(np.asarray(i, dtype=np.int64))
     j = np.atleast_1d(np.asarray(j, dtype=np.int64))
-    out = []
-    for m in range(face.shape[0]):
-        seen_f = np.array([face[m]]); seen_i = np.array([i[m]]); seen_j = np.array([j[m]])
-        seen = {(int(face[m]), int(i[m]), int(j[m]))}
-        frontier = (seen_f, seen_i, seen_j)
-        for _ in range(ring):
-            nf, ni, nj = neighbors(*frontier, level)
-            cand = np.stack([nf.ravel(), ni.ravel(), nj.ravel()], axis=1)
-            fresh = [tuple(int(c) for c in row) for row in cand]
-            new = [t for t in fresh if t not in seen]
-            if not new:
-                break
-            seen.update(new)
-            arr = np.asarray(sorted(set(new)), dtype=np.int64)
-            frontier = (arr[:, 0], arr[:, 1], arr[:, 2])
-        all_cells = np.asarray(sorted(seen), dtype=np.int64)
-        pos = ij_to_pos(all_cells[:, 0], all_cells[:, 1], all_cells[:, 2], level)
-        out.append(np.sort(cid_pack(all_cells[:, 0], pos, level)))
-    return out
+    m = face.shape[0]
+    owners0 = np.arange(m, dtype=np.int64)
+
+    def key(owner, f, ii, jj):
+        # (owner, face, i, j) -> one sortable int64; valid while
+        # owner < 2^(60 - 2*level) / 8 (level<=16 -> owners < 2^25)
+        return (((owner * 8 + f) << (2 * level)) | (ii << level) | jj)
+
+    def unkey(k):
+        jj = k & ((1 << level) - 1)
+        ii = (k >> level) & ((1 << level) - 1)
+        of = k >> (2 * level)
+        return of >> 3, of & 7, ii, jj
+
+    seen = np.sort(key(owners0, face, i, j))
+    frontier = seen
+    for _ in range(ring):
+        fo, ff, fi, fj = unkey(frontier)
+        nf, ni, nj = neighbors(ff, fi, fj, level)
+        cand = np.unique(key(np.repeat(fo, 8), nf.ravel(), ni.ravel(), nj.ravel()))
+        fresh = cand[~np.isin(cand, seen, assume_unique=True)]
+        if fresh.size == 0:
+            break
+        seen = np.sort(np.concatenate([seen, fresh]))
+        frontier = fresh
+    so, sf, si, sj = unkey(seen)
+    pos = ij_to_pos(sf, si, sj, level)
+    cids = cid_pack(sf, pos, level)
+    order = np.lexsort((cids, so))
+    return so[order], cids[order]
+
+
+def kring_cids(face, i, j, level, ring):
+    """Per-input list-of-arrays view of ``kring_flat`` (one sorted cid
+    array per input cell)."""
+    owners, cids = kring_flat(face, i, j, level, ring)
+    n = np.atleast_1d(np.asarray(face)).shape[0]
+    counts = np.bincount(owners, minlength=n)
+    return list(np.split(cids, np.cumsum(counts)[:-1]))
 
 
 # Minimum ground width of a level-``level`` cell (radians): the

@@ -182,23 +182,21 @@ def _query_ring_cells(queries: DataFrame, level: int, ring: int,
     out_schema = f"{query_id} long, _qlon double, _qlat double, s2_cid long"
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
         from ..kernel import s2 as K
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qid = pdf[query_id].to_numpy()
             lon = pdf[q_lon].to_numpy(dtype=float)
             lat = pdf[q_lat].to_numpy(dtype=float)
             face, i, j, _pos = K.lonlat_to_cell(lon, lat, level)
-            rings = K.kring_cids(face, i, j, level, ring)
-            counts = np.array([len(r) for r in rings])
+            # whole-batch vectorized ring expansion — no per-row Python
+            owners, cids = K.kring_flat(face, i, j, level, ring)
             yield pd.DataFrame({
-                query_id: np.repeat(qid, counts),
-                "_qlon": np.repeat(lon, counts),
-                "_qlat": np.repeat(lat, counts),
-                "s2_cid": np.concatenate(rings) if len(rings) else np.empty(0, np.int64),
+                query_id: pdf[query_id].to_numpy()[owners],
+                "_qlon": lon[owners],
+                "_qlat": lat[owners],
+                "s2_cid": cids,
             })
 
     cols = queries.select(F.col(query_id), F.col(q_lon).alias(q_lon),
