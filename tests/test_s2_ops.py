@@ -37,6 +37,23 @@ def test_column_twin_matches_kernel(spark, random_points):
     assert np.array_equal(out.s2_cid.to_numpy(), K.cid_pack(face, pos, level))
 
 
+def test_column_twin_matches_kernel_on_edge_points(spark):
+    # poles, antimeridian, equator, face centers and cube-corner
+    # directions: the coordinates where clamping/tie-break bugs live
+    pts = [(lon, lat)
+           for lon in (-180.0, -135.0, -90.0, -45.0, 0.0, 45.0, 90.0, 135.0, 180.0)
+           for lat in (-90.0, -45.0, -35.26438968, 0.0, 35.26438968, 45.0, 90.0)]
+    pdf = pd.DataFrame({"id": range(len(pts)),
+                        "lon": [p[0] for p in pts],
+                        "lat": [p[1] for p in pts]})
+    level = 11
+    out = (S2C.with_s2_cell(spark.createDataFrame(pdf), level)
+           .select("id", "s2_face", "s2_pos").orderBy("id").toPandas())
+    face, _i, _j, pos = K.lonlat_to_cell(pdf.lon.to_numpy(), pdf.lat.to_numpy(), level)
+    assert np.array_equal(out.s2_face.to_numpy(), face)
+    assert np.array_equal(out.s2_pos.to_numpy(), pos)
+
+
 def test_assignment_plan_is_pure_jvm(spark, random_points):
     _, df = random_points
     plan = S2C.with_s2_cell(df, 12)._jdf.queryExecution().executedPlan().toString()
