@@ -159,3 +159,30 @@ def test_streaming_windows_match_batch(spark, tmp_path):
     exp = EV.q_event_windows(spark, SF).toPandas() \
         .sort_values(["window_epoch", "event_type"], ignore_index=True)
     assert got.equals(exp)
+
+
+def test_training_mix_matches_duckdb_and_is_deterministic(spark):
+    import duckdb
+    import numpy as np
+
+    from zellige_spark.operators import text as TXT
+
+    sf = "/root/testdata/sf0.001"
+    sp = TXT.q_training_mix(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    du = con.execute(TXT.sql_training_mix()).fetchdf()
+    assert len(sp) == len(du) > 0
+    for c in ["doc_id", "pred_lang", "n_tokens", "mix_bucket"]:
+        assert np.array_equal(sp[c].to_numpy(), du[c].to_numpy()), c
+    # reproducible row-for-row (hash sampling, no RNG)
+    again = TXT.q_training_mix(spark, sf).toPandas()
+    assert np.array_equal(sp["doc_id"].to_numpy(), again["doc_id"].to_numpy())
+    # quality gate actually filters and sampling actually drops rows
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert 0 < len(sp) < n_docs
+    # sub-unit rates downsample their language deterministically:
+    # every kept row's bucket is under its language's rate
+    rate = sp.pred_lang.map(TXT.MIX_RATES).fillna(TXT.MIX_RATES["und"])
+    assert (sp.mix_bucket.to_numpy() < rate.to_numpy()).all()

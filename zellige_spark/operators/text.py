@@ -168,3 +168,113 @@ def sql_fingerprint() -> str:
     return f"""
     SELECT doc_id, md5(lower({_SQUASHED})) AS fingerprint FROM documents
     """
+
+
+# --- training-mix construction ---------------------------------------------
+
+# per-language keep rates for the corpus mix, applied via a
+# deterministic integer hash (Knuth multiplicative, identical BIGINT
+# arithmetic in Spark and DuckDB — no engine RNG anywhere, so the mix
+# is reproducible row-for-row and the oracle hash-matches)
+MIX_RATES = {"en": 1000, "de": 500, "fr": 250, "es": 250, "und": 100}  # per-mille
+MIX_MIN_TOKENS = 5
+MIX_MAX_PUNCT = 0.2
+_MIX_HASH = "((doc_id * 2654435761) % 1000)"
+
+
+def _mix_rate_case(lang_expr: str) -> str:
+    whens = " ".join(f"WHEN '{l}' THEN {r}" for l, r in sorted(MIX_RATES.items()))
+    return f"(CASE {lang_expr} {whens} ELSE {MIX_RATES['und']} END)"
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix construction — the step that turns raw documents into
+    a training mix: quality gate (min tokens, max punctuation ratio),
+    language ID, then per-language downsampling by a deterministic hash
+    so the mix ratios are exact and reproducible (no RNG, no
+    shuffle-order dependence).  Pure Column math end to end; at 100 TB
+    this is a map-only scan that prunes to the kept fraction before
+    any downstream shuffle."""
+    langs = sorted(STOPWORDS)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Normalize text ONCE per row; the barrier id stops Catalyst
+    # project collapsing from re-inlining the normalization tree into
+    # every counter downstream.  Counters are per-NEEDLE-LIST aggregate
+    # folds over literal arrays (one occurrence template per list, the
+    # needle is the lambda variable) instead of N unrolled occurrence
+    # expressions: the naive unrolled form exceeded Janino's 64KB
+    # method limit for the fused stage and fell back to interpreted
+    # execution for the whole pipeline.
+    df = df.select(
+        "doc_id", "text",
+        F.expr(_PADDED).alias("_pad"),
+        F.expr(_SQUASHED).alias("_sq"),
+        F.monotonically_increasing_id().alias("_barrier"))
+
+    def occ_sum(col: str, needles: list) -> F.Column:
+        arr = F.array(*[F.lit(n) for n in needles])
+        return F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda acc, w: acc + ((F.length(F.col(col))
+                                   - F.length(F.replace(F.col(col), w)))
+                                  / F.length(w)).cast("long"))
+
+    n_tokens = F.expr(
+        "CASE WHEN length(_sq) = 0 THEN 0 ELSE "
+        f"{_occurrences('_sq', ' ')} + 1 END")
+    punct_n = occ_sum("text", PUNCT)
+    df = df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+         .otherwise(punct_n.cast("double") / F.length("text")).alias("punct_ratio"),
+        *[occ_sum("_pad", [f" {w} " for w in STOPWORDS[l]]).alias(f"_s_{l}")
+          for l in langs],
+        F.monotonically_increasing_id().alias("_barrier2"))
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.lit("und")
+    # the keep-rate is a SIBLING CASE over the same score predicates,
+    # not a CASE nested on pred_lang: nesting re-inlines the whole
+    # pred expression into every WHEN and blows Janino's 64KB method
+    # limit (codegen falls back to interpreted — measured 7x slower)
+    rate = F.lit(MIX_RATES["und"])
+    for l in reversed(langs):
+        match = F.col(f"_s_{l}") == best
+        pred = F.when(match, F.lit(l)).otherwise(pred)
+        rate = F.when(match, F.lit(MIX_RATES.get(l, MIX_RATES["und"]))).otherwise(rate)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    rate = F.when(best <= 0, F.lit(MIX_RATES["und"])).otherwise(rate)
+    df = (df.withColumn("pred_lang", pred).withColumn("_rate", rate)
+            .filter((F.col("n_tokens") >= MIX_MIN_TOKENS)
+                    & (F.col("punct_ratio") <= MIX_MAX_PUNCT))
+            .filter(F.expr(_MIX_HASH) < F.col("_rate")))
+    return (df.select("doc_id", "pred_lang", "n_tokens",
+                      F.expr(_MIX_HASH).cast("int").alias("mix_bucket"))
+            .orderBy("doc_id"))
+
+
+def sql_training_mix() -> str:
+    scores = _lang_scores()
+    langs = sorted(scores)
+    punct = " + ".join(_occurrences("text", p) for p in PUNCT)
+    best = "greatest(" + ", ".join(f"({scores[l]})" for l in langs) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN ({scores[l]}) = {best} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({_TOKENS} AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST({punct} AS DOUBLE) / length(text) END AS punct_ratio,
+             {case} AS pred_lang
+      FROM documents
+    )
+    SELECT doc_id, pred_lang, n_tokens,
+           CAST({_MIX_HASH} AS INT) AS mix_bucket
+    FROM scored
+    WHERE n_tokens >= {MIX_MIN_TOKENS} AND punct_ratio <= {MIX_MAX_PUNCT}
+      AND {_MIX_HASH} < {_mix_rate_case("pred_lang")}
+    ORDER BY doc_id
+    """

@@ -338,6 +338,8 @@ QUERIES = {
     "text_quality": TXT.q_quality,
     "lang_id": TXT.q_lang_id,
     "fingerprint": TXT.q_fingerprint,
+    # quality gate + lang-ID + deterministic per-language downsampling
+    "training_mix": TXT.q_training_mix,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -380,6 +382,7 @@ ORACLES = {
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
     "fingerprint": TXT.sql_fingerprint(),
+    "training_mix": TXT.sql_training_mix(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
