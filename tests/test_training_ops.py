@@ -186,3 +186,31 @@ def test_training_mix_matches_duckdb_and_is_deterministic(spark):
     # every kept row's bucket is under its language's rate
     rate = sp.pred_lang.map(TXT.MIX_RATES).fillna(TXT.MIX_RATES["und"])
     assert (sp.mix_bucket.to_numpy() < rate.to_numpy()).all()
+
+
+def test_sequence_pack_matches_duckdb_and_respects_cap(spark):
+    import duckdb
+    import numpy as np
+
+    from zellige_spark.operators import text as TXT
+
+    sf = "/root/testdata/sf0.001"
+    sp = TXT.q_sequence_pack(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    du = con.execute(TXT.sql_sequence_pack()).fetchdf()
+    assert len(sp) == len(du) > 0
+    for c in ["doc_id", "bucket", "n_tokens", "seq_idx"]:
+        assert np.array_equal(sp[c].to_numpy(), du[c].to_numpy()), c
+    # every packed sequence respects the capacity unless it holds a
+    # single over-cap document
+    fills = sp.groupby(["bucket", "seq_idx"]).agg(
+        total=("n_tokens", "sum"), n=("doc_id", "count"))
+    over = fills[fills.total > TXT.PACK_CAP]
+    assert (over.n == 1).all()
+    # packing is dense: multiple docs per sequence on this corpus
+    assert (fills.n > 1).any()
+    # doc order within a (bucket, seq) is contiguous in doc_id order
+    for (_b, _s), grp in sp.groupby(["bucket", "seq_idx"]):
+        assert grp.doc_id.is_monotonic_increasing

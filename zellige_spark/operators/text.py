@@ -278,3 +278,71 @@ def sql_training_mix() -> str:
       AND {_MIX_HASH} < {_mix_rate_case("pred_lang")}
     ORDER BY doc_id
     """
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_CAP = 256          # token capacity of one training sequence
+PACK_BUCKETS = 8        # parallelism shards; packing is sequential per shard
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step after token counting in a training
+    pipeline: greedily pack documents (in doc_id order) into
+    fixed-capacity sequences.  Greedy packing is SEQUENTIAL by
+    definition, so parallelism comes from deterministic shards
+    (``doc_id % PACK_BUCKETS``), exactly how production packers scale:
+    each shard packs independently inside one ``applyInPandas`` group,
+    and shard count rises with the cluster, not the corpus.  Roll rule
+    (same on both engines): a non-first doc opens a new sequence when
+    it would overflow the capacity."""
+    import pandas as pd
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select(
+        "doc_id",
+        F.expr(_TOKENS).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % PACK_BUCKETS).cast("int").alias("bucket"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq = []
+        b, fill = 0, 0
+        for rn, t in enumerate(pdf["n_tokens"]):
+            if rn > 0 and fill + t > PACK_CAP:
+                b += 1
+                fill = 0
+            seq.append(b)
+            fill += t
+        pdf["seq_idx"] = seq
+        return pdf[["doc_id", "bucket", "n_tokens", "seq_idx"]]
+
+    out = toks.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, bucket int, n_tokens long, seq_idx long")
+    return out.orderBy("doc_id")
+
+
+def sql_sequence_pack() -> str:
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST({_TOKENS} AS BIGINT) AS n_tokens,
+             CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {PACK_BUCKETS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    step(bucket, rn, doc_id, n_tokens, seq_idx, fill) AS (
+      SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN s.fill + t.n_tokens > {PACK_CAP}
+                  THEN s.seq_idx + 1 ELSE s.seq_idx END,
+             CASE WHEN s.fill + t.n_tokens > {PACK_CAP}
+                  THEN t.n_tokens ELSE s.fill + t.n_tokens END
+      FROM step s JOIN toks t ON t.bucket = s.bucket AND t.rn = s.rn + 1
+    )
+    SELECT doc_id, bucket, n_tokens, seq_idx
+    FROM step ORDER BY doc_id
+    """

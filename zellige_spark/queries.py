@@ -340,6 +340,8 @@ QUERIES = {
     "fingerprint": TXT.q_fingerprint,
     # quality gate + lang-ID + deterministic per-language downsampling
     "training_mix": TXT.q_training_mix,
+    # greedy fixed-capacity sequence packing, sharded by bucket
+    "sequence_pack": TXT.q_sequence_pack,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -383,6 +385,7 @@ ORACLES = {
     "lang_id": TXT.sql_lang_id(),
     "fingerprint": TXT.sql_fingerprint(),
     "training_mix": TXT.sql_training_mix(),
+    "sequence_pack": TXT.sql_sequence_pack(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
