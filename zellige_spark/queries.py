@@ -317,6 +317,7 @@ from .operators import images as IMG  # noqa: E402
 from .operators import s2cells as S2C  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
+from .streaming import dedup as SDD  # noqa: E402
 from .streaming import events as EV  # noqa: E402
 from .streaming import sessions as SESS  # noqa: E402
 
@@ -360,6 +361,8 @@ QUERIES = {
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
     "event_sessions": SESS.q_event_sessions,
+    # batch twin of the cross-batch streaming dedup (streaming/dedup.py)
+    "dedup_verdicts": SDD.q_dedup_verdicts,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
     # multimodal audio/video sampling over the real WAV/Y4M parsers
@@ -398,4 +401,5 @@ ORACLES = {
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_sessions": SESS.sql_event_sessions(),
+    "dedup_verdicts": SDD.sql_dedup_verdicts(),
 }
