@@ -34,10 +34,12 @@ STATS_SCHEMA = ("image_id string, fmt string, w int, h int, "
 def decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Decode a payload; unsupported codecs raise (documented stub).
 
-    jpeg is REAL: a pure-numpy baseline JFIF codec (public ITU-T T.81
-    spec, `kernel/jpeg.py`) — the biggest codec stub retired.  webp /
-    video remain stubbed (no spec-feasible pure-numpy path here)."""
-    if fmt in ("raw", "ppm", "png", "jpeg"):
+    jpeg is REAL (pure-numpy baseline JFIF codec, public ITU-T T.81
+    spec, `kernel/jpeg.py`); gif is REAL (full GIF89a LZW decoder,
+    `kernel/gif.py` — first frame here, all frames via
+    ``sample_video_frames``).  webp / compressed video remain stubbed
+    (no spec-feasible pure-numpy path here)."""
+    if fmt in ("raw", "ppm", "png", "jpeg", "gif"):
         return synth.decode_image(bytes(data), fmt, w, h)
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this "
@@ -155,20 +157,30 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     from ..kernel import media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import gif as kgif
+
+        def emit(rows, vid, fi, frame):
+            rows.append((vid, fi, frame.shape[1], frame.shape[0],
+                         frame.tobytes(), "raw"))
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "y4m":
+                data = bytes(r.bytes)
+                if r.fmt == "y4m":
+                    _, meta = media.decode_y4m(data, frame_indices=[])
+                    idxs = list(range(0, meta["n_frames"], every_n))
+                    frames, _ = media.decode_y4m(data, frame_indices=idxs)
+                    for k, fi in enumerate(idxs):
+                        emit(rows, r.video_id, fi, frames[k])
+                elif r.fmt == "gif":  # animated GIF: real LZW decode
+                    frames, _delays = kgif.decode_gif(data)
+                    for fi in range(0, len(frames), every_n):
+                        emit(rows, r.video_id, fi, frames[fi])
+                else:
                     raise NotImplementedError(
                         f"video codec {r.fmt!r} requires a decoder library "
-                        f"not present in this environment (y4m is real)")
-                data = bytes(r.bytes)
-                _, meta = media.decode_y4m(data, frame_indices=[])
-                idxs = list(range(0, meta["n_frames"], every_n))
-                frames, _ = media.decode_y4m(data, frame_indices=idxs)
-                for k, fi in enumerate(idxs):
-                    rows.append((r.video_id, fi, meta["w"], meta["h"],
-                                 frames[k].tobytes(), "raw"))
+                        f"not present in this environment (y4m/gif are real)")
             yield pd.DataFrame(rows, columns=[
                 "video_id", "frame_idx", "w", "h", "bytes", "fmt"])
 

@@ -126,6 +126,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from .kernel import jpeg as kjpeg
 
         return kjpeg.decode_jpeg(bytes(data))
+    if fmt == "gif":
+        from .kernel import gif as kgif
+
+        return kgif.decode_gif(bytes(data))[0][0]  # first frame
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -140,6 +144,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .kernel import jpeg as kjpeg
 
         return kjpeg.encode_jpeg(pixels)
+    if fmt == "gif":
+        # palette-exact (lossless) for images with <= 256 distinct colors
+        from .kernel import gif as kgif
+
+        flat = pixels.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("gif: more than 256 distinct colors")
+        size = max(2, 1 << int(np.ceil(np.log2(max(2, len(pal))))))
+        pal = np.vstack([pal, np.zeros((size - len(pal), 3), np.uint8)])
+        idx = inv.reshape(pixels.shape[:2]).astype(np.uint8)
+        return kgif.encode_gif([idx], pal.astype(np.uint8), compress=True)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
