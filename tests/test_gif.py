@@ -126,3 +126,11 @@ def test_spark_animated_gif_frame_sampling(spark):
     for _, r in out.iterrows():
         frame = np.frombuffer(r["bytes"], np.uint8).reshape(r.h, r.w, 3)
         assert np.array_equal(frame, pal[idxs[r.frame_idx]])
+
+
+def test_truncated_second_sub_block_rejected():
+    pal = RNG.integers(0, 256, (256, 3)).astype(np.uint8)
+    im = RNG.integers(0, 256, (64, 64)).astype(np.uint8)
+    data = gif.encode_gif([im], pal)  # big enough for 2+ sub-blocks
+    with pytest.raises(gif.GifError):
+        gif.decode_gif(data[:len(data) - 300])  # cut inside a later block

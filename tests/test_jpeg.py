@@ -117,3 +117,26 @@ def test_decode_stats_over_jpeg_rows(spark):
     assert out["phash_ok"].all()
     assert out["caption_ok"].all()
     assert out["psnr_ok"].all()
+
+
+def test_ff_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: markers may be preceded by any number of FF fill
+    # bytes; inject padding before DQT/SOF/SOS and decode unchanged
+    import numpy as np
+
+    from zellige_spark.kernel import jpeg as kjpeg
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    data = kjpeg.encode_jpeg(px)
+    base = kjpeg.decode_jpeg(data)
+    padded = bytearray()
+    i = 0
+    while i < len(data):
+        if (data[i] == 0xFF and i + 1 < len(data)
+                and data[i + 1] in (0xDB, 0xC0, 0xC4, 0xDA)):
+            padded += b"\xff\xff\xff"  # fill bytes ahead of the marker
+        padded.append(data[i])
+        i += 1
+    out = kjpeg.decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)

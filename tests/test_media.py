@@ -127,3 +127,27 @@ def test_video_frames_spark(spark):
     px = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(r["h"], r["w"], 3)
     expected = _frames(n=9)[4]
     assert np.max(np.abs(px.astype(int) - expected.astype(int))) <= 2
+
+
+def test_wav_extensible_float32_uses_subformat_guid():
+    # WAVE_FORMAT_EXTENSIBLE with an IEEE-float subformat: the format
+    # code lives in the GUID's leading 16 bits, not bits-per-sample
+    import struct
+
+    import numpy as np
+
+    from zellige_spark.kernel import media
+
+    x = (np.sin(np.linspace(0, 20, 480)) * 0.5).astype(np.float32)
+    sub_guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+         0x00, 0x38, 0x9B, 0x71])
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 4, 4, 32)
+           + struct.pack("<HHI", 22, 32, 0x4) + sub_guid)
+    data = x.tobytes()
+    riff = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE" + riff
+    out, rate = media.decode_wav(wav)
+    assert rate == 8000
+    assert np.allclose(out[:, 0], x.astype(np.float64), atol=1e-7)

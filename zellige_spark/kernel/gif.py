@@ -43,9 +43,10 @@ def _sub_blocks(buf: bytes, i: int):
         i += 1
         if n == 0:
             return bytes(out), i
-        out += buf[i:i + n]
-        if len(out) < n:
+        block = buf[i:i + n]
+        if len(block) < n:
             raise GifError("gif: truncated sub-block")
+        out += block
         i += n
 
 
@@ -199,7 +200,10 @@ def decode_gif(data: bytes):
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:
-            bg = table[bg_idx] if bg_idx < len(table) else 0
+            # restore-to-background uses the GLOBAL palette's background
+            # color (the logical-screen bg index is defined against the
+            # GCT, not a frame's local table)
+            bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
             canvas[top:top + h, left:left + w] = bg
         elif disposal == 3 and saved is not None:
             canvas = saved

@@ -257,6 +257,10 @@ class _BitReader:
         if self.marker is not None:
             m = self.marker
             self.marker = None
+            # read_bit latched the code byte without consuming it;
+            # step past it so the next block doesn't re-read the RSTn
+            # code as entropy data
+            self.pos += 1
             return m
         # marker not yet scanned: it must be next in the byte stream
         while self.pos < len(self.data) - 1:
@@ -488,6 +492,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional FF fill bytes before a marker
+            pos += 1        # (T.81 B.1.1.2): skip one pad, rescan
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

@@ -57,6 +57,7 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("wav: not a RIFF/WAVE stream")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -64,14 +65,19 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("wav: missing fmt/data chunk")
     code, ch, rate, _, _, bits = fmt
-    if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads
-        code = 1 if bits in (8, 16, 24, 32) else 3
+    if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the subformat GUID's
+        # leading 16 bits carry the real format code (PCM=1, float=3) —
+        # guessing from bits-per-sample would misread float32 as int32
+        if fmt_body is None or len(fmt_body) < 26:
+            raise ValueError("wav: extensible fmt chunk too short")
+        (code,) = struct.unpack_from("<H", fmt_body, 24)
     if code == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
@@ -116,20 +122,16 @@ def encode_y4m(frames: np.ndarray, fps: Tuple[int, int] = (30, 1)) -> bytes:
 
 
 def _rgb_to_ycbcr_601(px: np.ndarray) -> np.ndarray:
-    px = px.astype(np.float64)
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    return np.stack([
-        0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0], axis=-1)
+    # one BT.601 implementation for the whole kernel (jpeg.py owns it)
+    from . import jpeg as _kjpeg
+
+    return _kjpeg._rgb_to_ycbcr(px)
 
 
 def _ycbcr_to_rgb_601(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    from . import jpeg as _kjpeg
+
+    return _kjpeg._ycbcr_to_rgb(ycc[..., 0], ycc[..., 1], ycc[..., 2])
 
 
 def decode_y4m(data: bytes, frame_indices: List[int] = None) -> Tuple[np.ndarray, dict]:

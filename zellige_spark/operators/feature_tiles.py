@@ -261,11 +261,16 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
             props.extend(r.props)
         # fid-sorted merge, missing fids first (the grouped path's
         # na_position="first"); fids must be a total order for
-        # determinism, same contract as the streaming fold
+        # determinism, same contract as the streaming fold.
+        # Arrow list elements keep exact int64 (unlike a top-level
+        # nullable long column, which pandas widens to float64), so
+        # sort on exact ints — a float key would collapse distinct
+        # fids above 2^53 into nondeterministic arrival-order ties.
         # missing fids arrive as None or NaN depending on the Arrow path
-        key = np.array([float("-inf") if (f is None or f != f) else float(f)
-                        for f in fids])
-        order = np.argsort(key, kind="stable")
+        miss = np.array([(f is None or f != f) for f in fids])
+        vals = np.array([0 if m else int(f) for f, m in zip(fids, miss)],
+                        dtype=np.int64)
+        order = np.lexsort((vals, (~miss).astype(np.int8)))
         keys_s = kmvt.DictStore()
         values_s = kmvt.DictStore()
         buckets = {kmvt.GEOM_POINT: [], kmvt.GEOM_LINESTRING: [],
