@@ -63,6 +63,6 @@ def test_minhash_words_all_jvm_until_output(spark):
     from zellige_spark.operators import dedup as DD
 
     aug = DD._augmented(spark, SF)
-    sig = DD.minhash_signatures(DD._shingles_words(aug))
+    sig = DD.minhash_signatures(DD._word_shingle_arrays(aug))
     plan = _plan(sig)
     assert "EvalPython" not in plan  # signatures are pure Column math

@@ -184,3 +184,123 @@ def test_sequence_pack_multibatch_spark_matches_oracle(spark):
     assert len(sp) == len(du) > 0
     for c in ["doc_id", "bucket", "n_tokens", "seq_idx"]:
         assert np.array_equal(sp[c].to_numpy(), du[c].to_numpy()), c
+
+
+# ---------------------------------------------------------------------------
+# IVF: list count scales with corpus size (the round-3 verdict's last
+# quadratic-in-disguise)
+# ---------------------------------------------------------------------------
+
+def test_ivf_params_scales_with_corpus():
+    from zellige_spark.operators import similarity as SIM
+
+    assert SIM.ivf_params(100).lists == 16          # floor
+    assert SIM.ivf_params(100_000).lists == 316     # ~sqrt(n)
+    assert SIM.ivf_params(10 ** 12).lists == SIM.IVF_MAX_LISTS
+    for n in (100, 10 ** 5, 10 ** 9, 10 ** 12):
+        p = SIM.ivf_params(n)
+        assert p.sample <= 65536 and p.sample >= min(1024, 8 * p.lists)
+        assert p.nprobe == SIM.IVF_NPROBE
+
+
+@pytest.fixture(scope="module")
+def big_emb_dir4(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim = 100_000, 64
+    rng = np.random.default_rng(424242)
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(X.ravel()))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": emb})
+    d = tmp_path_factory.mktemp("big_emb4")
+    pq.write_table(t, str(d / "emb.parquet"))
+    return str(d / "emb.parquet"), n, dim
+
+
+def test_ivf_candidates_sublinear_at_1e5(spark, big_emb_dir4):
+    """With lists ~ sqrt(n), per-query candidates are ~nprobe*sqrt(n);
+    the old constant 16 lists re-ranked ~n/4 per query (5e5 rows here
+    for 20 queries x 1e5 vectors)."""
+    from zellige_spark.operators import similarity as SIM
+
+    path, n, dim = big_emb_dir4
+    emb = spark.read.parquet(path)
+    p = SIM.ivf_params(n)
+    C = SIM._ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
+    cands = SIM.ivf_candidate_pairs(emb, C, p.nprobe).count()
+    # balanced lists => N_QUERIES*nprobe*n/lists ~ 25k; allow 8x skew
+    assert 0 < cands <= 8 * SIM.N_QUERIES * p.nprobe * (n // p.lists)
+    # hard sublinearity vs the constant-16-list candidate mass
+    assert cands < SIM.N_QUERIES * n // 8
+
+
+# ---------------------------------------------------------------------------
+# banded_pairs hot-bucket guard
+# ---------------------------------------------------------------------------
+
+def test_banded_pairs_hot_bucket_exact_set(spark):
+    """Over-cap buckets take the chunked-cell expansion; the produced
+    pair set must be EXACTLY the full in-bucket pair set."""
+    import itertools
+
+    from zellige_spark.operators.dedup import banded_pairs
+
+    rows = ([(i, 0, 7) for i in range(50)]          # over-cap bucket (m=50)
+            + [(100 + i, 1, 9) for i in range(5)]   # normal bucket
+            + [(i, 2, 11) for i in (1, 2)])         # tiny bucket, overlapping ids
+    df = spark.createDataFrame(rows, "doc_id long, band int, sig_hash long")
+    got = {(r["id_a"], r["id_b"])
+           for r in banded_pairs(df, "doc_id", cap=8).collect()}
+    exp = (set(itertools.combinations(range(50), 2))
+           | set(itertools.combinations(range(100, 105), 2))
+           | {(1, 2)})
+    assert got == exp
+
+
+def test_banded_pairs_degenerate_bucket_bounded(spark):
+    """Thousands of near-identical docs landing in ONE band bucket (the
+    simhash/phash worst case) must stream through bounded cell rows —
+    no m^2/2-element array in any single row."""
+    from zellige_spark.operators.dedup import banded_pairs
+
+    n = 10_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               F.lit(0).alias("band"),
+                               F.lit(42).alias("sig_hash"))
+    cnt = banded_pairs(df, "doc_id", cap=64).count()
+    assert cnt == n * (n - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# real-JPEG lossy leg + raster integrity columns
+# ---------------------------------------------------------------------------
+
+def test_image_pipeline_jpeg_rows_real_codec(spark):
+    """jpeg-format rows run the REAL baseline-JPEG round-trip for the
+    lossy leg and still satisfy every invariant (phash over decoded
+    pixels, caption, PSNR >= 40 on the second-generation re-encode)."""
+    from zellige_spark.operators import images as IM
+
+    out = IM.q_image_pipeline(spark, "/root/testdata/sf0.001").toPandas()
+    jp = out[out.fmt == "jpeg"]
+    assert len(jp) == 100 and len(out) == 400
+    assert jp.phash_ok.all() and jp.caption_ok.all() and jp.psnr_ok.all()
+    other = out[out.fmt != "jpeg"]
+    assert other.phash_ok.all() and other.psnr_ok.all()
+
+
+def test_raster_vector_integrity_columns(spark):
+    """The in-job verification columns must be green: rect-cover area
+    equals the thresholded mask popcount, and the emitted protobuf
+    decodes back to feature_count polygons."""
+    from zellige_spark import queries as Q
+
+    out = Q.QUERIES["raster_vector"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert out.parity_ok.all()
+    assert out.roundtrip_ok.all()
+    assert (out.mvt_features == out.feature_count).all()
+    assert (out.mask_cells > 0).any()

@@ -182,12 +182,20 @@ def sql_dedup_ngram_jaccard() -> str:
 # MinHash + LSH (the scale path; verified candidates == exact pair set)
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, h0..h{perms-1}): min over shingles of
-    xxhash64(shingle, seed p) for each permutation p — all JVM-side.
+def minhash_signatures(arrs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, h0..h{perms-1}): min over the doc's distinct shingles
+    of xxhash64(shingle, seed p) for each permutation p — explode the
+    per-doc array, aggregate ``perms`` mins.  All JVM-side; the
+    groupBy's map-side partial agg folds every shingle into 64 codegen
+    agg buffers in ONE traversal, so the shuffle carries only one
+    64-column row per doc.  (A zero-shuffle alternative — 64
+    array_min(transform(shs, ...)) projections — measured ~30% SLOWER
+    at sf0.1: each ArrayTransform materializes an intermediate hash
+    array per row, 64 allocations/row vs the agg buffers' none.)
     The signature stays as WIDE columns, not an array: banding indexes
     into it, and Catalyst's project collapsing would otherwise inline
-    the 128-element array construction into every subscript."""
+    the array construction into every subscript."""
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
             for p in range(perms)]
     return sh.groupBy("doc_id").agg(*mins)
@@ -207,36 +215,79 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
     not the banded table.  Bucket cardinality is bounded by the
     banding design (band width scales with log2(n) in the scale-path
     variants), so the per-bucket pair array stays small; a corpus
-    that overflows it would have drowned the old self-join too."""
+    that overflows it would have drowned the old self-join too.
+
+    The bucket key is ONE long — xxhash64(band index, band columns) —
+    instead of a (band, hash) struct: the band index inside the hash
+    keeps buckets band-disjoint, halves the shuffle key bytes, and a
+    cross-band hash collision can only MERGE buckets (extra verified-
+    away candidates, never a lost pair)."""
     rows = perms // bands
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig_hash"))
-            for b in range(bands)])).alias("bs"))
-    banded = banded.select("doc_id", "bs.band", "bs.sig_hash")
-    return banded_pairs(banded, "doc_id", ("band", "sig_hash"),
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)])).alias("bkey"))
+    return banded_pairs(banded, "doc_id", ("bkey",),
                         out_cols=("doc_a", "doc_b"))
+
+
+BANDED_CAP = 512    # max ids per chunk: one expansion row holds <= cap^2 pairs
 
 
 def banded_pairs(banded: DataFrame, id_col: str,
                  band_cols=("band", "sig_hash"),
-                 out_cols=("id_a", "id_b")) -> DataFrame:
+                 out_cols=("id_a", "id_b"),
+                 cap: int = BANDED_CAP) -> DataFrame:
     """Distinct unordered id pairs sharing any band bucket — the
     single-shuffle blocking shape used by MinHash LSH, SimHash, and
     phash near-dup: groupBy the bucket key (map-side partial
     collect_set), generate i<j pairs JVM-side from the sorted id
-    array, distinct over the O(candidates) pair set."""
+    array, distinct over the O(candidates) pair set.
+
+    Hot-bucket guard: a bucket with m members implies m(m-1)/2
+    candidate pairs however they are produced; what must never happen
+    is materializing them all as ONE m^2/2-element array in a single
+    row (the pre-round-4 shape).  The sorted id array is chunked
+    positionally into g = ceil(m/cap) pieces and exploded into
+    g(g+1)/2 CELL rows (i <= j); each cell expands only chunk_i x
+    chunk_j — a triangle when i == j, a cross product otherwise — so
+    no row ever holds more than cap^2 pair structs and the m^2 pair
+    stream spills through ordinary Exchange batching.  Sortedness
+    makes a < b automatic (chunk_i's ids all precede chunk_j's), and
+    every unordered pair lands in exactly one cell.  Normal buckets
+    have g = 1: one triangle cell, byte-for-byte the old expansion —
+    no extra branch, join, or second read of the bucket agg (a
+    two-branch guard measured +40% on the candidate stage).
+    Simhash/phash corpora with thousands-deep near-identical buckets
+    (what dedup inputs look like before exact dedup) hit the g > 1
+    path; LSH bands scaled by ``lsh_params`` stay at g = 1 by
+    design."""
     a, b = out_cols
+    # collect_list + array_sort, not sort_array(collect_set): callers
+    # band one row per (id, band), so in-bucket ids are already unique
+    # and the set buffer's hash-dedup is pure overhead (measured ~10%
+    # of the agg stage)
     buckets = (banded.groupBy(*band_cols)
-                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                     .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                      .filter(F.size("ids") > 1))
-    pairs = buckets.select(F.explode(F.expr(
-        f"flatten(transform(ids, (a, i) -> "
-        f"transform(slice(ids, i + 2, size(ids) - i - 1), "
-        f"b -> struct(a AS {a}, b AS {b}))))")).alias("p"))
-    return pairs.select(f"p.{a}", f"p.{b}").distinct()
+    cells = (buckets
+             .withColumn("_g", F.ceil(F.size("ids") / F.lit(cap)).cast("int"))
+             .withColumn("_i", F.explode(F.expr("sequence(0, _g - 1)")))
+             .withColumn("_j", F.explode(F.expr("sequence(_i, _g - 1)")))
+             .withColumn("_ai", F.expr(f"slice(ids, _i * {cap} + 1, {cap})"))
+             .withColumn("_aj", F.expr(f"slice(ids, _j * {cap} + 1, {cap})")))
+    tri = (f"flatten(transform(_ai, (a, i) -> "
+           f"transform(slice(_ai, i + 2, size(_ai) - i - 1), "
+           f"b -> struct(a AS {a}, b AS {b}))))")
+    cross = (f"flatten(transform(_ai, a -> "
+             f"transform(_aj, b -> struct(a AS {a}, b AS {b}))))")
+    pairs = cells.select(F.explode(F.expr(
+        f"CASE WHEN _i = _j THEN {tri} ELSE {cross} END")).alias("p"))
+    # strict < also drops the self-pair a 64-bit bkey collision could
+    # put in one bucket (collect_list no longer dedups)
+    return (pairs.select(f"p.{a}", f"p.{b}")
+                 .filter(F.col(a) < F.col(b)).distinct())
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,8 +296,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.6 threshold with 32x2 bands; asserted by the shared oracle)."""
     aug = _augmented(spark, sf_dir)
     arrs = _char_shingle_arrays(aug).cache()
-    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
-    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(sh)))
+    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(arrs)))
 
 
 # oracle: identical to the exact n-gram pair set
@@ -288,8 +338,7 @@ def q_dedup_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the char-gram variant (32x2 bands, miss ~6e-7 at 0.6)."""
     aug = _augmented(spark, sf_dir)
     arrs = _word_shingle_arrays(aug).cache()
-    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
-    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(sh)))
+    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(arrs)))
 
 
 def _verify_candidates(docsets: DataFrame, cands: DataFrame) -> DataFrame:

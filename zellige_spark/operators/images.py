@@ -60,6 +60,8 @@ def decode_stats(images: DataFrame) -> DataFrame:
     PSNR check.  numpy per image; batch-shaped I/O."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import jpeg as kjpeg
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -68,7 +70,14 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 caption_ok = (isinstance(r.caption, str)
                               and r.caption.startswith(f"caption of img")
                               and f"({r.lon:.5f},{r.lat:.5f})" in r.caption)
-                lossy = lossy_reencode(px)
+                if r.fmt == "jpeg":
+                    # the REAL lossy leg: full baseline-JPEG round-trip
+                    # through kernel/jpeg.py (q90 4:4:4 sits above the
+                    # 40 dB invariant; pinned in tests/test_jpeg.py) —
+                    # not the bit-quantization simulation
+                    lossy = kjpeg.decode_jpeg(kjpeg.encode_jpeg(px, 90))
+                else:
+                    lossy = lossy_reencode(px)
                 p = synth.psnr(px, lossy)
                 luma = float(np.mean(
                     (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) / 1000.0))
@@ -266,7 +275,8 @@ def q_image_pipeline(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; protobuf/pixel logic not SQL-expressible):
     synthesize the input_hint-shaped table deterministically, run the
     full decode/validate pipeline, return per-image verdicts."""
-    imgs = synth.images_df(spark, 400)
+    imgs = synth.images_df(spark, 300).unionByName(
+        synth.jpeg_images_df(spark, 100))
     out = decode_stats(imgs)
     return out.select("image_id", "fmt", "w", "h",
                       F.col("phash_ok").cast("int").alias("phash_ok"),

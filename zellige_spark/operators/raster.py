@@ -99,6 +99,8 @@ def mask_to_rect_rings(mask: np.ndarray, cell: float) -> List[np.ndarray]:
 
 
 VECTOR_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
+                 "mask_cells long, ring_cells long, parity_ok boolean, "
+                 "mvt_features long, roundtrip_ok boolean, "
                  "feature_count long, bytes_len long")
 
 
@@ -110,6 +112,8 @@ def vectorize_tiles(rasters: DataFrame, threshold: int = 1,
     (tile-local variant — no reprojection)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import mvt as kmvt
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -125,10 +129,29 @@ def vectorize_tiles(rasters: DataFrame, threshold: int = 1,
                                        x=int(r.tile_x), y=int(r.tile_y),
                                        extent=extent, simplify=simplify)
                 mvt = kpipe.encode_features_local(feats, cfg)
-                rows.append((int(r.zoom), int(r.tile_x), int(r.tile_y),
-                             mvt, len(rings), len(mvt)))
+                # self-verifying integrity columns (the recall_e3
+                # pattern): the rect merge must PARTITION the mask, so
+                # shoelace cell-area over the rings equals the decoded
+                # mask's popcount; and the emitted protobuf must decode
+                # back to exactly feature_count polygons.
+                mask_cells = int(mask.sum())
+                ring_cells = 0
+                for ring in rings:
+                    x, y = ring[:, 0], ring[:, 1]
+                    area = abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))) / 2.0
+                    ring_cells += int(round(area / (cell * cell)))
+                dec = kmvt.decode_tile(mvt)
+                mvt_features = (len(dec[layer_name]["features"])
+                                if layer_name in dec else 0)
+                rows.append((int(r.zoom), int(r.tile_x), int(r.tile_y), mvt,
+                             mask_cells, ring_cells, ring_cells == mask_cells,
+                             mvt_features, mvt_features == len(rings),
+                             len(rings), len(mvt)))
             if rows:
                 yield pd.DataFrame(rows, columns=[
-                    "zoom", "tile_x", "tile_y", "mvt", "feature_count", "bytes_len"])
+                    "zoom", "tile_x", "tile_y", "mvt",
+                    "mask_cells", "ring_cells", "parity_ok",
+                    "mvt_features", "roundtrip_ok",
+                    "feature_count", "bytes_len"])
 
     return rasters.mapInPandas(run, VECTOR_SCHEMA)

@@ -293,11 +293,47 @@ def lsh_candidate_pairs(base: DataFrame, p: LshParams) -> DataFrame:
              .select("vec_a", "vec_b").distinct())
 
 
-IVF_LISTS = 16
+IVF_MIN_LISTS = 16
 IVF_NPROBE = 4
+# Above sqrt(n) = 16384 (n ~ 2.7e8 vectors) the list count stops
+# growing: a 16384-centroid assignment matmul is still one broadcast
+# numpy constant per Arrow batch, but a bigger driver-side Lloyd
+# trainer isn't — past the cap a production deployment would train the
+# coarse quantizer hierarchically (IMI) or with distributed mini-batch
+# k-means.  At the cap the probe set is nprobe*n/16384 ~ 6.6e4 rows
+# per query at n=2.7e8 — bounded, not ~n/4 like a constant 16 lists.
+IVF_MAX_LISTS = 16384
 
 
-def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int = IVF_LISTS,
+class IvfParams(NamedTuple):
+    lists: int
+    nprobe: int
+    sample: int
+
+
+def ivf_params(n: int) -> IvfParams:
+    """Coarse-quantizer shape derived from corpus size — the IVF
+    analogue of ``lsh_params``: lists ~ sqrt(n) balances list length
+    (n/lists) against probed-list count, so per-query re-rank cost is
+    ~nprobe*sqrt(n) (sublinear) instead of the fixed-16-list ~n/4.
+    Two legs like ``lsh_params``: at n <= SMALL_CORPUS the round-3
+    16-list shape stays (probing 4/16 of a tiny corpus is what keeps
+    recall >= 0.5 on an ISOTROPIC test corpus, where IVF recall ~
+    fraction probed); above it lists = sqrt(n) >= 128, because at that
+    size a quarter-corpus probe is the scale-killer and real corpora
+    are clustered.  Cap per the IVF_MAX_LISTS note.  The k-means
+    sample scales at 8 vectors per centroid (>= the 1024 round-3
+    constant) and stays a bounded driver-side cost.  Candidate-count
+    sublinearity is pinned by
+    tests/test_round4_ops.py::test_ivf_candidates_sublinear_at_1e5."""
+    if n <= SMALL_CORPUS:
+        return IvfParams(IVF_MIN_LISTS, IVF_NPROBE, 1024)
+    lists = min(int(math.isqrt(int(n))), IVF_MAX_LISTS)
+    sample = min(max(1024, 8 * lists), 65536)
+    return IvfParams(lists, IVF_NPROBE, sample)
+
+
+def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int,
                    sample: int = 1024, iters: int = 5, seed: int = 42) -> np.ndarray:
     """Deterministic driver-side Lloyd's k-means on a bounded sample —
     the coarse quantizer for IVF.  At 10^12 rows the sample stays a
@@ -306,6 +342,7 @@ def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int = IVF_LISTS,
                .select("embedding").collect())
     X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    k = min(k, len(X))  # degenerate tiny corpora: one list per vector
     rng = np.random.default_rng([seed, 4242])
     C = X[rng.choice(len(X), size=k, replace=False)]
     for _ in range(iters):
@@ -335,6 +372,24 @@ def ivf_toplists_udf(C: np.ndarray, nprobe: int):
     return toplists
 
 
+def ivf_candidate_pairs(emb: DataFrame, C: np.ndarray, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id, qv, dv) candidates: data side lands in
+    its single best list, the N_QUERIES query side probes its top-
+    ``nprobe`` lists.  Candidate volume per query is ~nprobe*n/lists;
+    with lists ~ sqrt(n) from ``ivf_params`` that is ~nprobe*sqrt(n)
+    (pinned sublinear by test_ivf_candidates_sublinear_at_1e5)."""
+    lists = ivf_toplists_udf(C, nprobe)
+    sims = emb.select("vec_id", "embedding", lists(F.col("embedding")).alias("_lists"))
+    d = sims.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("dv"),
+                    F.col("_lists")[0].alias("list_id"))
+    q = (sims.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                     F.explode("_lists").alias("list_id")))
+    return (q.join(d, "list_id")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse k-means quantizer (driver-trained, broadcast as
     a numpy matrix inside an Arrow-batched UDF), data bucketed by
@@ -343,20 +398,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-verifying ``recall_e3`` column vs the in-job exact top-K;
     pytest measures recall vs brute force (incl. dim=512)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    C = _ivf_centroids(spark, emb)
-    lists = ivf_toplists_udf(C, IVF_NPROBE)
-    sims = emb.select("vec_id", "embedding", lists(F.col("embedding")).alias("_lists"))
-    # data side: each vector lands in its single best list
-    d = sims.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("dv"),
-                    F.col("_lists")[0].alias("list_id"))
-    # query side: probe the top-IVF_NPROBE lists
-    q = (sims.filter(F.col("vec_id") < N_QUERIES)
-             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-                     F.explode("_lists").alias("list_id")))
-    cand = (q.join(d, "list_id")
-             .filter(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("cos", F.expr(_cosine("qv", "dv"))))
+    p = ivf_params(emb.count())
+    C = _ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
+    cand = (ivf_candidate_pairs(emb, C, p.nprobe)
+            .withColumn("cos", F.expr(_cosine("qv", "dv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= K)

@@ -308,8 +308,14 @@ def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = T.tile_local_px(assigned, extent=ENC_EXTENT)
     rasters = R.rasterize_tiles(px, grid=32, extent=ENC_EXTENT)
     vec = R.vectorize_tiles(rasters, threshold=1, extent=ENC_EXTENT)
+    # parity_ok / roundtrip_ok are in-job integrity columns (recall_e3
+    # pattern): rect-cover area == mask popcount, and the protobuf
+    # decodes back to feature_count polygons — so the driver's
+    # rows-only check carries its own verification
     return vec.select(F.col("zoom").cast("int"), "tile_x", "tile_y",
-                      "feature_count", "bytes_len")
+                      "feature_count", "bytes_len",
+                      "mask_cells", "ring_cells", "parity_ok",
+                      "mvt_features", "roundtrip_ok")
 
 
 from .operators import dedup as DD  # noqa: E402

@@ -239,6 +239,66 @@ IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                  "caption string, phash long, lon double, lat double")
 
 
+def gen_jpeg_image_row(i: int, seed: int = SEED, centers: np.ndarray = None) -> dict:
+    """A jpeg-format row with DCT-friendly SMOOTH content (gradient +
+    sinusoid): bytes are a real baseline-JPEG encode (q90,
+    kernel/jpeg.py) and phash/ground truth are taken over the DECODED
+    pixels, so decode-side invariants (phash equality, PSNR >= 40 of a
+    second-generation re-encode) hold by construction.  The main
+    ``images_df`` mix stays raw/ppm/png noise: white noise is the DCT
+    worst case and no baseline codec meets a 40 dB floor on it."""
+    from .kernel import jpeg as kjpeg
+
+    if centers is None:
+        centers = cluster_centers(seed)
+    rng = np.random.default_rng([seed, 7, i])
+    w = int(SIZES[int(rng.integers(0, len(SIZES)))])
+    h = int(SIZES[int(rng.integers(0, len(SIZES)))])
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy = float(rng.uniform(3.0, 11.0)), float(rng.uniform(3.0, 11.0))
+    px = np.stack([xx * 255 / max(w - 1, 1), yy * 255 / max(h - 1, 1),
+                   128 + 100 * np.sin(xx / fx) * np.cos(yy / fy)], axis=-1)
+    pixels = np.clip(px + float(rng.uniform(0, 30)), 0, 255).astype(np.uint8)
+    data = kjpeg.encode_jpeg(pixels, 90)
+    decoded = kjpeg.decode_jpeg(data)
+    if rng.random() < URBAN_FRACTION:
+        c = centers[int(rng.integers(0, len(centers)))]
+        lon = float(np.clip(c[0] + rng.normal(0, CLUSTER_SIGMA_DEG), -180.0, 179.999999))
+        lat = float(np.clip(c[1] + rng.normal(0, CLUSTER_SIGMA_DEG), -LAT_LIMIT, LAT_LIMIT))
+    else:
+        lon = float(rng.uniform(-180.0, 180.0))
+        lat = float(rng.uniform(-LAT_LIMIT, LAT_LIMIT))
+    return {
+        "image_id": f"jpg{i:012d}",
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": "jpeg",
+        "caption": f"caption of img jpg{i} at ({lon:.5f},{lat:.5f})",
+        "phash": average_phash(decoded),
+        "lon": lon,
+        "lat": lat,
+    }
+
+
+def jpeg_images_df(spark, n_rows: int, seed: int = SEED, partitions: int = None):
+    """Distributed deterministic jpeg-row generation (same shape as
+    ``images_df``)."""
+    if partitions is None:
+        partitions = max(int(spark.sparkContext.defaultParallelism), 1)
+
+    def gen(iterator):
+        import pandas as pd
+        centers = cluster_centers(seed)
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            for i in range(0, len(ids), 8192):
+                yield pd.DataFrame([gen_jpeg_image_row(int(j), seed, centers)
+                                    for j in ids[i:i + 8192]])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def images_df(spark, n_rows: int, seed: int = SEED, partitions: int = None):
     """Distributed deterministic generation: range -> mapInPandas.
 
