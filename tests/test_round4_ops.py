@@ -304,3 +304,75 @@ def test_raster_vector_integrity_columns(spark):
     assert out.roundtrip_ok.all()
     assert (out.mvt_features == out.feature_count).all()
     assert (out.mask_cells > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# S2 triple equality (Column == numpy kernel == DuckDB CTE) on
+# hypothesis-driven adversarial points near face edges at level 14
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_s2_triple_equality_near_face_edges(spark, data):
+    """Adversarial manifolds beyond the fixed edge-point pins: points a
+    hair off the cube-face meridians (lon = +-45/+-135 +- delta) and
+    off the polar-face boundary curve (tan|lat| = max(|cos lon|,
+    |sin lon|)), at level 14.  Offsets stay >= 1e-9 deg: ON-lattice
+    diagonals are engine-dependent within 1 ulp by design (see
+    kernel/s2.py notes), while 1e-9 deg is ~1e5 ulps of margin."""
+    import duckdb
+    import pandas as pd
+
+    from zellige_spark.kernel import s2 as K
+    from zellige_spark.operators import s2cells as S2C
+
+    level = 14
+    seed = data.draw(st.integers(0, 2 ** 31 - 1))
+    deltas = data.draw(st.lists(
+        st.floats(min_value=1e-9, max_value=1e-3, allow_nan=False),
+        min_size=6, max_size=6))
+    signs = data.draw(st.lists(st.sampled_from([-1.0, 1.0]),
+                               min_size=6, max_size=6))
+    rng = np.random.default_rng(seed)
+    lons, lats = [], []
+    for d, s in zip(deltas, signs):
+        for base in (-135.0, -45.0, 45.0, 135.0):
+            lons.append(base + s * d)
+            lats.append(float(rng.uniform(-89.9, 89.9)))
+        lon = float(rng.uniform(-180.0, 180.0))
+        t = np.radians(lon)
+        blat = float(np.degrees(np.arctan(
+            max(abs(np.cos(t)), abs(np.sin(t))))))
+        for pm in (1.0, -1.0):
+            lons.append(lon)
+            lats.append(pm * (blat + s * d))
+    pdf = pd.DataFrame({"id": np.arange(len(lons), dtype=np.int64),
+                        "lon": lons, "lat": lats})
+
+    # Column twin
+    sp = (S2C.with_s2_cell(spark.createDataFrame(pdf), level)
+          .select("id", "s2_face", "s2_pos", "s2_cid")
+          .orderBy("id").toPandas())
+    # numpy kernel
+    face, _i, _j, pos = K.lonlat_to_cell(pdf.lon.to_numpy(),
+                                         pdf.lat.to_numpy(), level)
+    cid = K.cid_pack(face, pos, level)
+    # DuckDB CTE twin
+    con = duckdb.connect()
+    con.register("pts_df", pdf)
+    q = (f"WITH _pts AS (SELECT id, lon, lat FROM pts_df), "
+         f"{S2C.sql_s2_cell_cte('_pts', level, 'id')} "
+         f"SELECT id, s2_face, s2_pos, s2_cid FROM _s2_out ORDER BY id")
+    du = con.execute(q).fetchdf()
+
+    assert np.array_equal(sp.s2_face.to_numpy(), face)
+    assert np.array_equal(sp.s2_pos.to_numpy(), pos)
+    assert np.array_equal(sp.s2_cid.to_numpy(), cid)
+    assert np.array_equal(du.s2_face.to_numpy().astype(np.int64), face.astype(np.int64))
+    assert np.array_equal(du.s2_pos.to_numpy().astype(np.int64), pos.astype(np.int64))
+    assert np.array_equal(du.s2_cid.to_numpy().astype(np.int64), cid.astype(np.int64))

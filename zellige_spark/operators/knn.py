@@ -40,6 +40,86 @@ def haversine_km(lon1, lat1, lon2, lat2):
     return F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
 
 
+# --- CellIndex seam --------------------------------------------------------
+#
+# Every cell-blocked kNN here (XYZ k-ring below, S2 k-ring in
+# operators/s2cells.py, a future H3 backend) decomposes into the same
+# three pieces; a backend supplies only the CELL functions:
+#   * data-side cell assignment  (one column of cell keys)
+#   * query-side ring fan-out    (query rows exploded to ring cells)
+#   * a conservative stop bound  (per-query km floor on anything
+#     outside the ring block) + the full-coverage ring
+# The join + distance + top-k stage (candidate_topk) and the
+# ring-doubling driver (adaptive_knn) are shared verbatim, so the two
+# shipped backends cannot drift.
+
+def topk_by_distance(cand: DataFrame, k: int, query_id: str,
+                     data_id: str) -> DataFrame:
+    """Haversine + per-query top-k window over candidate rows carrying
+    (_qlon, _qlat, _dlon, _dlat) — the common back half of every kNN
+    variant including the brute-force oracle."""
+    cand = cand.withColumn("dist_km", haversine_km(
+        F.col("_qlon"), F.col("_qlat"), F.col("_dlon"), F.col("_dlat")))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(),
+                                             F.col(data_id).asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select(F.col(query_id),
+                        F.col(data_id).alias("neighbor_id"),
+                        F.col("dist_km"),
+                        F.col("rn").alias("rank")))
+
+
+def candidate_topk(q: DataFrame, d: DataFrame, k: int, cell_key: str,
+                   query_id: str, data_id: str,
+                   broadcast_queries: bool = True) -> DataFrame:
+    """Shared candidate-join stage: q rows (query_id, _qlon, _qlat,
+    cell_key) — already ring-fanned-out — equi-join data rows (data_id,
+    _dlon, _dlat, cell_key), then distance + top-k."""
+    if broadcast_queries:
+        q = F.broadcast(q)
+    return topk_by_distance(q.join(d, cell_key, "inner"), k, query_id, data_id)
+
+
+def adaptive_knn(queries: DataFrame, k: int, round_fn, bound_fn,
+                 full_cover_ring: int, start_ring: int,
+                 query_id: str) -> DataFrame:
+    """Shared ring-doubling driver: ``round_fn(active, ring)`` runs one
+    blocked-kNN round over the still-active queries; ``bound_fn(active,
+    ring)`` returns (query_id, _bound_km) — a conservative lower bound
+    on the distance to anything OUTSIDE the ring block.  A query
+    settles once it holds k candidates whose k-th distance is strictly
+    under its bound (no undiscovered point can beat it), or
+    unconditionally at ``full_cover_ring``.  Lineage is truncated per
+    round (localCheckpoint) so round r never recomputes rounds < r."""
+    ring = max(1, start_ring)
+    active = queries
+    settled = []
+    while True:
+        res = round_fn(active, ring)
+        if ring >= full_cover_ring:
+            settled.append(res)
+            break
+        stats = (res.groupBy(query_id)
+                    .agg(F.count(F.lit(1)).alias("_nc"),
+                         F.max("dist_km").alias("_kth")))
+        sat = (stats.join(bound_fn(active, ring), query_id)
+                    .filter((F.col("_nc") >= k)
+                            & (F.col("_kth") < F.col("_bound_km")))
+                    .select(query_id))
+        settled.append(res.join(sat, query_id, "left_semi")
+                          .localCheckpoint(eager=True))
+        active = (active.join(sat, query_id, "left_anti")
+                        .localCheckpoint(eager=True))
+        if active.isEmpty():
+            break
+        ring = min(2 * ring, full_cover_ring)
+    out = settled[0]
+    for part in settled[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
               index_zoom: int = 5, max_ring: int = 2,
               query_id: str = "query_id", data_id: str = "image_id",
@@ -72,20 +152,8 @@ def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
           # antimeridian wrap can alias two shifts onto one cell when
           # 2*max_ring+1 > 2^zoom; dedup so candidates pair up once
           .dropDuplicates([query_id, "cell_key"]))
-    if broadcast_queries:
-        q = F.broadcast(q)
-
-    cand = q.join(d, "cell_key", "inner")
-    cand = cand.withColumn("dist_km", haversine_km(
-        F.col("_qlon"), F.col("_qlat"), F.col("_dlon"), F.col("_dlat")))
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(data_id).asc())
-    out = (cand.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") <= k)
-               .select(F.col(query_id),
-                       F.col(data_id).alias("neighbor_id"),
-                       F.col("dist_km"),
-                       F.col("rn").alias("rank")))
-    return out
+    return candidate_topk(q, d, k, "cell_key", query_id, data_id,
+                          broadcast_queries)
 
 
 def _ring_bound_km(active: DataFrame, ring: int, index_zoom: int,
@@ -143,37 +211,25 @@ def knn_kring_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
     inside the ring's conservative ground-distance bound (or once the
     block covers the whole grid).  Equals brute force on any density —
     sparse regions just take more rounds.  Each round is one candidate
-    join over the still-active queries only; lineage is truncated per
-    round so round r doesn't recompute rounds < r."""
+    join over the still-active queries only (the shared ``adaptive_knn``
+    driver); lineage is truncated per round so round r doesn't
+    recompute rounds < r."""
     n = 2 ** index_zoom
-    ring = max(1, start_ring)
-    active = queries
-    settled = []
-    while True:
-        res = knn_kring(active, data, k=k, index_zoom=index_zoom, max_ring=ring,
-                        query_id=query_id, data_id=data_id,
-                        q_lon=q_lon, q_lat=q_lat, d_lon=d_lon, d_lat=d_lat,
-                        broadcast_queries=broadcast_queries)
-        if ring >= n - 1:  # block == whole grid: nothing left to find
-            settled.append(res)
-            break
-        qb = _ring_bound_km(active, ring, index_zoom, q_lon, q_lat)
-        stats = (res.groupBy(query_id)
-                    .agg(F.count(F.lit(1)).alias("_nc"), F.max("dist_km").alias("_kth")))
-        sat = (stats.join(qb.select(query_id, "_bound_km"), query_id)
-                    .filter((F.col("_nc") >= k) & (F.col("_kth") < F.col("_bound_km")))
-                    .select(query_id))
-        settled.append(res.join(sat, query_id, "left_semi")
-                          .localCheckpoint(eager=True))
-        active = (active.join(sat, query_id, "left_anti")
-                        .localCheckpoint(eager=True))
-        if active.isEmpty():
-            break
-        ring = min(2 * ring, n - 1)
-    out = settled[0]
-    for part in settled[1:]:
-        out = out.unionByName(part)
-    return out
+
+    def round_fn(active, ring):
+        return knn_kring(active, data, k=k, index_zoom=index_zoom,
+                         max_ring=ring, query_id=query_id, data_id=data_id,
+                         q_lon=q_lon, q_lat=q_lat, d_lon=d_lon, d_lat=d_lat,
+                         broadcast_queries=broadcast_queries)
+
+    def bound_fn(active, ring):
+        return (_ring_bound_km(active, ring, index_zoom, q_lon, q_lat)
+                .select(query_id, "_bound_km"))
+
+    # block == whole grid at ring n-1: nothing left to find
+    return adaptive_knn(queries, k, round_fn, bound_fn,
+                        full_cover_ring=n - 1, start_ring=start_ring,
+                        query_id=query_id)
 
 
 def knn_bruteforce(queries: DataFrame, data: DataFrame, k: int = 5,
@@ -184,12 +240,4 @@ def knn_bruteforce(queries: DataFrame, data: DataFrame, k: int = 5,
     q = F.broadcast(queries.select(F.col(query_id), F.col(q_lon).alias("_qlon"),
                                    F.col(q_lat).alias("_qlat")))
     d = data.select(F.col(data_id), F.col(d_lon).alias("_dlon"), F.col(d_lat).alias("_dlat"))
-    cand = q.crossJoin(d).withColumn("dist_km", haversine_km(
-        F.col("_qlon"), F.col("_qlat"), F.col("_dlon"), F.col("_dlat")))
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(data_id).asc())
-    return (cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= k)
-                .select(F.col(query_id),
-                        F.col(data_id).alias("neighbor_id"),
-                        F.col("dist_km"),
-                        F.col("rn").alias("rank")))
+    return topk_by_distance(q.crossJoin(d), k, query_id, data_id)

@@ -219,22 +219,14 @@ def knn_s2_kring(queries: DataFrame, data: DataFrame, k: int = 5,
     whenever each query's true k-th neighbor lies within ``ring``
     neighbor expansions of its cell; ``knn_s2_adaptive`` discharges
     the contract automatically."""
-    from .knn import haversine_km
+    from .knn import candidate_topk
 
     d = (with_s2_cell(data, level, d_lon, d_lat)
          .select(F.col(data_id), F.col(d_lon).alias("_dlon"),
                  F.col(d_lat).alias("_dlat"), "s2_cid"))
     q = _query_ring_cells(queries, level, ring, query_id, q_lon, q_lat)
-    if broadcast_queries:
-        q = F.broadcast(q)
-    cand = q.join(d, "s2_cid", "inner")
-    cand = cand.withColumn("dist_km", haversine_km(
-        F.col("_qlon"), F.col("_qlat"), F.col("_dlon"), F.col("_dlat")))
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(data_id).asc())
-    return (cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= k)
-                .select(F.col(query_id), F.col(data_id).alias("neighbor_id"),
-                        F.col("dist_km"), F.col("rn").alias("rank")))
+    return candidate_topk(q, d, k, "s2_cid", query_id, data_id,
+                          broadcast_queries)
 
 
 def knn_s2_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
@@ -249,35 +241,28 @@ def knn_s2_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
     k-th found distance is under R * min_cell_width_km(level) (the
     kernel's deliberately-undersized width constant), no undiscovered
     point can beat it.  Queries that reach full-sphere coverage
-    (ring >= 3 * 2^level) settle unconditionally."""
-    ring = max(1, start_ring)
-    full_cover = 3 * (1 << level)
-    active = queries
-    settled = []
-    while True:
-        res = knn_s2_kring(active, data, k=k, level=level, ring=ring,
-                           query_id=query_id, data_id=data_id,
-                           q_lon=q_lon, q_lat=q_lat, d_lon=d_lon, d_lat=d_lat,
-                           broadcast_queries=broadcast_queries)
-        if ring >= full_cover:
-            settled.append(res)
-            break
-        bound_km = ring * S2K.min_cell_width_km(level)
-        stats = (res.groupBy(query_id)
-                    .agg(F.count(F.lit(1)).alias("_nc"), F.max("dist_km").alias("_kth")))
-        sat = (stats.filter((F.col("_nc") >= k) & (F.col("_kth") < F.lit(bound_km)))
-                    .select(query_id))
-        settled.append(res.join(sat, query_id, "left_semi")
-                          .localCheckpoint(eager=True))
-        active = (active.join(sat, query_id, "left_anti")
-                        .localCheckpoint(eager=True))
-        if active.isEmpty():
-            break
-        ring = min(2 * ring, full_cover)
-    out = settled[0]
-    for part in settled[1:]:
-        out = out.unionByName(part)
-    return out
+    (ring >= 3 * 2^level) settle unconditionally.  Runs on the shared
+    ``adaptive_knn`` driver (the CellIndex seam in operators/knn.py);
+    only the round and bound callbacks are S2-specific."""
+    from .knn import adaptive_knn
+
+    def round_fn(active, ring):
+        return knn_s2_kring(active, data, k=k, level=level, ring=ring,
+                            query_id=query_id, data_id=data_id,
+                            q_lon=q_lon, q_lat=q_lat,
+                            d_lon=d_lon, d_lat=d_lat,
+                            broadcast_queries=broadcast_queries)
+
+    def bound_fn(active, ring):
+        # scalar per round: R annulus crossings, each >= one (under-
+        # sized) cell width
+        return active.select(
+            F.col(query_id),
+            F.lit(ring * S2K.min_cell_width_km(level)).alias("_bound_km"))
+
+    return adaptive_knn(queries, k, round_fn, bound_fn,
+                        full_cover_ring=3 * (1 << level),
+                        start_ring=start_ring, query_id=query_id)
 
 
 # --- spatial-locality layout -----------------------------------------------
