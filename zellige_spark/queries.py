@@ -324,6 +324,7 @@ from .operators import s2cells as S2C  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
 from .streaming import dedup as SDD  # noqa: E402
+from .streaming import neardup as SND  # noqa: E402
 from .streaming import events as EV  # noqa: E402
 from .streaming import sessions as SESS  # noqa: E402
 
@@ -369,6 +370,8 @@ QUERIES = {
     "event_sessions": SESS.q_event_sessions,
     # batch twin of the cross-batch streaming dedup (streaming/dedup.py)
     "dedup_verdicts": SDD.q_dedup_verdicts,
+    # batch twin of the cross-batch streaming NEAR-dup (streaming/neardup.py)
+    "neardup_verdicts": SND.q_near_dup_verdicts,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
     # multimodal audio/video sampling over the real WAV/Y4M parsers
@@ -408,4 +411,5 @@ ORACLES = {
     "event_user_stats": EV.sql_event_user_stats(),
     "event_sessions": SESS.sql_event_sessions(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
+    "neardup_verdicts": SND.sql_near_dup_verdicts(),
 }

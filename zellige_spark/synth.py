@@ -100,7 +100,7 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * 3 + 1
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     out = np.empty((h, w * 3), dtype=np.uint8)
-    prev = np.zeros(w * 3, dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.int64)
     for r in range(h):
         ftype = rows[r, 0]
         line = rows[r, 1:].astype(np.int64)
@@ -108,10 +108,30 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth carry a left-pixel dependency, so the
+            # scanline reconstructs pixel-by-pixel (3-byte vector per
+            # step; images here are <= 64 px wide)
+            cur = np.zeros(w * 3, dtype=np.int64)
+            for x in range(w):
+                i = 3 * x
+                a = cur[i - 3:i] if x else np.zeros(3, dtype=np.int64)
+                b = prev[i:i + 3]
+                if ftype == 1:      # Sub
+                    pred = a
+                elif ftype == 3:    # Average
+                    pred = (a + b) // 2
+                else:               # Paeth
+                    c = prev[i - 3:i] if x else np.zeros(3, dtype=np.int64)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                cur[i:i + 3] = (line[i:i + 3] + pred) % 256
         else:
             raise ValueError(f"unsupported png filter {ftype}")
         out[r] = cur.astype(np.uint8)
-        prev = out[r]
+        prev = out[r].astype(np.int64)
     return out.reshape(h, w, 3)
 
 
