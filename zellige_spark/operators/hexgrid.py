@@ -1,0 +1,257 @@
+"""Hexagonal cell index (third CellIndex backend, H3-SHAPED).
+
+The north rule names "H3/S2 index"; S2 is implemented bit-faithfully
+to its public design docs (kernel/s2.py).  This module adds the HEX
+side of that pair as an honest, from-scratch hexagonal grid: pointy-top
+hexagons of circumradius ``hex_size(level)`` on the EPSG:3857 plane,
+addressed by axial coordinates (q, r) with cube rounding — the same
+addressing scheme and k-ring/grid-distance algebra H3 uses per its
+published docs, WITHOUT the icosahedral gnomonic projection, so cell
+ids are NOT bit-compatible with the H3 library (stated here and in
+COVERAGE.md; the real library drops in behind the same three
+callbacks).
+
+Everything is engine-identical arithmetic: the Spark side evaluates
+the SAME expression strings (F.expr) the DuckDB oracle runs, and
+rounding uses floor(v + 0.5) explicitly (both engines' round() differ
+in tie/negative behavior).  Assignment is pure Column math — no UDF,
+no shuffle — and kNN reuses the shared CellIndex seam
+(`knn.candidate_topk` / `knn.adaptive_knn`) verbatim, proving the seam
+with a third backend.
+
+Axial layout (pointy-top, circumradius R):
+    center x = R*sqrt(3)*(q + r/2),  center y = R*(3/2)*r
+    q = (sqrt(3)/3 * x - 1/3 * y)/R,  r = (2/3 * y)/R
+    hex distance((q1,r1),(q2,r2)) = max(|dq|, |dr|, |dq+dr|)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tiles as T
+
+# sqrt(3)/3 etc. as literal doubles so both engines parse the exact
+# same constant (no engine sqrt in the hot path)
+_SQRT3_3 = 0.5773502691896258
+_THIRD = 0.3333333333333333
+_TWO_THIRDS = 0.6666666666666666
+_KEY_OFF = 1 << 30
+_KEY_MUL = 1 << 31
+
+
+def hex_size(level: int) -> float:
+    """Circumradius (3857 meters) at ``level``: halves per level."""
+    return T.MAX_EXTENTS / (2 ** level)
+
+
+def hex_qr_sql(level: int) -> tuple[str, str]:
+    """(hq, hr) SQL expressions over x3857/y3857 — axial coords with
+    cube rounding, identical text for Spark and DuckDB."""
+    R = repr(hex_size(level))
+    qf = f"(({_SQRT3_3!r} * x3857 - {_THIRD!r} * y3857) / {R})"
+    rf = f"(({_TWO_THIRDS!r} * y3857) / {R})"
+    yf = f"(-{qf} - {rf})"
+    rx = f"CAST(floor({qf} + 0.5) AS BIGINT)"
+    ry = f"CAST(floor({yf} + 0.5) AS BIGINT)"
+    rz = f"CAST(floor({rf} + 0.5) AS BIGINT)"
+    dx = f"abs({rx} - {qf})"
+    dy = f"abs({ry} - {yf})"
+    dz = f"abs({rz} - {rf})"
+    hq = (f"(CASE WHEN {dx} > {dy} AND {dx} > {dz} THEN -{ry} - {rz} "
+          f"ELSE {rx} END)")
+    hr = (f"(CASE WHEN {dx} > {dy} AND {dx} > {dz} THEN {rz} "
+          f"WHEN {dy} > {dz} THEN {rz} "
+          f"ELSE -{rx} - {ry} END)")
+    return hq, hr
+
+
+def hex_key_sql(hq: str, hr: str) -> str:
+    """Pack axial (q, r) into one int64 (offset-binary 31-bit fields)."""
+    return (f"(({hq} + {_KEY_OFF}) * CAST({_KEY_MUL} AS BIGINT) "
+            f"+ ({hr} + {_KEY_OFF}))")
+
+
+def with_hex_cell(df: DataFrame, level: int,
+                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Add hq / hr / hex_key at ``level`` — pure Column math over the
+    shared mercator projection (no Exchange, no Python)."""
+    hq, hr = hex_qr_sql(level)
+    d = T.with_web_mercator(df, lon_col, lat_col)
+    return (d.withColumn("hq", F.expr(hq))
+             .withColumn("hr", F.expr(hr))
+             .withColumn("hex_key", F.expr(hex_key_sql(hq, hr)))
+             .drop("x3857", "y3857"))
+
+
+def ring_offsets(ring: int) -> list:
+    """All axial offsets within hex distance ``ring`` (3R^2+3R+1)."""
+    return [(dq, dr)
+            for dq in range(-ring, ring + 1)
+            for dr in range(-ring, ring + 1)
+            if max(abs(dq), abs(dr), abs(dq + dr)) <= ring]
+
+
+def knn_hex(queries: DataFrame, data: DataFrame, k: int = 5,
+            level: int = 3, ring: int = 2,
+            query_id: str = "query_id", data_id: str = "image_id",
+            q_lon: str = "lon", q_lat: str = "lat",
+            d_lon: str = "lon", d_lat: str = "lat",
+            broadcast_queries: bool = True) -> DataFrame:
+    """kNN with hex-cell blocking via the shared CellIndex seam: data
+    side Column-math assignment, query side fanned out to its hex
+    k-ring, `candidate_topk` does the join + haversine + top-k.  Same
+    sizing contract as knn_kring; `knn_hex_adaptive` discharges it."""
+    from .knn import candidate_topk
+
+    d = (with_hex_cell(data, level, d_lon, d_lat)
+         .select(F.col(data_id), F.col(d_lon).alias("_dlon"),
+                 F.col(d_lat).alias("_dlat"), "hex_key"))
+    q = with_hex_cell(queries, level, q_lon, q_lat)
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                     for dq, dr in ring_offsets(ring)])
+    q = (q.withColumn("_o", F.explode(offs))
+          .withColumn("hex_key", F.expr(hex_key_sql(
+              "(hq + _o.dq)", "(hr + _o.dr)")))
+          .select(F.col(query_id), F.col(q_lon).alias("_qlon"),
+                  F.col(q_lat).alias("_qlat"), "hex_key"))
+    return candidate_topk(q, d, k, "hex_key", query_id, data_id,
+                          broadcast_queries)
+
+
+def _hex_bound_km(active: DataFrame, ring: int, level: int,
+                  q_lon: str, q_lat: str, query_id: str) -> DataFrame:
+    """Conservative ground-distance floor on anything OUTSIDE a
+    query's ring-R hex block: centers at hex distance d are >=
+    1.5*d*Rc apart (the MINIMUM is along the grid diagonal — e.g.
+    offset (k, k) has hex distance 2k but center distance 3k*Rc; the
+    sqrt(3)*d*Rc edge-neighbor chain is the maximum-direction case),
+    and points sit within Rc of their centers, so bound_merc =
+    ((R+1)*1.5 - 2) * Rc.  Mercator meters convert to ground with the
+    block's worst-case cos(lat) and the haversine sphere radius —
+    every step rounds DOWN (same scheme as knn._ring_bound_km).
+
+    Unlike the XYZ grid (which tiles the mercator cylinder exactly and
+    wraps its ring with pmod), a hex grid's axial period across the
+    antimeridian is irrational in cells, so the fan-out cannot wrap;
+    candidates across the seam are invisible until full cover.  The
+    bound therefore caps at the query's mercator distance to either
+    seam — a seam-adjacent query (e.g. lon = -180) gets bound ~0 and
+    keeps expanding to full cover, where the block holds every cell
+    and the top-k is exact."""
+    rc = hex_size(level)
+    merc = max(0.0, ((ring + 1) * 1.5 - 2.0) * rc)
+    span = (ring + 1) * 1.5 * rc + rc  # max |dy| of any block point
+    qm = T.with_web_mercator(active, q_lon, q_lat)
+
+    def lat_at(y_merc):
+        clamped = F.greatest(F.least(y_merc, F.lit(T.MAX_EXTENTS)),
+                             F.lit(-T.MAX_EXTENTS))
+        return F.degrees(
+            F.lit(2.0) * F.atan(F.exp(clamped / F.lit(T.WGS84_MAJOR_RADIUS)))
+            - F.lit(math.pi / 2.0))
+
+    cos_min = F.least(
+        F.cos(F.radians(lat_at(F.col("y3857") + F.lit(span)))),
+        F.cos(F.radians(lat_at(F.col("y3857") - F.lit(span)))))
+    seam_capped = F.least(F.lit(merc),
+                          F.col("x3857") + F.lit(T.MAX_EXTENTS),
+                          F.lit(T.MAX_EXTENTS) - F.col("x3857"))
+    bound = (seam_capped * cos_min
+             * F.lit(6371000.0 / T.WGS84_MAJOR_RADIUS) / F.lit(1000.0))
+    return qm.select(F.col(query_id), bound.alias("_bound_km"))
+
+
+def knn_hex_adaptive(queries: DataFrame, data: DataFrame, k: int = 5,
+                     level: int = 3, start_ring: int = 1,
+                     query_id: str = "query_id", data_id: str = "image_id",
+                     q_lon: str = "lon", q_lat: str = "lat",
+                     d_lon: str = "lon", d_lat: str = "lat",
+                     broadcast_queries: bool = True) -> DataFrame:
+    """Ring-doubling hex kNN on the shared `adaptive_knn` driver —
+    only the round and bound callbacks are hex-specific (the CellIndex
+    seam's third backend)."""
+    from .knn import adaptive_knn
+
+    def round_fn(active, ring):
+        return knn_hex(active, data, k=k, level=level, ring=ring,
+                       query_id=query_id, data_id=data_id,
+                       q_lon=q_lon, q_lat=q_lat, d_lon=d_lon, d_lat=d_lat,
+                       broadcast_queries=broadcast_queries)
+
+    def bound_fn(active, ring):
+        return _hex_bound_km(active, ring, level, q_lon, q_lat, query_id)
+
+    # the grid spans ~2*0.91*2^level axial units: ring 2^(level+1)
+    # covers every cell that can hold a point
+    return adaptive_knn(queries, k, round_fn, bound_fn,
+                        full_cover_ring=2 ** (level + 1),
+                        start_ring=start_ring, query_id=query_id)
+
+
+# --- driver queries + oracles ----------------------------------------------
+
+HEX_QUERY_LEVELS = (4, 8, 12)
+
+
+def q_hex_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell assignment of customer points at three levels — the
+    hex analogue of `s2_cell_assign` (hash-exact vs the DuckDB twin
+    running the SAME expression strings)."""
+    from ..queries import CUST_LAT, CUST_LON
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select("c_custkey",
+                    F.expr(CUST_LON).alias("lon"),
+                    F.expr(CUST_LAT).alias("lat"))
+    outs = []
+    for lv in HEX_QUERY_LEVELS:
+        outs.append(with_hex_cell(pts, lv)
+                    .select("c_custkey", F.lit(lv).cast("int").alias("level"),
+                            "hq", "hr", "hex_key"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_hex_cell_assign() -> str:
+    from ..queries import CUST_LAT, CUST_LON, MAX_EXTENTS, R
+
+    x = f"least({R} * radians(lon), {MAX_EXTENTS})"
+    y = f"greatest({R} * ln(tan(0.25 * pi() + 0.5 * radians(lat))), -{MAX_EXTENTS})"
+    selects = []
+    for lv in HEX_QUERY_LEVELS:
+        hq, hr = hex_qr_sql(lv)
+        selects.append(
+            f"SELECT c_custkey, CAST({lv} AS INT) AS level, "
+            f"{hq} AS hq, {hr} AS hr, {hex_key_sql(hq, hr)} AS hex_key "
+            f"FROM proj")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {x} AS x3857, {y} AS y3857 FROM pts
+    )
+    {union}
+    """
+
+
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive hex-ring kNN, same question as `knn_kring`/`knn_s2` —
+    the hex index must not change the answer (same brute oracle)."""
+    from ..queries import _customer_points, _nation_points
+
+    queries = (_nation_points(spark, sf_dir)
+               .withColumnRenamed("n_nationkey", "query_id"))
+    data = (_customer_points(spark, sf_dir)
+            .withColumnRenamed("c_custkey", "data_id"))
+    out = knn_hex_adaptive(queries, data, k=5, level=3, start_ring=2,
+                           query_id="query_id", data_id="data_id")
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("int").alias("rank"))

@@ -320,6 +320,7 @@ def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
+from .operators import hexgrid as HEX  # noqa: E402
 from .operators import s2cells as S2C  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
@@ -339,6 +340,10 @@ QUERIES = {
     # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
     "s2_cell_assign": S2C.q_s2_cell_assign,
     "knn_s2": S2C.q_knn_s2,
+    # hexagonal cell index (H3-shaped axial grid on the 3857 plane;
+    # honest non-bit-compatible stand-in — see operators/hexgrid.py)
+    "hex_cell_assign": HEX.q_hex_cell_assign,
+    "knn_hex": HEX.q_knn_hex,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
     # text analysis
@@ -391,6 +396,9 @@ ORACLES = {
     "s2_cell_assign": S2C.sql_s2_cell_assign(),
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
+    "hex_cell_assign": HEX.sql_hex_cell_assign(),
+    # nor the hex index: same brute oracle again
+    "knn_hex": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
