@@ -72,3 +72,62 @@ def test_snapshot_chain(spark, tmp_path):
     m2 = store.manifest(sid2)
     assert m2["parent_id"] == sid1
     assert store.snapshots() == sorted([sid1, sid2])
+
+
+def test_compaction_preserves_latest_content_and_packs_files(spark, tmp_path):
+    """Compact a 3-snapshot chain (incremental encode + a refreshed
+    tile version): the new snapshot holds the LATEST bytes of every
+    key in size-targeted range-partitioned files; resume still
+    short-circuits; history stays readable."""
+    store = TileStore(str(tmp_path / "store"))
+    a300 = _assigned(spark, 300).cache()
+    a500 = _assigned(spark, 500).cache()
+    encode_resumable(a300, store, "images[0:300)")
+    encode_resumable(a500, store, "images[0:500)")
+    # third snapshot REFRESHES a subset of tiles with new content
+    # (re-encode from the larger corpus: overlapping keys, new bytes)
+    refreshed = E.assemble_point_tiles_streaming(a500)
+    some = refreshed.limit(7).cache()
+    store.commit_tiles(some, "refresh 7 tiles")
+    chain_len = len(store.snapshots())
+
+    # expected latest view: refreshed keys -> refreshed bytes, others
+    # -> their chain version
+    expect = {}
+    sid = store.current_snapshot()
+    age = 0
+    rows_by_age = []
+    while sid is not None:
+        rows_by_age.append(store.read_tiles(spark, sid).collect())
+        sid = store.manifest(sid).get("parent_id")
+    for rows in rows_by_age:  # youngest first; first writer wins
+        for r in rows:
+            k = (r["zoom"], r["tile_x"], r["tile_y"])
+            expect.setdefault(k, bytes(r["mvt"]))
+
+    csid = store.compact(spark, target_file_bytes=16 << 10)
+    got = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["mvt"])
+           for r in store.read_tiles(spark, csid).collect()}
+    assert got == expect
+    # manifest chain intact, metrics recorded
+    m = store.manifest(csid)
+    assert m["parent_id"] is not None
+    assert m["metrics"]["tiles_out"] == len(expect)
+    assert "compaction" in m["input"]
+    # file sizing: more than one file at a tiny target, and each file
+    # covers a disjoint tile-key RANGE (pruning-friendly layout)
+    import glob
+    files = [f for f in glob.glob(os.path.join(
+        store._data_path(csid), "part-*.parquet"))]
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).select("zoom", "tile_x", "tile_y").toPandas()
+        if len(pdf):
+            keys = list(zip(pdf.zoom, pdf.tile_x, pdf.tile_y))
+            ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # resume after compaction: nothing left to do
+    assert store.remaining_tiles(a500).count() == 0

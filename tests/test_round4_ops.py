@@ -425,3 +425,49 @@ def test_png_all_filter_types_decode():
                 + synth._png_chunk(b"IEND", b""))
         out = synth.decode_png(data)
         assert np.array_equal(out, px), f"filter {ftype}"
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: compression shape, determinism, truthful recall column, floor
+# ---------------------------------------------------------------------------
+
+def test_pq_codebooks_and_codes_shape(spark):
+    from zellige_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = SIM._pq_codebooks(spark, emb)
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert books.shape == (SIM.PQ_M, SIM.PQ_K, dim // SIM.PQ_M)
+    codes = (emb.limit(50)
+                .select(SIM.pq_encode_udf(books)(F.col("embedding")).alias("c"))
+                .toPandas())
+    for c in codes.c:
+        arr = np.asarray(c)
+        assert arr.shape == (SIM.PQ_M,)
+        assert ((arr >= 0) & (arr < SIM.PQ_K)).all()
+    # the memory claim: PQ_M bytes vs dim float32s per vector
+    assert SIM.PQ_M * 1 < dim * 4 / 8
+
+
+def test_ann_ivfpq_recall_column_truthful_and_floor(spark):
+    from zellige_spark.operators import similarity as SIM
+
+    sf = "/root/testdata/sf0.001"
+    a1 = SIM.q_ann_ivfpq(spark, sf).collect()
+    a2 = SIM.q_ann_ivfpq(spark, sf).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # deterministic
+    brute = SIM.q_ann_bruteforce(spark, sf).collect()
+    b = {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in a1:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = {q: len(a.get(q, set()) & nb) / len(nb) for q, nb in b.items()}
+    for r in a1:
+        assert r["recall_e3"] == int(per_q[r["query_id"]] * 1000 // 1)
+    mean = sum(per_q.values()) / len(per_q)
+    # 8-byte codes + 20-deep exact re-rank on a 25%-probed isotropic
+    # corpus: well above random (K/n ~ 0.01), below raw-vector IVF
+    assert mean >= 0.4, mean

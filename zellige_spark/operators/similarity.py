@@ -457,3 +457,143 @@ def with_recall(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
                   .cast("int").alias("recall_e3")))
     return approx_topk.join(F.broadcast(hits), "query_id").select(
         "query_id", "neighbor_id", "rank", "recall_e3")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN — the 10^12-vector MEMORY path.  IVF
+# bounds how many candidates a query touches (lists ~ sqrt(n) via
+# ivf_params); PQ bounds what each candidate COSTS to hold and score:
+# PQ_M one-byte codes per vector (vs dim * 4 bytes raw), scored by
+# per-query ADC lookup tables, with an exact re-rank of the small top
+# pool to absorb quantization error.  Raw-vector PQ (not residual
+# encoding) — simpler, and the re-rank pool covers the difference at
+# these pool sizes (documented trade-off).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8            # subspaces: codes are PQ_M bytes per vector
+PQ_K = 256          # centroids per subspace codebook (one byte's worth)
+PQ_RERANK = 4       # exact re-rank pool = PQ_RERANK * K per query
+
+
+def _pq_codebooks(spark: SparkSession, emb: DataFrame, m: int = PQ_M,
+                  k: int = PQ_K, sample: int = 2048, iters: int = 8,
+                  seed: int = 42) -> np.ndarray:
+    """Driver-side per-subspace Lloyd's k-means on a bounded
+    L2-normalized sample -> (m, k, dim/m) codebook tensor.  Like
+    `_ivf_centroids`, training cost is a driver-side constant
+    independent of corpus size."""
+    rows = emb.orderBy("vec_id").limit(sample).select("embedding").collect()
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ requires dim % m == 0 (dim={dim}, m={m})")
+    dsub = dim // m
+    rng = np.random.default_rng([seed, 909])
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        kk = min(k, len(S))
+        C = S[rng.choice(len(S), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                mem = S[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(0)
+        books[j, :kk] = C
+        if kk < k:
+            books[j, kk:] = C[0]  # padding; never the argmin winner twice
+    return books
+
+
+def pq_encode_udf(books: np.ndarray):
+    """Arrow-batched encoder: embedding -> PQ_M nearest-centroid codes
+    (the per-batch cost is one small matmul-shaped distance per
+    subspace against the broadcast codebook tensor)."""
+    m, _k, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def enc(emb: pd.Series) -> pd.Series:
+        X = _stack(emb).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: vectors live in their best IVF list as PQ_M-byte
+    codes; a query probes its nprobe lists, scores candidates by ADC
+    (per-query (m, 256) lookup table over squared subspace distances —
+    on L2-normalized vectors L2^2 = 2 - 2cos, so the ADC order is the
+    cosine order up to quantization), keeps the top PQ_RERANK*K pool,
+    and exact-re-ranks that pool against the raw vectors.  Rows-only
+    for the driver but with the self-verifying ``recall_e3`` column;
+    pytest pins recall floors and determinism."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = ivf_params(emb.count())
+    C = _ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
+    books = _pq_codebooks(spark, emb)
+    m, _k, dsub = books.shape
+    lists = ivf_toplists_udf(C, p.nprobe)
+    enc = pq_encode_udf(books)
+    base = emb.select("vec_id",
+                      lists(F.col("embedding")).alias("_lists"),
+                      enc(F.col("embedding")).alias("_codes"))
+    d = base.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("_codes"), F.col("_lists")[0].alias("list_id"))
+    q = (base.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.explode("_lists").alias("list_id")))
+
+    # per-query ADC tables: queries are a bounded driver-side set
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+                .select("vec_id", "embedding").collect())
+    luts = {}
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v) + 1e-12
+        luts[int(r["vec_id"])] = np.stack([
+            ((books[j] - v[j * dsub:(j + 1) * dsub]) ** 2).sum(-1)
+            for j in range(m)])
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        cc = np.stack(codes.to_numpy())
+        qi = qid.to_numpy()
+        out = np.empty(len(qi))
+        idx = np.arange(cc.shape[1])
+        for u in np.unique(qi):
+            mask = qi == u
+            out[mask] = luts[int(u)][idx[None, :], cc[mask]].sum(1)
+        return pd.Series(out)
+
+    cand = (q.join(d, "list_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("adc", adc(F.col("query_id"), F.col("_codes"))))
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc").asc(),
+                                                F.col("neighbor_id").asc())
+    pool = (cand.withColumn("prank", F.row_number().over(wa))
+                .filter(F.col("prank") <= PQ_RERANK * K)
+                .select("query_id", "neighbor_id"))
+    qv = F.broadcast(emb.filter(F.col("vec_id") < N_QUERIES)
+                        .select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("qv")))
+    dv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("dv"))
+    rer = (pool.join(dv, "neighbor_id").join(qv, "query_id")
+               .withColumn("cos", F.expr(_cosine("qv", "dv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    topk = (rer.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= K)
+               .select("query_id", "neighbor_id",
+                       F.col("rank").cast("int").alias("rank")))
+    return with_recall(topk, q_ann_bruteforce(spark, sf_dir))

@@ -124,6 +124,48 @@ class TileStore:
         sid = sid or self.current_snapshot()
         return spark.read.parquet(self._lineage_path(sid))
 
+    # --- compaction -------------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 << 20,
+                input_desc: str = "compaction") -> str:
+        """Small-files compaction — the day-one 100-TB operational
+        concern of any snapshot-per-increment store: resolve the
+        snapshot chain to the LATEST version of every tile key, rewrite
+        it as ceil(total_bytes / target) range-partitioned files (range
+        on the tile key, so each compacted file covers a compact
+        z/x/y region and key-range predicates keep pruning), and
+        commit the result as a NEW snapshot whose parent is the current
+        head.  Per-key tile bytes are preserved exactly; history stays
+        readable for time travel; resume keeps working unchanged (the
+        compacted snapshot carries every key, and the chain walk in
+        ``completed_tile_keys`` dedups).  Real Iceberg swaps this for
+        rewrite_data_files — same contract."""
+        sids = []
+        sid = self.current_snapshot()
+        while sid is not None:
+            sids.append(sid)
+            sid = self.manifest(sid).get("parent_id")
+        if not sids:
+            raise FileNotFoundError("no committed snapshot to compact")
+        from pyspark.sql import Window
+
+        parts = [self.read_tiles(spark, s)
+                     .drop("partition_id")
+                     .withColumn("_age", F.lit(i))
+                 for i, s in enumerate(sids)]
+        allt = parts[0]
+        for p in parts[1:]:
+            allt = allt.unionByName(p)
+        w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
+        latest = (allt.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn", "_age"))
+        total = latest.agg(F.sum("bytes_len").alias("b")).collect()[0]["b"] or 1
+        nfiles = max(1, -(-int(total) // int(target_file_bytes)))
+        packed = latest.repartitionByRange(nfiles, "zoom", "tile_x", "tile_y")
+        return self.commit_tiles(
+            packed, input_desc=f"{input_desc} of {len(sids)} snapshots")
+
     # --- checkpoint / resume -----------------------------------------------------
 
     def completed_tile_keys(self, spark: SparkSession) -> Optional[DataFrame]:

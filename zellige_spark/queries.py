@@ -367,6 +367,9 @@ QUERIES = {
     "ann_bruteforce": SIM.q_ann_bruteforce,
     "ann_lsh": SIM.q_ann_lsh,
     "ann_ivf": SIM.q_ann_ivf,
+    # IVF-PQ: the 1e12-vector memory path (PQ_M-byte codes + ADC +
+    # exact re-rank); rows-only with self-verifying recall_e3
+    "ann_ivfpq": SIM.q_ann_ivfpq,
     "embed_cosine_dup": SIM.q_embed_cosine_dup,
     "embed_quantize": SIM.q_embed_quantize,
     # events / streaming (batch-equivalent plans)
