@@ -521,7 +521,12 @@ def pq_encode_udf(books: np.ndarray):
         codes = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             S = X[:, j * dsub:(j + 1) * dsub]
-            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 via matmul: peak
+            # temp is (batch, 256), not the (batch, 256, dsub) a
+            # broadcast-subtract would allocate (~1 GB at 64k-row
+            # Arrow batches); ||s||^2 is constant per row and argmin
+            # ignores it
+            d2 = ((books[j] ** 2).sum(1)[None, :] - 2.0 * (S @ books[j].T))
             codes[:, j] = d2.argmin(1)
         return pd.Series(list(codes))
 
