@@ -471,3 +471,38 @@ def test_ann_ivfpq_recall_column_truthful_and_floor(spark):
     # 8-byte codes + 20-deep exact re-rank on a 25%-probed isotropic
     # corpus: well above random (K/n ~ 0.01), below raw-vector IVF
     assert mean >= 0.4, mean
+
+
+# ---------------------------------------------------------------------------
+# deterministic image augmentation
+# ---------------------------------------------------------------------------
+
+def test_augment_images_group_laws_and_payloads(spark):
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IM
+
+    imgs = synth.images_df(spark, 12)
+    out = IM.augment_images(imgs).toPandas()
+    assert len(out) == 12 * len(IM.AUG_OPS)
+    assert out.aug_ok.all()
+    # payloads decode and match a driver-side recompute per op
+    src = {r.image_id: synth.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+           for r in imgs.toPandas().itertuples(index=False)}
+    for r in out.itertuples(index=False):
+        px = np.frombuffer(bytes(r.bytes), dtype=np.uint8).reshape(r.h, r.w, 3)
+        exp = np.ascontiguousarray(IM._apply_aug(src[r.image_id], r.aug))
+        assert np.array_equal(px, exp), (r.image_id, r.aug)
+        assert synth.average_phash(px) == r.phash
+    # rotations swap dims; flips keep them
+    pdfm = out.merge(imgs.toPandas()[["image_id", "w", "h"]],
+                     on="image_id", suffixes=("", "_src"))
+    rot = pdfm[pdfm.aug.isin(["rot90", "rot270"])]
+    assert (rot.w == rot.h_src).all() and (rot.h == rot.w_src).all()
+
+
+def test_image_augment_driver_query(spark):
+    from zellige_spark import queries as Q
+
+    out = Q.QUERIES["image_augment"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 150 * 6
+    assert (out.aug_ok == 1).all()

@@ -282,3 +282,75 @@ def q_image_pipeline(spark, sf_dir: str) -> DataFrame:
                       F.col("phash_ok").cast("int").alias("phash_ok"),
                       F.col("caption_ok").cast("int").alias("caption_ok"),
                       F.col("psnr_ok").cast("int").alias("psnr_ok"))
+
+
+# --- deterministic geometric augmentation -----------------------------------
+
+AUG_OPS = ("identity", "hflip", "vflip", "rot90", "rot180", "rot270")
+
+AUG_SCHEMA = ("image_id string, aug string, w int, h int, bytes binary, "
+              "fmt string, phash long, aug_ok boolean")
+
+
+def _apply_aug(px: np.ndarray, op: str) -> np.ndarray:
+    if op == "identity":
+        return px
+    if op == "hflip":
+        return px[:, ::-1]
+    if op == "vflip":
+        return px[::-1]
+    if op == "rot90":
+        return np.rot90(px, 1)
+    if op == "rot180":
+        return np.rot90(px, 2)
+    if op == "rot270":
+        return np.rot90(px, 3)
+    raise ValueError(f"unknown augmentation {op!r}")
+
+
+def augment_images(images: DataFrame, ops=AUG_OPS) -> DataFrame:
+    """Deterministic geometric augmentation fan-out — the standard
+    training-data multiplication stage — as ONE Arrow-batched
+    mapInPandas pass: each input row emits one row per op with a raw
+    RGB payload and its recomputed phash.  Pure numpy views (flips are
+    strides, rotations are transposes); no RNG, so re-runs are
+    byte-identical and resumable.  Every row carries an in-job
+    integrity verdict ``aug_ok`` (the group laws of the dihedral
+    ops: hflip^2 == vflip^2 == identity, rot90 applied 4x == identity,
+    rot180 == hflip∘vflip) so a rows-only driver check is
+    self-verifying (the recall_e3 pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_any(r.bytes, r.fmt, r.w, r.h)
+                ok = (np.array_equal(_apply_aug(_apply_aug(px, "hflip"), "hflip"), px)
+                      and np.array_equal(_apply_aug(_apply_aug(px, "vflip"), "vflip"), px)
+                      and np.array_equal(
+                          _apply_aug(_apply_aug(_apply_aug(_apply_aug(
+                              px, "rot90"), "rot90"), "rot90"), "rot90"), px)
+                      and np.array_equal(
+                          _apply_aug(px, "rot180"),
+                          _apply_aug(_apply_aug(px, "hflip"), "vflip")))
+                for op in ops:
+                    out = np.ascontiguousarray(_apply_aug(px, op))
+                    h, w = out.shape[:2]
+                    rows.append((r.image_id, op, w, h, out.tobytes(), "raw",
+                                 synth.average_phash(out), bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "aug", "w", "h", "bytes", "fmt", "phash",
+                "aug_ok"])
+
+    return images.mapInPandas(run, AUG_SCHEMA)
+
+
+def q_image_augment(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; pixel permutations not SQL-expressible):
+    6-way deterministic augmentation of the synthetic image table with
+    per-row dihedral-group verdicts asserted by the ``aug_ok``
+    integrity column."""
+    imgs = synth.images_df(spark, 150)
+    out = augment_images(imgs)
+    return out.select("image_id", "aug", "w", "h", "phash",
+                      F.col("aug_ok").cast("int").alias("aug_ok"))

@@ -382,6 +382,9 @@ QUERIES = {
     "neardup_verdicts": SND.q_near_dup_verdicts,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
+    # deterministic geometric augmentation fan-out (rows-only with the
+    # aug_ok dihedral-group integrity column)
+    "image_augment": IMG.q_image_augment,
     # multimodal audio/video sampling over the real WAV/Y4M parsers
     # (rows-only: PCM/YUV bit layouts not SQL-expressible)
     "audio_windows": IMG.q_audio_windows,
