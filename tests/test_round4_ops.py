@@ -506,3 +506,11 @@ def test_image_augment_driver_query(spark):
     out = Q.QUERIES["image_augment"](spark, "/root/testdata/sf0.001").toPandas()
     assert len(out) == 150 * 6
     assert (out.aug_ok == 1).all()
+
+
+def test_ring_fanout_guards():
+    from zellige_spark.operators import hexgrid as HX
+
+    with pytest.raises(ValueError, match="coarser index level"):
+        HX.ring_offsets(600)
+    assert len(HX.ring_offsets(5)) == 91

@@ -87,8 +87,22 @@ def with_hex_cell(df: DataFrame, level: int,
              .drop("x3857", "y3857"))
 
 
+RING_FANOUT_CAP = 1_000_000  # literal-array guard (see ring_offsets)
+
+
 def ring_offsets(ring: int) -> list:
-    """All axial offsets within hex distance ``ring`` (3R^2+3R+1)."""
+    """All axial offsets within hex distance ``ring`` (3R^2+3R+1).
+
+    The fan-out is a LITERAL array in the plan, so it must stay
+    driver-sized: a ring that would exceed RING_FANOUT_CAP offsets
+    (ring ~577+) raises instead of building a multi-hundred-MB plan.
+    Hitting this means the index level is far too fine for the data
+    density — pick a coarser level so the adaptive loop's full-cover
+    ring (2^(level+1)) stays small."""
+    if 3 * ring * ring + 3 * ring + 1 > RING_FANOUT_CAP:
+        raise ValueError(
+            f"hex ring {ring} fans out to >{RING_FANOUT_CAP} cells; "
+            f"use a coarser index level for this data density")
     return [(dq, dr)
             for dq in range(-ring, ring + 1)
             for dr in range(-ring, ring + 1)

@@ -138,6 +138,12 @@ def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
     q = T.with_web_mercator(queries, q_lon, q_lat)
     qx, qy = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(index_zoom))
     q = q.withColumn("_qx", qx).withColumn("_qy", qy)
+    if (2 * max_ring + 1) ** 2 > 1_000_000:
+        # the fan-out is a literal array in the plan — a ring this wide
+        # means the index zoom is far too fine for the data density
+        raise ValueError(
+            f"k-ring {max_ring} fans out to >1e6 cells; "
+            f"use a coarser index_zoom for this data density")
     shifts = [(sx, sy) for sx in range(-max_ring, max_ring + 1)
               for sy in range(-max_ring, max_ring + 1)]
     q = q.withColumn("_s", F.explode(F.array(*[
