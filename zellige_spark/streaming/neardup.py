@@ -75,10 +75,13 @@ def _shingle_expr(nt: str) -> str:
         f"ELSE array() END")
 
 
-def with_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_signature(df: DataFrame, text_col: str = "text",
+                   barrier: bool = True) -> DataFrame:
     """(doc_id, h0..h{NP-1}) — per-ROW Column math (no shuffle, no
     aggregation), the shape a stream stage needs.  Docs with no
-    shingles drop."""
+    shingles drop.  ``barrier=False`` for streaming inputs:
+    monotonically_increasing_id is disallowed in a streaming plan, so
+    the stream pays the (micro-batch-sized) re-inlining instead."""
     nt = _NORM.replace("text", text_col)
     df = df.select("doc_id", F.expr(_shingle_expr(f"({nt})")).alias("_shs"))
     df = df.filter(F.size("_shs") > 0)
@@ -87,7 +90,14 @@ def with_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
         inner = _hash15(f"concat('{p}|', s)")
         cols.append(F.expr(f"array_min(transform(_shs, s -> {inner}))")
                      .alias(f"h{p}"))
-    return df.select("doc_id", *cols)
+    out = df.select("doc_id", *cols)
+    if barrier:
+        # h columns are EXPENSIVE derived expressions (md5 per shingle
+        # per perm); without the barrier Catalyst's project collapsing
+        # re-inlines them into the signature array AND each exploded
+        # band row downstream (~2-8x the hash work — CLAUDE.md pattern)
+        out = out.withColumn("_b", F.monotonically_increasing_id())
+    return out
 
 
 def banded(sig: DataFrame) -> DataFrame:
@@ -155,7 +165,7 @@ def stream_near_dup(spark: SparkSession, input_path: str, checkpoint: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_path)
-    b = banded(with_signature(docs))
+    b = banded(with_signature(docs, barrier=False))
 
     state_schema = ("rep_id long, " +
                     ", ".join(f"s{p} long" for p in range(NP)))
