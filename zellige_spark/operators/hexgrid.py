@@ -91,14 +91,14 @@ RING_FANOUT_CAP = 1_000_000  # literal-array guard (see ring_offsets)
 
 
 def ring_offsets(ring: int) -> list:
-    """All axial offsets within hex distance ``ring`` (3R^2+3R+1).
-
-    The fan-out is a LITERAL array in the plan, so it must stay
-    driver-sized: a ring that would exceed RING_FANOUT_CAP offsets
-    (ring ~577+) raises instead of building a multi-hundred-MB plan.
-    Hitting this means the index level is far too fine for the data
-    density — pick a coarser level so the adaptive loop's full-cover
-    ring (2^(level+1)) stays small."""
+    """All axial offsets within hex distance ``ring`` (3R^2+3R+1), for
+    the LITERAL-array fan-out path (small rings).  The literal form
+    must stay driver-sized, so a ring that would exceed RING_FANOUT_CAP
+    offsets raises — but ``knn_hex`` never routes wide rings here: above
+    ``knn.LITERAL_FANOUT_MAX`` offsets it switches to the runtime
+    ``sequence``-explode fan-out, whose plan is O(1) bytes at any ring
+    (so the adaptive full-cover round at fine levels completes instead
+    of raising)."""
     if 3 * ring * ring + 3 * ring + 1 > RING_FANOUT_CAP:
         raise ValueError(
             f"hex ring {ring} fans out to >{RING_FANOUT_CAP} cells; "
@@ -118,18 +118,32 @@ def knn_hex(queries: DataFrame, data: DataFrame, k: int = 5,
     """kNN with hex-cell blocking via the shared CellIndex seam: data
     side Column-math assignment, query side fanned out to its hex
     k-ring, `candidate_topk` does the join + haversine + top-k.  Same
-    sizing contract as knn_kring; `knn_hex_adaptive` discharges it."""
-    from .knn import candidate_topk
+    sizing contract as knn_kring; `knn_hex_adaptive` discharges it.
+
+    Small rings fan out through a literal offset array (one explode,
+    codegen'd); rings past ``knn.LITERAL_FANOUT_MAX`` offsets generate
+    (dq, dr) at runtime — dq from sequence(-R, R), dr from the
+    dq-dependent sequence that keeps max(|dq|,|dr|,|dq+dr|) <= R — so
+    the plan never embeds a giant literal."""
+    from .knn import LITERAL_FANOUT_MAX, candidate_topk
 
     d = (with_hex_cell(data, level, d_lon, d_lat)
          .select(F.col(data_id), F.col(d_lon).alias("_dlon"),
                  F.col(d_lat).alias("_dlat"), "hex_key"))
     q = with_hex_cell(queries, level, q_lon, q_lat)
-    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
-                     for dq, dr in ring_offsets(ring)])
-    q = (q.withColumn("_o", F.explode(offs))
-          .withColumn("hex_key", F.expr(hex_key_sql(
-              "(hq + _o.dq)", "(hr + _o.dr)")))
+    if 3 * ring * ring + 3 * ring + 1 <= LITERAL_FANOUT_MAX:
+        offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                         for dq, dr in ring_offsets(ring)])
+        q = (q.withColumn("_o", F.explode(offs))
+              .withColumn("_dq", F.col("_o.dq"))
+              .withColumn("_dr", F.col("_o.dr")))
+    else:
+        q = (q.withColumn("_dq", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+              .withColumn("_dr", F.explode(F.sequence(
+                  F.greatest(F.lit(-ring), F.lit(-ring) - F.col("_dq")),
+                  F.least(F.lit(ring), F.lit(ring) - F.col("_dq"))))))
+    q = (q.withColumn("hex_key", F.expr(hex_key_sql(
+              "(hq + _dq)", "(hr + _dr)")))
           .select(F.col(query_id), F.col(q_lon).alias("_qlon"),
                   F.col(q_lat).alias("_qlat"), "hex_key"))
     return candidate_topk(q, d, k, "hex_key", query_id, data_id,

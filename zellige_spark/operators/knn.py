@@ -120,6 +120,17 @@ def adaptive_knn(queries: DataFrame, k: int, round_fn, bound_fn,
     return out
 
 
+LITERAL_FANOUT_MAX = 4096
+"""Ring fan-outs at or below this many cells are emitted as a literal
+struct array in the plan (one explode, fully codegen'd); above it the
+shifts are generated at runtime via ``sequence`` + explode, so the plan
+stays O(1) bytes no matter how wide the ring.  The adaptive drivers'
+full-cover rounds (ring ~ 2^zoom at fine index zooms) therefore always
+complete — they just take the runtime-fan-out path — instead of
+raising, which previously turned sparse-data adaptive runs at
+index_zoom >= 9 into mid-query ValueErrors."""
+
+
 def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
               index_zoom: int = 5, max_ring: int = 2,
               query_id: str = "query_id", data_id: str = "image_id",
@@ -138,19 +149,24 @@ def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
     q = T.with_web_mercator(queries, q_lon, q_lat)
     qx, qy = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(index_zoom))
     q = q.withColumn("_qx", qx).withColumn("_qy", qy)
-    if (2 * max_ring + 1) ** 2 > 1_000_000:
-        # the fan-out is a literal array in the plan — a ring this wide
-        # means the index zoom is far too fine for the data density
-        raise ValueError(
-            f"k-ring {max_ring} fans out to >1e6 cells; "
-            f"use a coarser index_zoom for this data density")
-    shifts = [(sx, sy) for sx in range(-max_ring, max_ring + 1)
-              for sy in range(-max_ring, max_ring + 1)]
-    q = q.withColumn("_s", F.explode(F.array(*[
-        F.struct(F.lit(sx).alias("sx"), F.lit(sy).alias("sy")) for sx, sy in shifts])))
+    if (2 * max_ring + 1) ** 2 <= LITERAL_FANOUT_MAX:
+        shifts = [(sx, sy) for sx in range(-max_ring, max_ring + 1)
+                  for sy in range(-max_ring, max_ring + 1)]
+        q = (q.withColumn("_s", F.explode(F.array(*[
+                  F.struct(F.lit(sx).alias("sx"), F.lit(sy).alias("sy"))
+                  for sx, sy in shifts])))
+              .withColumn("_sx", F.col("_s.sx"))
+              .withColumn("_sy", F.col("_s.sy")))
+    else:
+        # effective x shifts are mod-n (pmod wrap below), so never
+        # enumerate more than one full period of the grid in x
+        xr = min(max_ring, n // 2)
+        q = (q.withColumn("_sx", F.explode(F.sequence(F.lit(-xr), F.lit(xr))))
+              .withColumn("_sy", F.explode(F.sequence(F.lit(-max_ring),
+                                                      F.lit(max_ring)))))
     # wrap x around the antimeridian; clamp y at the poles
-    cx = F.pmod(F.col("_qx") + F.col("_s.sx"), F.lit(n))
-    cy = F.col("_qy") + F.col("_s.sy")
+    cx = F.pmod(F.col("_qx") + F.col("_sx"), F.lit(n))
+    cy = F.col("_qy") + F.col("_sy")
     q = (q.filter((cy >= 0) & (cy < n))
           .withColumn("cell_key", T.tile_key(F.lit(index_zoom), cx, cy))
           .select(F.col(query_id), F.col(q_lon).alias("_qlon"),

@@ -337,9 +337,15 @@ def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int,
                    sample: int = 1024, iters: int = 5, seed: int = 42) -> np.ndarray:
     """Deterministic driver-side Lloyd's k-means on a bounded sample —
     the coarse quantizer for IVF.  At 10^12 rows the sample stays a
-    driver-side constant; training cost is independent of table size."""
-    rows = (emb.orderBy("vec_id").limit(sample)
-               .select("embedding").collect())
+    driver-side constant; training cost is independent of table size.
+
+    The sample is hash-ordered (xxhash64 of the id, fixed seed), not
+    id-prefix-ordered: id order on a real corpus correlates with
+    content (crawl time, shard), so the first ``sample`` ids would
+    train the quantizer on a skewed slice.  Hash order is an unbiased
+    deterministic shuffle at the same bounded driver cost."""
+    rows = (emb.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+               .limit(sample).select("embedding").collect())
     X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     k = min(k, len(X))  # degenerate tiny corpora: one list per vector
@@ -390,13 +396,15 @@ def ivf_candidate_pairs(emb: DataFrame, C: np.ndarray, nprobe: int) -> DataFrame
              .filter(F.col("query_id") != F.col("neighbor_id")))
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(spark: SparkSession, sf_dir: str,
+              recall_audit: bool = True) -> DataFrame:
     """IVF ANN: coarse k-means quantizer (driver-trained, broadcast as
     a numpy matrix inside an Arrow-batched UDF), data bucketed by
     nearest centroid, queries probe their IVF_NPROBE nearest lists,
     exact cosine re-rank, top-K.  Rows-only for the driver but with a
     self-verifying ``recall_e3`` column vs the in-job exact top-K;
-    pytest measures recall vs brute force (incl. dim=512)."""
+    pytest measures recall vs brute force (incl. dim=512).  Pass
+    ``recall_audit=False`` to skip the audit (see ``with_recall``)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = ivf_params(emb.count())
     C = _ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
@@ -406,16 +414,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= K)
                 .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+    if not recall_audit:
+        return topk
     return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh(spark: SparkSession, sf_dir: str,
+              recall_audit: bool = True) -> DataFrame:
     """LSH-bucketed ANN: sign-bit band buckets (shape from
     ``lsh_params``) generate candidates — the tiny query side carries
     the Hamming-1 probes at scale — then exact cosine re-rank, top-K.
     Compared to brute force in pytest (recall), and the driver output
     carries a self-verifying ``recall_e3`` column vs the exact top-K
-    (computed in-job on the sampled query set)."""
+    (computed in-job on the sampled query set).  Pass
+    ``recall_audit=False`` to skip the audit (see ``with_recall``)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     p = lsh_params(n)
@@ -439,6 +451,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= K)
                   .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
+    if not recall_audit:
+        return topk
     return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
 
 
@@ -447,7 +461,15 @@ def with_recall(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
     an integer column, so the driver's rows-only check becomes a real
     quality gate (pytest asserts a >=0.9 floor on the mean).  The exact
     side is the brute-force top-K restricted to the same N_QUERIES
-    sampled queries — a K*N_QUERIES-row frame, broadcast."""
+    sampled queries — a K*N_QUERIES-row frame, broadcast.
+
+    The exact side is a full-corpus brute-force scan, so the audit is
+    OPT-OUT at the operator level: every q_ann_* driver query keeps it
+    on (the driver's rows-only check then carries its own verification),
+    but production callers at 10^12 vectors pass ``recall_audit=False``
+    and the plan contains no NestedLoopJoin/CartesianProduct and only
+    the index scan — asserted by
+    tests/test_round5_ops.py::test_ann_recall_audit_opt_out."""
     hits = (approx_topk.join(
                 F.broadcast(exact_topk.select("query_id", "neighbor_id")
                                       .withColumn("_hit", F.lit(1))),
@@ -481,8 +503,10 @@ def _pq_codebooks(spark: SparkSession, emb: DataFrame, m: int = PQ_M,
     """Driver-side per-subspace Lloyd's k-means on a bounded
     L2-normalized sample -> (m, k, dim/m) codebook tensor.  Like
     `_ivf_centroids`, training cost is a driver-side constant
-    independent of corpus size."""
-    rows = emb.orderBy("vec_id").limit(sample).select("embedding").collect()
+    independent of corpus size, and the sample is hash-ordered (same
+    unbiased deterministic shuffle; see `_ivf_centroids`)."""
+    rows = (emb.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+               .limit(sample).select("embedding").collect())
     X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     dim = X.shape[1]
@@ -533,7 +557,8 @@ def pq_encode_udf(books: np.ndarray):
     return enc
 
 
-def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str,
+                recall_audit: bool = True) -> DataFrame:
     """IVF-PQ ANN: vectors live in their best IVF list as PQ_M-byte
     codes; a query probes its nprobe lists, scores candidates by ADC
     (per-query (m, 256) lookup table over squared subspace distances —
@@ -601,4 +626,6 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("rank") <= K)
                .select("query_id", "neighbor_id",
                        F.col("rank").cast("int").alias("rank")))
+    if not recall_audit:
+        return topk
     return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
