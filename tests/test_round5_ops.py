@@ -122,6 +122,78 @@ def test_hex_sequence_fanout_equals_literal(spark, monkeypatch):
     assert seq_rows == lit_rows
 
 
+# --- in-job integrity columns (verdict tasks #4 and #6) ---------------------
+
+def test_mvt_encode_integrity_columns(spark):
+    """mvt_encode (the flagship entry query) now decodes every tile's
+    bytes back through the strict kernel decoder in-job: decode_ok must
+    be 1 everywhere with decoded_features == feature_count and a
+    non-degenerate crc."""
+    from zellige_spark import queries as Q
+
+    out = Q.QUERIES["mvt_encode"](spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out.decode_ok == 1).all()
+    assert (out.decoded_features == out.feature_count).all()
+    assert out.bytes_crc32.nunique() > 1
+
+
+def test_tile_integrity_truthful_on_corruption(spark):
+    """Flip a byte inside the tile payload: with_tile_integrity must
+    report decode_ok=0 (the audit actually audits)."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import encode as E
+
+    pts = Q._customer_images(spark, SF)
+    from zellige_spark.operators import tiles as T
+
+    assigned = T.assign_tiles_buffered(pts, zoom=Q.ENC_ZOOM,
+                                       extent=Q.ENC_EXTENT, buffer=Q.ENC_BUFFER)
+    tiles = E.assemble_point_tiles_streaming(assigned, extent=Q.ENC_EXTENT,
+                                             buffer=Q.ENC_BUFFER)
+    # corrupt: truncate the last byte of every tile
+    broken = tiles.withColumn(
+        "mvt", F.expr("substring(mvt, 1, int(bytes_len - 1))"))
+    out = E.with_tile_integrity(broken, extent=Q.ENC_EXTENT).toPandas()
+    assert (out.decode_ok == 0).all()
+
+
+def test_audio_windows_integrity_columns(spark):
+    from zellige_spark.operators import images as IMG
+
+    out = IMG.q_audio_windows(spark, SF).toPandas()
+    assert len(out) == 150
+    for col in ("rms_ok", "peak_ok", "coverage_ok", "count_ok"):
+        assert (out[col] == 1).all(), col
+
+
+def test_audio_integrity_truthful_on_tamper(spark):
+    """Corrupt the stored rms stat: rms_ok must flip to 0."""
+    import numpy as np
+
+    from zellige_spark.kernel import media
+    from zellige_spark.operators import images as IMG
+
+    t = np.arange(8000) / 8000.0
+    x = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    df = spark.createDataFrame([("a0", media.encode_wav(x, 8000), "wav")],
+                               "audio_id string, bytes binary, fmt string")
+    wins = IMG.sample_audio_windows(df, window_ms=500)
+    tampered = wins.withColumn("rms", F.col("rms") + F.lit(0.5))
+    out = IMG.with_audio_integrity(tampered).toPandas()
+    assert (out.rms_ok == 0).all()
+    assert (out.peak_ok == 1).all()
+
+
+def test_video_frames_integrity_columns(spark):
+    from zellige_spark.operators import images as IMG
+
+    out = IMG.q_video_frames(spark, SF).toPandas()
+    assert len(out) == 71
+    for col in ("stride_ok", "size_ok", "count_ok"):
+        assert (out[col] == 1).all(), col
+
+
 def test_adaptive_full_cover_no_longer_raises(spark):
     """The exact scenario the round-4 advisor flagged: adaptive kNN at
     a fine index (zoom/level >= 9) on sparse data doubles its ring past
@@ -143,3 +215,221 @@ def test_adaptive_full_cover_no_longer_raises(spark):
     out = (HX.knn_hex_adaptive(qs, data, k=1, level=9, start_ring=600)
              .select("query_id", "neighbor_id", "rank").collect())
     assert [tuple(r) for r in out] == [(0, 7, 1)]
+
+
+# --- CellIndex spatial-locality layout (verdict task #5) --------------------
+
+def _assert_locality_layout(spark, tmp_path, out, key_col, subdir):
+    """Shared assertion body mirroring test_repartition_by_s2_locality:
+    files hold disjoint sorted key ranges, and a key-range predicate
+    is pushed down to the parquet scan."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / subdir)
+    out.write.parquet(path)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        c = pq.read_table(f, columns=[key_col]).column(key_col).to_numpy()
+        if len(c):
+            ranges.append((c.min(), c.max()))
+            assert np.all(np.diff(c) >= 0)  # sorted -> row-group prune
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+
+    back = spark.read.parquet(path)
+    lo, hi = int(ranges[2][0]), int(ranges[2][1])
+    pred = back.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+    assert pred.count() > 0
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert key_col in plan and "PushedFilters" in plan
+
+
+def _locality_corpus(spark, seed):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n = 20000
+    return spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(n),
+        "lon": rng.uniform(-179, 179, n),
+        "lat": rng.uniform(-80, 80, n)}))
+
+
+def test_repartition_by_xyz_locality_ranges_disjoint(spark, tmp_path):
+    from zellige_spark.operators import tiles as T
+
+    df = _locality_corpus(spark, 11)
+    out = T.repartition_by_xyz_locality(df, zoom=10, partitions=8)
+    _assert_locality_layout(spark, tmp_path, out, "zorder_key", "xyzlayout")
+
+
+def test_repartition_by_hex_locality_ranges_disjoint(spark, tmp_path):
+    from zellige_spark.operators import hexgrid as HX
+
+    df = _locality_corpus(spark, 12)
+    out = HX.repartition_by_hex_locality(df, level=10, partitions=8)
+    _assert_locality_layout(spark, tmp_path, out, "hex_zorder", "hexlayout")
+
+
+def test_morton_key_is_spatial(spark):
+    """Adjacent Morton-key ranges are compact 2-D blocks: the 4 cells
+    of any aligned 2x2 quad are consecutive keys (recursive quadrant
+    order), and key distance lower-bounds grid separation for aligned
+    blocks."""
+    import pandas as pd
+
+    from zellige_spark.operators import tiles as T
+
+    cells = [(x, y) for y in range(8) for x in range(8)]
+    df = spark.createDataFrame(pd.DataFrame(cells, columns=["tx", "ty"]))
+    got = (df.withColumn("mk", T.morton_key(F.col("tx"), F.col("ty")))
+             .toPandas().set_index(["tx", "ty"]).mk.to_dict())
+
+    def interleave(x, y):
+        out = 0
+        for b in range(16):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    for (x, y), mk in got.items():
+        assert mk == interleave(x, y)
+    # every aligned 2x2 quad occupies 4 consecutive keys
+    for qx in range(4):
+        for qy in range(4):
+            keys = sorted(got[(2 * qx + dx, 2 * qy + dy)]
+                          for dx in (0, 1) for dy in (0, 1))
+            assert keys == list(range(keys[0], keys[0] + 4))
+
+
+# --- giant-tile bounded-memory stress (verdict task #7) ---------------------
+
+def test_giant_tile_streaming_fold_bounded_rss(tmp_path):
+    """1e6 rows through ONE tile key, driven through the exact fold
+    ``assemble_point_tiles_streaming`` wraps in mapInPandas, in a fresh
+    subprocess so ru_maxrss is a true high-water mark.  Peak RSS must
+    stay within a small constant of the tile's own data (raw rows +
+    output bytes) — the z0-at-10^12 story rests on this shape."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import resource, sys
+        import numpy as np, pandas as pd
+        from zellige_spark.operators.encode import point_tile_fold
+
+        key = (8 << 56) | (57 << 28) | 93  # one z8 tile
+        NB, N = 20, 50_000                 # 20 Arrow-sized batches
+
+        def batches():
+            rng = np.random.default_rng(5)
+            for b in range(NB):
+                yield pd.DataFrame({
+                    "tile_key": np.full(N, key, dtype=np.int64),
+                    "image_id": np.char.add("img", np.arange(
+                        b * N, (b + 1) * N).astype(str)),
+                    "px": rng.uniform(0, 4096, N),
+                    "py": rng.uniform(0, 4096, N)})
+
+        out = list(point_tile_fold("images", 4096)(batches()))
+        total = sum(len(o) for o in out)
+        assert total == 1, total
+        row = out[-1].iloc[0]
+        assert row.feature_count == NB * N
+        assert row.bytes_len == len(row.mvt) > NB * N  # >1 byte/feature
+        peak_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print("PEAK_KIB", peak_kib, "BYTES", row.bytes_len)
+        # interpreter+numpy+pandas baseline is ~150 MiB; the single
+        # open-tile accumulator (1e6 ids + px/py) plus the encoded
+        # blob is ~200 MiB more.  1 GiB catches any quadratic or
+        # per-row-object blowup with margin for allocator noise.
+        assert peak_kib < 1024 * 1024, peak_kib
+    """)
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PEAK_KIB" in r.stdout
+
+
+def test_giant_tile_streaming_matches_grouped_subsample(spark):
+    """Byte-equality of the streaming fold vs the grouped strategy on a
+    50k-row single-tile subsample of the giant-tile distribution."""
+    import numpy as np
+    import pandas as pd
+
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import tiles as T
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    # all points inside one z8 tile (tile 57,93 spans ~1.4 degrees)
+    lon0, lon1 = -180.0 + 57 * 360.0 / 256 + 0.1, -180.0 + 58 * 360.0 / 256 - 0.1
+    pdf = pd.DataFrame({
+        "image_id": [f"img{i}" for i in range(n)],
+        "lon": rng.uniform(lon0, lon1, n),
+        "lat": rng.uniform(30.0, 31.0, n)})
+    df = spark.createDataFrame(pdf)
+    assigned = T.assign_tiles_buffered(df, zoom=8, extent=4096, buffer=128)
+    a = (E.assemble_point_tiles_streaming(assigned).toPandas()
+         .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+    b = (E.assemble_point_tiles_grouped(assigned).toPandas()
+         .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+    assert len(a) == len(b) >= 1
+    for ra, rb in zip(a.itertuples(), b.itertuples()):
+        assert (ra.tile_x, ra.tile_y) == (rb.tile_x, rb.tile_y)
+        assert bytes(ra.mvt) == bytes(rb.mvt)
+    # buffered assignment duplicates boundary points into neighbor
+    # tiles' buffer zones, so the total is >= n
+    assert int(a.feature_count.sum()) >= n
+
+
+# --- large-query-side kNN (verdict task #8) ---------------------------------
+
+def test_knn_large_query_side_shuffle_join(spark):
+    """Table-vs-table kNN: 1e5 queries with broadcast_queries=False
+    exercises the seam's non-broadcast branch — the candidate join must
+    be a shuffle join (no BroadcastHashJoin), and results must equal
+    brute force on a query sample."""
+    import numpy as np
+    import pandas as pd
+
+    from zellige_spark.operators import knn as KNN
+
+    rng = np.random.default_rng(17)
+    nq, nd = 100_000, 20_000
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(nq),
+        "lon": rng.uniform(-60, 60, nq),
+        "lat": rng.uniform(-40, 40, nq)}))
+    d = spark.createDataFrame(pd.DataFrame({
+        "image_id": np.arange(nd),
+        "lon": rng.uniform(-60, 60, nd),
+        "lat": rng.uniform(-40, 40, nd)}))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = KNN.knn_kring(q, d, k=3, index_zoom=5, max_ring=2,
+                            broadcast_queries=False)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+        sample = out.filter(F.col("query_id") < 40)
+        got = (sample.select("query_id", "neighbor_id", "rank")
+               .toPandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        brute = (KNN.knn_bruteforce(q.filter(F.col("query_id") < 40), d, k=3)
+                 .select("query_id", "neighbor_id", "rank")
+                 .toPandas().sort_values(["query_id", "rank"])
+                 .reset_index(drop=True))
+        assert got.values.tolist() == brute.values.tolist()
+        assert len(got) == 120
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -260,6 +260,15 @@ def assemble_point_tiles_streaming(assigned: DataFrame, layer_name: str = "image
     else:
         df = df.repartition("tile_key")
     df = df.sortWithinPartitions("tile_key", "image_id")
+    return df.mapInPandas(point_tile_fold(layer_name, extent), TILE_SCHEMA)
+
+
+def point_tile_fold(layer_name: str, extent: int):
+    """The streaming fold behind ``assemble_point_tiles_streaming``,
+    exposed at module level so the giant-tile bounded-memory stress
+    test can drive it directly (fresh subprocess, true ru_maxrss) with
+    synthetic Arrow-sized batches — the Spark path wraps exactly this
+    generator in ``mapInPandas``."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # pending = the (possibly batch-spanning) open tile at the tail
@@ -331,7 +340,63 @@ def assemble_point_tiles_streaming(assigned: DataFrame, layer_name: str = "image
         if pend_key is not None and pend_ids:
             yield pd.DataFrame([flush_pending()], columns=cols)
 
-    return df.mapInPandas(fold, TILE_SCHEMA)
+    return fold
+
+
+INTEGRITY_SCHEMA = ("zoom int, tile_x long, tile_y long, mvt binary, "
+                    "feature_count long, bytes_len long, "
+                    "decoded_features long, bytes_crc32 long, decode_ok int")
+
+
+def with_tile_integrity(tiles: DataFrame, layer_name: str = "images",
+                        extent: int = 4096) -> DataFrame:
+    """Append in-job self-verification columns to an assembled tile
+    frame (the recall_e3 / raster parity_ok pattern, so the driver's
+    rows-only check on ``mvt_encode`` carries its own proof):
+
+    * ``decoded_features`` — feature count the kernel DECODER sees when
+      the tile's protobuf bytes are parsed back (strict decoder:
+      command validation, required fields, dictionary tags);
+    * ``bytes_crc32``      — zlib.crc32 of the tile bytes (a stable
+      content fingerprint of the whole wire image);
+    * ``decode_ok``        — 1 iff the decode round-trip succeeded AND
+      decoded_features == feature_count AND the decoded layer carries
+      the expected name/extent/version=2.
+
+    Runs as one Arrow-batched pass; decode cost is proportional to
+    output bytes (same order as the encode itself), and the audit is a
+    separate composable operator so production writers can skip it."""
+    import zlib
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = np.zeros(len(pdf), dtype=np.int64)
+            crc = np.zeros(len(pdf), dtype=np.int64)
+            ok = np.zeros(len(pdf), dtype=np.int32)
+            for i, (buf, fc) in enumerate(zip(pdf["mvt"], pdf["feature_count"])):
+                b = bytes(buf)
+                crc[i] = zlib.crc32(b)
+                try:
+                    layers = kmvt.decode_tile(b)
+                    layer = layers.get(layer_name)
+                    if layer is None:
+                        continue
+                    decoded[i] = len(layer["features"])
+                    ok[i] = int(decoded[i] == int(fc)
+                                and layer["extent"] == extent
+                                and layer["version"] == 2)
+                except Exception:
+                    # any decode failure (MvtError, truncated-buffer
+                    # IndexError, bad utf-8, ...) is a failed audit,
+                    # never a crashed one
+                    pass
+            out = pdf.copy()
+            out["decoded_features"] = decoded
+            out["bytes_crc32"] = crc
+            out["decode_ok"] = ok
+            yield out
+
+    return tiles.mapInPandas(audit, INTEGRITY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,37 @@ def with_hex_cell(df: DataFrame, level: int,
              .drop("x3857", "y3857"))
 
 
+def hex_morton_key(hq, hr):
+    """Z-order key for a hex cell: bit-interleave the offset-binary
+    axial coords.  ``hex_key`` (q-major packing) is the JOIN key;
+    this is the LAYOUT key — axial coords are a bounded shear of the
+    plane, so compact (q, r) Morton ranges are compact spatial blocks,
+    which is what makes ``repartitionByRange`` + parquet min/max stats
+    prune files spatially (the hex analogue of the S2 Hilbert cid and
+    the XYZ tile Morton key)."""
+    oq = (hq + F.lit(_KEY_OFF)).cast("long")
+    orr = (hr + F.lit(_KEY_OFF)).cast("long")
+    return F.shiftleft(T.spread_bits2(orr), 1).bitwiseOR(T.spread_bits2(oq))
+
+
+def repartition_by_hex_locality(df: DataFrame, level: int = 9,
+                                partitions: int | None = None,
+                                lon_col: str = "lon",
+                                lat_col: str = "lat") -> DataFrame:
+    """Hex-backend spatial file layout: assign each row its hex cell at
+    ``level``, attach the Morton ``hex_zorder`` key, and route through
+    the shared CellIndex locality helper
+    (knn.repartition_by_cell_locality) — written files then hold
+    disjoint compact zorder ranges, and any zorder-range predicate
+    prunes files + row groups (test-asserted, mirroring the S2 and XYZ
+    layout tests)."""
+    from .knn import repartition_by_cell_locality
+
+    df = with_hex_cell(df, level, lon_col, lat_col)
+    df = df.withColumn("hex_zorder", hex_morton_key(F.col("hq"), F.col("hr")))
+    return repartition_by_cell_locality(df, "hex_zorder", partitions)
+
+
 RING_FANOUT_CAP = 1_000_000  # literal-array guard (see ring_offsets)
 
 

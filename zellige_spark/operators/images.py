@@ -151,6 +151,55 @@ def sample_audio_windows(audio: DataFrame, window_ms: int = 1000) -> DataFrame:
     return audio.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
 
 
+AUDIO_AUDIT_SCHEMA = AUDIO_WINDOW_SCHEMA + ", rms_ok int, peak_ok int"
+
+
+def with_audio_integrity(windows: DataFrame, rel_tol: float = 1e-5) -> DataFrame:
+    """Append in-job verification to an audio-window frame (the
+    raster_vector parity / recall_e3 pattern, so the rows-only driver
+    check on ``audio_windows`` carries its own proof):
+
+    * ``rms_ok`` / ``peak_ok`` — each window's float32 PCM payload is
+      decoded back and its rms/peak RECOMPUTED; 1 iff they match the
+      stored stats within the float32-round-trip tolerance (the stats
+      were computed on the float64 signal before the float32 cast);
+    * ``coverage_ok`` — per-clip JVM window checks: window indices are
+      dense 0..n-1 and every window except the last is full length.
+
+    One Arrow-batched pass for the PCM recompute + one JVM window pass
+    for coverage; composable, so production pipelines can skip it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms_ok = np.zeros(len(pdf), dtype=np.int32)
+            peak_ok = np.zeros(len(pdf), dtype=np.int32)
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                x = np.frombuffer(bytes(r.pcm_bytes),
+                                  dtype=np.float32).astype(np.float64)
+                if len(x) != r.n_samples:
+                    continue
+                rms = float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0
+                peak = float(np.max(np.abs(x))) if len(x) else 0.0
+                scale = max(1.0, abs(r.rms))
+                rms_ok[i] = int(abs(rms - r.rms) <= rel_tol * scale)
+                peak_ok[i] = int(abs(peak - r.peak)
+                                 <= rel_tol * max(1.0, abs(r.peak)))
+            out = pdf.copy()
+            out["rms_ok"] = rms_ok
+            out["peak_ok"] = peak_ok
+            yield out
+
+    from pyspark.sql import Window
+
+    audited = windows.mapInPandas(run, AUDIO_AUDIT_SCHEMA)
+    wc = Window.partitionBy("audio_id")
+    dense = (F.count(F.lit(1)).over(wc)
+             == F.max("window_idx").over(wc) + F.lit(1))
+    full = ((F.col("n_samples") == F.max("n_samples").over(wc))
+            | (F.col("window_idx") == F.max("window_idx").over(wc)))
+    return audited.withColumn("coverage_ok", (dense & full).cast("int"))
+
+
 VIDEO_FRAME_SCHEMA = ("video_id string, frame_idx int, w int, h int, "
                       "bytes binary, fmt string")
 
@@ -233,30 +282,54 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 3,
 def q_audio_windows(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; PCM bit-twiddling not SQL-expressible):
     50 deterministic synthetic WAV tone clips -> fixed 500 ms mono
-    windows with rms/peak stats through the real RIFF parser."""
+    windows with rms/peak stats through the real RIFF parser.  Every
+    row carries in-job integrity verdicts: rms_ok/peak_ok (PCM payload
+    decoded back, stats recomputed), coverage_ok (dense window indices,
+    full-length windows except the last), and count_ok (windows per
+    clip == ceil(clip_samples / window) derived from the synthesis
+    parameters, independent of the parser under test)."""
     from ..kernel import media
 
     rows = []
+    expected = []
+    win = 4000  # 500 ms at 8 kHz
     for i in range(50):
         rate = 8000
         dur = 0.6 + (i % 5) * 0.35
-        t = np.arange(int(rate * dur)) / rate
+        n = int(rate * dur)
+        t = np.arange(n) / rate
         x = 0.4 * np.sin(2 * np.pi * (220.0 + 20.0 * i) * t)
         rows.append((f"a{i:03d}", media.encode_wav(x, rate), "wav"))
+        expected.append((f"a{i:03d}", -(-n // win)))
     df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
-    out = sample_audio_windows(df, window_ms=500)
-    return out.select("audio_id", "window_idx", "sample_rate", "n_samples",
-                      F.round("rms", 6).alias("rms_r"),
-                      F.round("peak", 6).alias("peak_r"))
+    exp = F.broadcast(spark.createDataFrame(
+        expected, "audio_id string, expected_windows int"))
+    out = with_audio_integrity(sample_audio_windows(df, window_ms=500))
+    from pyspark.sql import Window
+    n_win = F.count(F.lit(1)).over(Window.partitionBy("audio_id"))
+    return (out.join(exp, "audio_id")
+               .withColumn("count_ok",
+                           (n_win == F.col("expected_windows")).cast("int"))
+               .select("audio_id", "window_idx", "sample_rate", "n_samples",
+                       F.round("rms", 6).alias("rms_r"),
+                       F.round("peak", 6).alias("peak_r"),
+                       "rms_ok", "peak_ok", "coverage_ok", "count_ok"))
 
 
 def q_video_frames(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; YUV plane parsing not SQL-expressible):
     20 deterministic synthetic Y4M clips -> every-3rd raw RGB frame
-    with a crc32 over the pixel bytes (decode determinism pin)."""
+    with a crc32 over the pixel bytes (decode determinism pin).  Every
+    row carries in-job integrity verdicts: stride_ok (frame_idx lands
+    on the sampling stride), size_ok (payload is exactly w*h*3 bytes),
+    and count_ok (frames per clip == ceil(n_frames / stride) derived
+    from the synthesis parameters, independent of the parser under
+    test)."""
     from ..kernel import media
 
     rows = []
+    expected = []
+    stride = 3
     for i in range(20):
         n = 6 + (i % 9)
         yy, xx = np.mgrid[0:24, 0:32]
@@ -265,10 +338,24 @@ def q_video_frames(spark, sf_dir: str) -> DataFrame:
                       np.full((24, 32), (64 + k) % 256)], axis=-1)
             for k in range(n)]).astype(np.uint8)
         rows.append((f"v{i:03d}", media.encode_y4m(frames), "y4m"))
+        expected.append((f"v{i:03d}", -(-n // stride)))
     df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
-    out = sample_video_frames(df, every_n=3)
-    return out.select("video_id", "frame_idx", "w", "h",
-                      F.crc32("bytes").alias("frame_crc"))
+    exp = F.broadcast(spark.createDataFrame(
+        expected, "video_id string, expected_frames int"))
+    out = sample_video_frames(df, every_n=stride)
+    from pyspark.sql import Window
+    n_frames = F.count(F.lit(1)).over(Window.partitionBy("video_id"))
+    return (out.join(exp, "video_id")
+               .withColumn("stride_ok",
+                           (F.col("frame_idx") % stride == 0).cast("int"))
+               .withColumn("size_ok",
+                           (F.length("bytes")
+                            == F.col("w") * F.col("h") * 3).cast("int"))
+               .withColumn("count_ok",
+                           (n_frames == F.col("expected_frames")).cast("int"))
+               .select("video_id", "frame_idx", "w", "h",
+                       F.crc32("bytes").alias("frame_crc"),
+                       "stride_ok", "size_ok", "count_ok"))
 
 
 def q_image_pipeline(spark, sf_dir: str) -> DataFrame:

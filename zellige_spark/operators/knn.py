@@ -120,6 +120,27 @@ def adaptive_knn(queries: DataFrame, k: int, round_fn, bound_fn,
     return out
 
 
+def repartition_by_cell_locality(df: DataFrame, key_col: str,
+                                 partitions: int | None = None) -> DataFrame:
+    """Shared CellIndex locality layout (the file-pruning half of the
+    seam): range-partition rows by a SPATIALLY-ORDERED cell key and
+    sort within partitions, so each written file covers a disjoint
+    compact key range and parquet min/max stats prune both files and
+    row groups for any key-range ("near X") predicate — at 100 TB the
+    difference between touching ~everything and a handful of files.
+
+    Backends supply the key column; spatial order is the backend's
+    job:  S2's Hilbert cid is spatial order natively
+    (`s2cells.repartition_by_s2_locality`), the XYZ grid packs a
+    Morton/Z-order interleave of (tile_x, tile_y)
+    (`tiles.repartition_by_xyz_locality`), and the hex grid Morton-
+    interleaves its offset axial coords
+    (`hexgrid.repartition_by_hex_locality`).  All three route here, so
+    the layout story cannot drift across backends."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(key_col)
+
+
 LITERAL_FANOUT_MAX = 4096
 """Ring fan-outs at or below this many cells are emitted as a literal
 struct array in the plan (one explode, fully codegen'd); above it the

@@ -281,10 +281,16 @@ def repartition_by_s2_locality(df: DataFrame, level: int = 12,
     prunes to the few files whose stats overlap — at 100 TB the
     difference between touching ~everything and touching a handful of
     files.  Rows are additionally sorted by cid inside each partition
-    so parquet row-group stats prune within files too."""
+    so parquet row-group stats prune within files too.
+
+    Routes through the shared CellIndex locality helper
+    (knn.repartition_by_cell_locality), like the XYZ Morton and hex
+    Morton layouts — the cid IS this backend's spatially-ordered key,
+    so no extra layout column is needed."""
+    from .knn import repartition_by_cell_locality
+
     df = with_s2_cell(df, level, lon_col, lat_col)
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartitionByRange(n, F.col("s2_cid")).sortWithinPartitions("s2_cid")
+    return repartition_by_cell_locality(df, "s2_cid", partitions)
 
 
 # --- driver queries --------------------------------------------------------

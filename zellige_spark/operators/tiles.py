@@ -124,6 +124,49 @@ def assign_tiles_buffered(df: DataFrame, zoom=None, extent: int = 4096,
               .drop("_fx", "_fy", "_bx", "_by", "_s", "_n"))
 
 
+def spread_bits2(v: Column) -> Column:
+    """Spread a (<=31-bit) non-negative long's bits to the even bit
+    positions of a 64-bit word — the magic-mask half of a 2-D Morton
+    interleave, as 5 shift/and Column steps (pure codegen)."""
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def morton_key(tx: Column, ty: Column) -> Column:
+    """Z-order key for a tile cell: bit-interleave (tile_x, tile_y) so
+    int64 ORDER is spatial order (recursive quadrant order).  The
+    row-major ``tile_key`` packing is the JOIN key (exact equality);
+    this is the LAYOUT key — ranges of it are compact 2-D blocks, which
+    is what makes ``repartitionByRange`` + parquet min/max stats prune
+    files spatially (the XYZ analogue of the S2 Hilbert cid)."""
+    return F.shiftleft(spread_bits2(ty.cast("long")), 1).bitwiseOR(
+        spread_bits2(tx.cast("long")))
+
+
+def repartition_by_xyz_locality(df: DataFrame, zoom: int = 12,
+                                partitions: int | None = None,
+                                lon_col: str = "lon",
+                                lat_col: str = "lat") -> DataFrame:
+    """XYZ-backend spatial file layout: assign each row its tile at
+    ``zoom``, attach the Morton ``zorder_key``, and route through the
+    shared CellIndex locality helper (knn.repartition_by_cell_locality)
+    — written files then hold disjoint compact zorder ranges, and any
+    zorder-range predicate prunes files + row groups (test-asserted,
+    mirroring the S2 layout test)."""
+    from .knn import repartition_by_cell_locality
+
+    df = with_web_mercator(df, lon_col, lat_col)
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.lit(zoom))
+    df = (df.withColumn("tile_x", tx).withColumn("tile_y", ty)
+            .withColumn("zorder_key", morton_key(F.col("tile_x"), F.col("tile_y")))
+            .drop("x3857", "y3857"))
+    return repartition_by_cell_locality(df, "zorder_key", partitions)
+
+
 def tile_local_px(df: DataFrame, extent: int = 4096,
                   quantize: int = 1) -> DataFrame:
     """Tile-local pixel doubles for an assigned row (latLonToXYInTile,

@@ -291,8 +291,15 @@ def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_images(spark, sf_dir)
     assigned = T.assign_tiles_buffered(pts, zoom=ENC_ZOOM, extent=ENC_EXTENT, buffer=ENC_BUFFER)
     tiles = E.assemble_point_tiles_streaming(assigned, extent=ENC_EXTENT, buffer=ENC_BUFFER)
-    return tiles.select(F.col("zoom").cast("int"), "tile_x", "tile_y",
-                        "feature_count", "bytes_len", "mvt")
+    # decode_ok / decoded_features / bytes_crc32 are in-job integrity
+    # columns (the raster_vector / recall_e3 pattern): every tile's
+    # bytes are decoded back through the strict kernel decoder, so the
+    # driver's rows-only check carries its own verification
+    audited = E.with_tile_integrity(tiles, extent=ENC_EXTENT)
+    return audited.select(F.col("zoom").cast("int"), "tile_x", "tile_y",
+                          "feature_count", "bytes_len",
+                          "decoded_features", "bytes_crc32", "decode_ok",
+                          "mvt")
 
 
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
