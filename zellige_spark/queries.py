@@ -207,6 +207,53 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+ORD_LON = "(o_orderkey * 31357 % 360000) / 1000.0 - 180.0"
+ORD_LAT = "((o_orderkey * 27449 + 7) % 170000) / 1000.0 - 85.0"
+
+
+def q_knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-vs-table kNN: the QUERY side is the orders table (15k rows
+    at sf0.01 — 10x the data side), run with ``broadcast_queries=False``
+    so the candidate join is the seam's shuffle-join branch (the shape
+    a 10^12-query batch lookup takes on a cluster, where neither side
+    broadcasts).  Same adaptive ring expansion and the same brute-force
+    SQL oracle as the broadcast variants."""
+    queries = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+               .select(F.col("o_orderkey").alias("query_id"),
+                       F.expr(ORD_LON).alias("lon"),
+                       F.expr(ORD_LAT).alias("lat")))
+    data = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "data_id")
+    out = KNN.knn_kring_adaptive(queries, data, k=3, index_zoom=3, start_ring=2,
+                                 query_id="query_id", data_id="data_id",
+                                 broadcast_queries=False)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def sql_knn_table() -> str:
+    hav = ("2.0 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
+           "cos(radians(q.lat)) * cos(radians(d.lat)) * "
+           "pow(sin((radians(d.lon) - radians(q.lon)) / 2), 2)))")
+    return f"""
+    WITH q AS (
+      SELECT o_orderkey AS query_id, {ORD_LON} AS lon, {ORD_LAT} AS lat FROM orders
+    ), d AS (
+      SELECT c_custkey AS data_id, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), scored AS (
+      SELECT q.query_id, d.data_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {hav} ASC, d.data_id ASC) AS rank
+      FROM q CROSS JOIN d
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """
+
+
 def sql_knn() -> str:
     hav = ("2.0 * 6371.0 * asin(sqrt("
            "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
@@ -343,6 +390,8 @@ QUERIES = {
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     "knn_kring": q_knn,
+    # table-vs-table kNN (15k-row query side, shuffle-join branch)
+    "knn_table": q_knn_table,
     # S2 hierarchical sphere index (north rule "H3/S2 index"): pure
     # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
     "s2_cell_assign": S2C.q_s2_cell_assign,
@@ -406,6 +455,7 @@ ORACLES = {
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "knn_kring": sql_knn(),
+    "knn_table": sql_knn_table(),
     "s2_cell_assign": S2C.sql_s2_cell_assign(),
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
