@@ -120,11 +120,21 @@ def test_compaction_preserves_latest_content_and_packs_files(spark, tmp_path):
     files = [f for f in glob.glob(os.path.join(
         store._data_path(csid), "part-*.parquet"))]
     assert len(files) > 1
+    # layout key = (zoom, Morton(tile_x, tile_y)): compacted files
+    # cover disjoint compact 2-D tile blocks within each zoom
+    def morton(x, y):
+        out = 0
+        for b in range(28):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
     ranges = []
     for f in files:
         pdf = spark.read.parquet(f).select("zoom", "tile_x", "tile_y").toPandas()
         if len(pdf):
-            keys = list(zip(pdf.zoom, pdf.tile_x, pdf.tile_y))
+            keys = [(z, morton(x, y))
+                    for z, x, y in zip(pdf.zoom, pdf.tile_x, pdf.tile_y)]
+            assert keys == sorted(keys)  # in-file sort -> row-group prune
             ranges.append((min(keys), max(keys)))
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):

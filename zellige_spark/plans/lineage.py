@@ -133,8 +133,10 @@ class TileStore:
         concern of any snapshot-per-increment store: resolve the
         snapshot chain to the LATEST version of every tile key, rewrite
         it as ceil(total_bytes / target) range-partitioned files (range
-        on the tile key, so each compacted file covers a compact
-        z/x/y region and key-range predicates keep pruning), and
+        on (zoom, Morton(tile_x, tile_y)) — the shared CellIndex
+        locality key, so each compacted file covers a compact 2-D tile
+        BLOCK within its zoom rather than a row-major x-strip, and any
+        tile-range predicate keeps pruning files after compaction), and
         commit the result as a NEW snapshot whose parent is the current
         head.  Per-key tile bytes are preserved exactly; history stays
         readable for time travel; resume keeps working unchanged (the
@@ -162,7 +164,14 @@ class TileStore:
                       .filter(F.col("_rn") == 1).drop("_rn", "_age"))
         total = latest.agg(F.sum("bytes_len").alias("b")).collect()[0]["b"] or 1
         nfiles = max(1, -(-int(total) // int(target_file_bytes)))
-        packed = latest.repartitionByRange(nfiles, "zoom", "tile_x", "tile_y")
+        from ..operators.tiles import morton_key
+
+        packed = (latest
+                  .withColumn("_zk", morton_key(F.col("tile_x"),
+                                                F.col("tile_y")))
+                  .repartitionByRange(nfiles, "zoom", "_zk")
+                  .sortWithinPartitions("zoom", "_zk")
+                  .drop("_zk"))
         return self.commit_tiles(
             packed, input_desc=f"{input_desc} of {len(sids)} snapshots")
 
