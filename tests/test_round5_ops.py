@@ -180,9 +180,41 @@ def test_audio_integrity_truthful_on_tamper(spark):
                                "audio_id string, bytes binary, fmt string")
     wins = IMG.sample_audio_windows(df, window_ms=500)
     tampered = wins.withColumn("rms", F.col("rms") + F.lit(0.5))
-    out = IMG.with_audio_integrity(tampered).toPandas()
+    out = IMG.with_audio_integrity(tampered, window_ms=500).toPandas()
     assert (out.rms_ok == 0).all()
     assert (out.peak_ok == 1).all()
+
+
+def test_audio_coverage_truthful_on_index_and_length_corruption(spark):
+    """The two blind spots a review flagged: (a) duplicate+gap index
+    sets whose count/max cancel, (b) ALL windows shortened equally.
+    Both must flip coverage_ok to 0."""
+    import numpy as np
+
+    from zellige_spark.kernel import media
+    from zellige_spark.operators import images as IMG
+
+    t = np.arange(12000) / 8000.0
+    x = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    df = spark.createDataFrame([("a0", media.encode_wav(x, 8000), "wav")],
+                               "audio_id string, bytes binary, fmt string")
+    wins = IMG.sample_audio_windows(df, window_ms=500)  # 3 windows: 0,1,2
+
+    # (a) rewrite index 1 -> 2: indices {0, 2, 2}; count=3 == max+1
+    dup = wins.withColumn(
+        "window_idx",
+        F.when(F.col("window_idx") == 1, F.lit(2)).otherwise(F.col("window_idx")))
+    out = IMG.with_audio_integrity(dup, window_ms=500).toPandas()
+    assert (out.coverage_ok == 0).all()
+
+    # (b) uniformly truncate every window's sample count by half: the
+    # clip-relative max check would pass; the rate-derived check fails
+    short = (wins.withColumn("n_samples", (F.col("n_samples") / 2).cast("int"))
+                 .withColumn("pcm_bytes",
+                             F.expr("substring(pcm_bytes, 1, n_samples * 4)")))
+    out = IMG.with_audio_integrity(short, window_ms=500).toPandas()
+    # non-last windows are no longer full length
+    assert (out[out.window_idx < out.window_idx.max()].coverage_ok == 0).all()
 
 
 def test_video_frames_integrity_columns(spark):

@@ -97,7 +97,7 @@ def hex_morton_key(hq, hr):
     the XYZ tile Morton key)."""
     oq = (hq + F.lit(_KEY_OFF)).cast("long")
     orr = (hr + F.lit(_KEY_OFF)).cast("long")
-    return F.shiftleft(T.spread_bits2(orr), 1).bitwiseOR(T.spread_bits2(oq))
+    return T.morton_key(oq, orr)
 
 
 def repartition_by_hex_locality(df: DataFrame, level: int = 9,
@@ -155,9 +155,14 @@ def knn_hex(queries: DataFrame, data: DataFrame, k: int = 5,
     codegen'd); rings past ``knn.LITERAL_FANOUT_MAX`` offsets generate
     (dq, dr) at runtime — dq from sequence(-R, R), dr from the
     dq-dependent sequence that keeps max(|dq|,|dr|,|dq+dr|) <= R — so
-    the plan never embeds a giant literal."""
+    the plan never embeds a giant literal.  The ring is clamped to the
+    full-cover ring 2^(level+1) (every in-world cell is within that hex
+    distance of any in-world query cell, so wider rings only add empty
+    off-world cells): an absurd requested ring degrades to full cover
+    instead of generating 3R^2 runtime rows per query."""
     from .knn import LITERAL_FANOUT_MAX, candidate_topk
 
+    ring = min(ring, 2 ** (level + 1))
     d = (with_hex_cell(data, level, d_lon, d_lat)
          .select(F.col(data_id), F.col(d_lon).alias("_dlon"),
                  F.col(d_lat).alias("_dlat"), "hex_key"))

@@ -154,7 +154,8 @@ def sample_audio_windows(audio: DataFrame, window_ms: int = 1000) -> DataFrame:
 AUDIO_AUDIT_SCHEMA = AUDIO_WINDOW_SCHEMA + ", rms_ok int, peak_ok int"
 
 
-def with_audio_integrity(windows: DataFrame, rel_tol: float = 1e-5) -> DataFrame:
+def with_audio_integrity(windows: DataFrame, window_ms: int = 1000,
+                         rel_tol: float = 1e-5) -> DataFrame:
     """Append in-job verification to an audio-window frame (the
     raster_vector parity / recall_e3 pattern, so the rows-only driver
     check on ``audio_windows`` carries its own proof):
@@ -164,7 +165,14 @@ def with_audio_integrity(windows: DataFrame, rel_tol: float = 1e-5) -> DataFrame
       stored stats within the float32-round-trip tolerance (the stats
       were computed on the float64 signal before the float32 cast);
     * ``coverage_ok`` — per-clip JVM window checks: window indices are
-      dense 0..n-1 and every window except the last is full length.
+      the exact SET 0..n-1 (count, distinct count, min and max all
+      agree — duplicates or gaps fail even when they cancel), and
+      every window except the last carries exactly
+      ``sample_rate * window_ms / 1000`` samples (the rate-derived
+      expectation, so a parser that shortens ALL windows equally still
+      fails; the last window may be the shorter remainder but never
+      longer).  ``window_ms`` must match the value given to
+      ``sample_audio_windows``.
 
     One Arrow-batched pass for the PCM recompute + one JVM window pass
     for coverage; composable, so production pipelines can skip it."""
@@ -193,10 +201,15 @@ def with_audio_integrity(windows: DataFrame, rel_tol: float = 1e-5) -> DataFrame
 
     audited = windows.mapInPandas(run, AUDIO_AUDIT_SCHEMA)
     wc = Window.partitionBy("audio_id")
-    dense = (F.count(F.lit(1)).over(wc)
-             == F.max("window_idx").over(wc) + F.lit(1))
-    full = ((F.col("n_samples") == F.max("n_samples").over(wc))
-            | (F.col("window_idx") == F.max("window_idx").over(wc)))
+    n_rows = F.count(F.lit(1)).over(wc)
+    n_distinct = F.size(F.collect_set("window_idx").over(wc))
+    dense = ((n_rows == F.max("window_idx").over(wc) + F.lit(1))
+             & (n_rows == n_distinct)
+             & (F.min("window_idx").over(wc) == F.lit(0)))
+    expected = (F.col("sample_rate") * F.lit(window_ms) / F.lit(1000)).cast("int")
+    full = (((F.col("n_samples") == expected)
+             | (F.col("window_idx") == F.max("window_idx").over(wc)))
+            & (F.col("n_samples") <= expected))
     return audited.withColumn("coverage_ok", (dense & full).cast("int"))
 
 
@@ -292,9 +305,9 @@ def q_audio_windows(spark, sf_dir: str) -> DataFrame:
 
     rows = []
     expected = []
-    win = 4000  # 500 ms at 8 kHz
+    rate, window_ms = 8000, 500
+    win = rate * window_ms // 1000  # one shared constant pair, no drift
     for i in range(50):
-        rate = 8000
         dur = 0.6 + (i % 5) * 0.35
         n = int(rate * dur)
         t = np.arange(n) / rate
@@ -304,7 +317,8 @@ def q_audio_windows(spark, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
     exp = F.broadcast(spark.createDataFrame(
         expected, "audio_id string, expected_windows int"))
-    out = with_audio_integrity(sample_audio_windows(df, window_ms=500))
+    out = with_audio_integrity(sample_audio_windows(df, window_ms=window_ms),
+                               window_ms=window_ms)
     from pyspark.sql import Window
     n_win = F.count(F.lit(1)).over(Window.partitionBy("audio_id"))
     return (out.join(exp, "audio_id")

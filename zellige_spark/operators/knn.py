@@ -179,12 +179,16 @@ def knn_kring(queries: DataFrame, data: DataFrame, k: int = 5,
               .withColumn("_sx", F.col("_s.sx"))
               .withColumn("_sy", F.col("_s.sy")))
     else:
-        # effective x shifts are mod-n (pmod wrap below), so never
-        # enumerate more than one full period of the grid in x
+        # effective x shifts are mod-n (pmod wrap below) and effective
+        # y shifts land in [0, n) after the cy filter, so never
+        # enumerate more than one full grid period on either axis — an
+        # absurd max_ring degrades to full cover instead of allocating
+        # a multi-hundred-MB sequence array per exploded row
         xr = min(max_ring, n // 2)
+        yr = min(max_ring, n - 1)
         q = (q.withColumn("_sx", F.explode(F.sequence(F.lit(-xr), F.lit(xr))))
-              .withColumn("_sy", F.explode(F.sequence(F.lit(-max_ring),
-                                                      F.lit(max_ring)))))
+              .withColumn("_sy", F.explode(F.sequence(F.lit(-yr),
+                                                      F.lit(yr)))))
     # wrap x around the antimeridian; clamp y at the poles
     cx = F.pmod(F.col("_qx") + F.col("_sx"), F.lit(n))
     cy = F.col("_qy") + F.col("_sy")
