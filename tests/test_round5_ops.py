@@ -465,3 +465,79 @@ def test_knn_large_query_side_shuffle_join(spark):
         assert len(got) == 120
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- within_distance_join (fixed-radius distance-band join) -----------------
+
+def _radius_brute(l, r, radius, K):
+    lb = l.select("left_id", F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"))
+    rb = r.select("right_id", F.col("lon").alias("_dlon"), F.col("lat").alias("_dlat"))
+    pairs = (lb.crossJoin(rb)
+             .withColumn("d", K.haversine_km(F.col("_qlon"), F.col("_qlat"),
+                                             F.col("_dlon"), F.col("_dlat")))
+             .filter(F.col("d") <= radius))
+    return set((row.left_id, row.right_id) for row in pairs.collect())
+
+
+def _radius_points(spark):
+    import random
+    rnd = random.Random(42)
+    L = [(i, rnd.uniform(-180, 180), rnd.uniform(-85, 85)) for i in range(200)]
+    # polar band (wide cap-bbox fan-out) + antimeridian wrap rows
+    L += [(1000, 179.95, 84.9), (1001, -179.95, 84.8),
+          (1002, 0.0, -84.95), (1003, 179.99, 0.0)]
+    R = [(j, rnd.uniform(-180, 180), rnd.uniform(-85, 85)) for j in range(1500)]
+    R += [(9000, -179.93, 84.85), (9001, 179.97, 84.75),
+          (9002, -0.05, -84.9), (9003, -179.98, 0.01)]
+    l = spark.createDataFrame(L, "left_id long, lon double, lat double")
+    r = spark.createDataFrame(R, "right_id long, lon double, lat double")
+    return l, r
+
+
+@pytest.mark.parametrize("radius,zoom,broadcast",
+                         [(50.0, None, False), (300.0, None, True),
+                          (300.0, 9, False), (2000.0, None, False)])
+def test_within_distance_join_equals_bruteforce(spark, radius, zoom, broadcast):
+    """Exact pair-set equality with the brute-force cross join across
+    radii, explicit/auto index zooms, and both join branches — the
+    polar rows exercise the widened per-row cap-bbox fan-out, the
+    antimeridian rows the x wrap."""
+    from zellige_spark.operators import knn as K
+
+    l, r = _radius_points(spark)
+    out = K.within_distance_join(l, r, radius, index_zoom=zoom,
+                                 broadcast_left=broadcast)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = set((row.left_id, row.right_id) for row in out.collect())
+    assert got == _radius_brute(l, r, radius, K)
+
+
+def test_within_distance_join_full_cover_degrade(spark):
+    """A radius wider than the Earth degrades to full cover (every
+    pair) with the fan-out clamped at one grid period per axis — no
+    error, no crossJoin node, complete result."""
+    from zellige_spark.operators import knn as K
+
+    l, r = _radius_points(spark)
+    l, r = l.limit(30), r.limit(200)
+    out = K.within_distance_join(l, r, 25000.0, index_zoom=2)
+    assert "CartesianProduct" not in _plan(out)
+    assert out.count() == 30 * 200
+
+
+def test_within_distance_join_offgrid_rows_no_descending_sequence(spark):
+    """Out-of-contract rows (|lat| beyond the mercator grid) must not
+    hit Spark's descending-sequence trap: the clamped y range keeps
+    sequences ascending, the rows probe one cell, and in-contract rows
+    are unaffected."""
+    from zellige_spark.operators import knn as K
+
+    l = spark.createDataFrame([(1, 10.0, 89.9), (2, 10.0, 10.0)],
+                              "left_id long, lon double, lat double")
+    r = spark.createDataFrame([(7, 10.05, 10.05)],
+                              "right_id long, lon double, lat double")
+    got = set((row.left_id, row.right_id) for row in
+              K.within_distance_join(l, r, 50.0).collect())
+    assert got == {(2, 7)}

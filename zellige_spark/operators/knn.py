@@ -288,3 +288,109 @@ def knn_bruteforce(queries: DataFrame, data: DataFrame, k: int = 5,
                                    F.col(q_lat).alias("_qlat")))
     d = data.select(F.col(data_id), F.col(d_lon).alias("_dlon"), F.col(d_lat).alias("_dlat"))
     return topk_by_distance(q.crossJoin(d), k, query_id, data_id)
+
+
+HAVERSINE_RADIUS_KM = 6371.0
+KM_PER_DEG = 3.141592653589793 * HAVERSINE_RADIUS_KM / 180.0
+
+
+def radius_index_zoom(radius_km: float) -> int:
+    """Coarsest XYZ zoom whose equatorial cell width is <= ~2x the
+    radius, so an equatorial disc's bbox spans O(1) cells on each
+    axis (higher latitudes fan wider per-row, see below)."""
+    import math
+    circumference = 360.0 * KM_PER_DEG
+    z = int(math.floor(math.log2(circumference / max(radius_km, 1e-9))))
+    return max(0, min(14, z))
+
+
+def within_distance_join(left: DataFrame, right: DataFrame,
+                         radius_km: float, index_zoom: int | None = None,
+                         left_id: str = "left_id", right_id: str = "right_id",
+                         l_lon: str = "lon", l_lat: str = "lat",
+                         r_lon: str = "lon", r_lat: str = "lat",
+                         broadcast_left: bool = False) -> DataFrame:
+    """Fixed-radius (distance-band) spatial join: every (left, right)
+    pair with great-circle distance <= ``radius_km``.  The range-join
+    sibling of kNN — "all images within 50 km of each sensor" — and a
+    shape Spark has no native operator for.
+
+    Plan (no crossJoin at any density; the equality-vs-brute tests and
+    a plan assertion pin it):
+
+      right -> cell key at ``index_zoom``          [column math]
+      left  -> cells intersecting the radius-disc BOUNDING BOX
+               [per-row runtime sequence explode]
+      equi-join on cell_key -> haversine filter    [exact disc]
+
+    The left fan-out is sized per row from the spherical-cap bbox:
+    latitude span is exactly +-rho (rho = radius/R_sphere), and the
+    longitude half-width is the exact cap-tangent formula
+    asin(sin rho / cos lat) — rows near the poles automatically fan
+    wider, equatorial rows stay at O(1) cells, and a cap containing a
+    pole degrades to a full longitude band.  Spans are clamped at one
+    grid period on each axis, so the fan-out is bounded by full cover
+    no matter the radius.  ``index_zoom`` defaults to
+    ``radius_index_zoom`` (equatorial cell ~ radius..2*radius).
+
+    At 100 TB both sides shuffle once on cell_key (set
+    ``broadcast_left=True`` when the left side is a small probe set);
+    skewed cells are ordinary equi-join skew, handled by AQE."""
+    import math
+
+    if index_zoom is None:
+        index_zoom = radius_index_zoom(radius_km)
+    n = 2 ** index_zoom
+    res = 2.0 * T.MAX_EXTENTS / n
+
+    r = T.with_web_mercator(right, r_lon, r_lat)
+    rx, ry = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(index_zoom))
+    r = (r.withColumn("cell_key", T.tile_key(F.lit(index_zoom), rx, ry))
+          .select(F.col(right_id), F.col(r_lon).alias("_dlon"),
+                  F.col(r_lat).alias("_dlat"), "cell_key"))
+
+    rho = radius_km / HAVERSINE_RADIUS_KM          # angular radius (rad)
+    dlat_deg = math.degrees(rho)
+    lat = F.col(l_lat)
+    lat_n = F.least(lat + F.lit(dlat_deg), F.lit(90.0))
+    lat_s = F.greatest(lat - F.lit(dlat_deg), F.lit(-90.0))
+    # exact cap-bbox longitude half-width; >=1 ratio means the cap
+    # reaches a pole (or wraps), i.e. every longitude qualifies
+    sin_ratio = F.lit(math.sin(min(rho, math.pi / 2.0))) / F.cos(F.radians(lat))
+    dlon_rad = F.when(sin_ratio >= 1.0, F.lit(math.pi)).otherwise(F.asin(sin_ratio))
+
+    fx = (F.lit(T.WGS84_MAJOR_RADIUS) * F.radians(F.col(l_lon))
+          + F.lit(T.MAX_EXTENTS)) / F.lit(res)     # fractional tile x
+    span_x = dlon_rad * F.lit(T.WGS84_MAJOR_RADIUS / res)
+    tx_lo = F.floor(fx - span_x).cast("long")
+    tx_hi = F.least(F.floor(fx + span_x), tx_lo + F.lit(n - 1)).cast("long")
+    # domain contract: points live on the web-mercator grid
+    # (|lat| <= ~85.05), the convention of every operator here (and of
+    # the reference's tile model); the clamps below keep rows whose
+    # disc pokes past a grid edge covered, and the final greatest()
+    # keeps the y sequence ascending (Spark's sequence(1,0) DESCENDS)
+    # even for out-of-contract rows, which then just probe one cell.
+    y_n = F.least(T.y3857(lat_n), F.lit(T.MAX_EXTENTS))
+    y_s = T.y3857(lat_s)                           # clamped at -MAX_EXTENTS
+    ty_lo = F.greatest(F.floor((F.lit(T.MAX_EXTENTS) - y_n) / F.lit(res)),
+                       F.lit(0)).cast("long")
+    ty_hi = F.greatest(
+        F.least(F.floor((F.lit(T.MAX_EXTENTS) - y_s) / F.lit(res)),
+                F.lit(n - 1)).cast("long"),
+        ty_lo)
+
+    q = (left.withColumn("_cx", F.explode(F.sequence(tx_lo, tx_hi)))
+             .withColumn("_cy", F.explode(F.sequence(ty_lo, ty_hi)))
+             .withColumn("cell_key",
+                         T.tile_key(F.lit(index_zoom),
+                                    F.pmod(F.col("_cx"), F.lit(n)),
+                                    F.col("_cy")))
+             .select(F.col(left_id), F.col(l_lon).alias("_qlon"),
+                     F.col(l_lat).alias("_qlat"), "cell_key"))
+    if broadcast_left:
+        q = F.broadcast(q)
+    cand = q.join(r, "cell_key", "inner").withColumn(
+        "dist_km", haversine_km(F.col("_qlon"), F.col("_qlat"),
+                                F.col("_dlon"), F.col("_dlat")))
+    return (cand.filter(F.col("dist_km") <= F.lit(radius_km))
+                .select(F.col(left_id), F.col(right_id), "dist_km"))

@@ -231,6 +231,45 @@ def q_knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius spatial join (the range-join sibling of kNN): all
+    (order, customer) pairs within 200 km, through the shuffle-join
+    branch (``broadcast_left=False`` — 15k-row left side, the shape a
+    1e12 x 1e9 distance-band join takes on a cluster).  The per-row
+    cap-bbox fan-out covers polar rows automatically; the oracle is
+    the brute-force cross join with the identical haversine tree.
+    Distances are excluded from the compared columns (engine libm may
+    differ 1 ulp); the PAIR SET is the semantics and is exact — the
+    200 km threshold sits >= 11 m from every pair distance at sf0.01,
+    so the float comparison cannot flip membership."""
+    left = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("left_id"),
+                    F.expr(ORD_LON).alias("lon"),
+                    F.expr(ORD_LAT).alias("lat")))
+    right = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "right_id")
+    out = KNN.within_distance_join(left, right, radius_km=200.0,
+                                   broadcast_left=False)
+    return out.select(F.col("left_id").cast("long").alias("left_id"),
+                      F.col("right_id").cast("long").alias("right_id"))
+
+
+def sql_radius_join() -> str:
+    hav = ("2.0 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
+           "cos(radians(q.lat)) * cos(radians(d.lat)) * "
+           "pow(sin((radians(d.lon) - radians(q.lon)) / 2), 2)))")
+    return f"""
+    WITH q AS (
+      SELECT o_orderkey AS left_id, {ORD_LON} AS lon, {ORD_LAT} AS lat FROM orders
+    ), d AS (
+      SELECT c_custkey AS right_id, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    )
+    SELECT CAST(q.left_id AS BIGINT) AS left_id,
+           CAST(d.right_id AS BIGINT) AS right_id
+    FROM q CROSS JOIN d WHERE {hav} <= 200.0
+    """
+
+
 def sql_knn_table() -> str:
     hav = ("2.0 * 6371.0 * asin(sqrt("
            "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
@@ -392,6 +431,8 @@ QUERIES = {
     "knn_kring": q_knn,
     # table-vs-table kNN (15k-row query side, shuffle-join branch)
     "knn_table": q_knn_table,
+    # fixed-radius distance-band join (cap-bbox cell fan-out)
+    "radius_join": q_radius_join,
     # S2 hierarchical sphere index (north rule "H3/S2 index"): pure
     # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
     "s2_cell_assign": S2C.q_s2_cell_assign,
@@ -456,6 +497,7 @@ ORACLES = {
     "pip_polygon_bucketed": sql_pip_polygon(),
     "knn_kring": sql_knn(),
     "knn_table": sql_knn_table(),
+    "radius_join": sql_radius_join(),
     "s2_cell_assign": S2C.sql_s2_cell_assign(),
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
