@@ -541,3 +541,59 @@ def test_within_distance_join_offgrid_rows_no_descending_sequence(spark):
     got = set((row.left_id, row.right_id) for row in
               K.within_distance_join(l, r, 50.0).collect())
     assert got == {(2, 7)}
+
+
+# --- zoom_rollup (hierarchical multi-zoom tile aggregates) ------------------
+
+def test_zoom_rollup_equals_direct_assignment(spark):
+    """Rollup-derived per-tile (cnt, sum) at every zoom must equal
+    aggregating a direct per-zoom assignment — the floor-composition
+    exactness claim (shiftright ancestor == per-zoom floor), checked
+    bit-for-bit across all 15 zooms on scattered + edge points."""
+    import random
+
+    from zellige_spark.operators import tiles as T
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.uniform(-180, 180), rnd.uniform(-85, 85), i * 13)
+            for i in range(4000)]
+    rows += [(9000, -180.0, 84.999, 1), (9001, 179.999, -84.999, 2),
+             (9002, 0.0, 0.0, 3)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double, v long")
+
+    rolled = T.zoom_rollup(df, max_zoom=14, sum_cols={"v_sum": "v"})
+    direct = (T.assign_tiles(df, range(15))
+              .groupBy("zoom", "tile_x", "tile_y")
+              .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("v_sum")))
+    cols = ["zoom", "tile_x", "tile_y", "cnt", "v_sum"]
+    a = sorted(tuple(r) for r in rolled.select(cols).collect())
+    b = sorted(tuple(r) for r in direct.select(cols).collect())
+    assert a == b
+
+
+def test_zoom_rollup_two_exchanges(spark):
+    """The scale claim in one number: raw rows shuffle ONCE (z14
+    aggregation) and aggregates shuffle once more (ancestor merge) —
+    exactly two Exchanges for any number of zooms, where the naive
+    explode-then-aggregate plan shuffles 15x the raw input."""
+    from zellige_spark.operators import tiles as T
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 3.1 % 360 - 180).alias("lon"),
+        (F.col("id") * 1.7 % 170 - 85).alias("lat"))
+    import re
+
+    plan = _plan(T.zoom_rollup(df, max_zoom=14))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_zoom_rollup_zoom_subset_and_validation(spark):
+    from zellige_spark.operators import tiles as T
+
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id long, lon double, lat double")
+    out = T.zoom_rollup(df, max_zoom=10, zooms=[0, 7, 10])
+    got = {r.zoom for r in out.collect()}
+    assert got == {0, 7, 10}
+    with pytest.raises(ValueError):
+        T.zoom_rollup(df, max_zoom=10, zooms=[11])

@@ -124,6 +124,54 @@ def assign_tiles_buffered(df: DataFrame, zoom=None, extent: int = 4096,
               .drop("_fx", "_fy", "_bx", "_by", "_s", "_n"))
 
 
+def zoom_rollup(df: DataFrame, max_zoom: int = 14,
+                zooms: Sequence[int] | None = None,
+                sum_cols: dict | None = None,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Hierarchical per-tile rollup (hypertable-style): per-tile counts
+    (plus optional column sums) at EVERY requested zoom, computed by
+    aggregating the raw rows exactly ONCE at ``max_zoom`` and deriving
+    each coarser zoom from the aggregates.
+
+    The naive plan (``assign_tiles`` + groupBy) explodes every RAW row
+    once per zoom before aggregating — 15 zooms means the shuffle sees
+    15x the input.  Here the raw data is reduced to z``max_zoom`` tile
+    aggregates in one shuffle; those aggregates (at most one row per
+    occupied finest tile — at 100 TB, ~10^8 rows of a few longs, not
+    10^12 raw rows) then explode over the requested zooms, map
+    ancestors by arithmetic shift (exact: ``floor(u / 2^s)`` composes
+    with the finest-level floor, so rollup tiles equal direct
+    assignment tiles bit-for-bit, clamps included), and merge in a
+    second aggregation whose map-side combine does the 4^s-to-1
+    reduction locally.  Decomposable aggregates only: count (always,
+    as ``cnt``) and sums (``sum_cols``: output name -> input column).
+
+    Output: (zoom, tile_x, tile_y, cnt, *sum_cols) — one row per
+    occupied tile per zoom."""
+    zooms = sorted(set(int(z) for z in (zooms if zooms is not None
+                                        else range(max_zoom + 1))))
+    if zooms and not (0 <= zooms[0] and zooms[-1] <= max_zoom):
+        raise ValueError(f"zooms {zooms} outside [0, max_zoom={max_zoom}]")
+    sum_cols = sum_cols or {}
+
+    df = with_web_mercator(df, lon_col, lat_col)
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.lit(max_zoom))
+    fine = (df.groupBy(tx.alias("tile_x"), ty.alias("tile_y"))
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   *[F.sum(src).alias(name) for name, src in sum_cols.items()]))
+    fine = fine.withColumn("zoom", F.explode(
+        F.array(*[F.lit(z) for z in zooms])))
+    # arithmetic shift == floor division: exact ancestor mapping, and
+    # Spark SQL shiftright takes a column shift amount
+    return (fine.groupBy(F.col("zoom"),
+                         F.expr(f"shiftright(tile_x, {max_zoom} - zoom)")
+                          .alias("tile_x"),
+                         F.expr(f"shiftright(tile_y, {max_zoom} - zoom)")
+                          .alias("tile_y"))
+                .agg(F.sum("cnt").alias("cnt"),
+                     *[F.sum(name).alias(name) for name in sum_cols]))
+
+
 def spread_bits2(v: Column) -> Column:
     """Spread a (<=31-bit) non-negative long's bits to the even bit
     positions of a 64-bit word — the magic-mask half of a 2-D Morton

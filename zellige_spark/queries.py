@@ -106,6 +106,40 @@ def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("zoom"))
 
 
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical zoom rollup: per-tile (cnt, key_sum) at all 15
+    zooms from ONE raw aggregation at z14 + an aggregate-side ancestor
+    merge (``tiles.zoom_rollup``) — the 100-TB plan for multi-zoom
+    tile stats (shuffle sees the raw rows once, then only tile
+    aggregates), vs the naive explode-raw-rows-per-zoom plan the
+    oracle runs.  Exact equality is structural: ``floor(u / 2^s)``
+    composes with the z14 floor."""
+    pts = _customer_points(spark, sf_dir)
+    out = T.zoom_rollup(pts, max_zoom=14, sum_cols={"key_sum": "c_custkey"})
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("cnt").cast("long").alias("cnt"),
+                      F.col("key_sum").cast("long").alias("key_sum"))
+
+
+def sql_tile_rollup() -> str:
+    tx, ty = _sql_tile("z.zoom")
+    zoom_values = ",".join(f"({z})" for z in range(15))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    )
+    SELECT CAST(z.zoom AS INT) AS zoom, {tx} AS tile_x, {ty} AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM proj CROSS JOIN (VALUES {zoom_values}) AS z(zoom)
+    GROUP BY 1, 2, 3
+    """
+
+
 def sql_tile_counts() -> str:
     tx, ty = _sql_tile("zoom")
     return f"""
@@ -426,6 +460,8 @@ QUERIES = {
     # spatial / tiling engine
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
+    # hierarchical zoom rollup (aggregate once at z14, merge ancestors)
+    "tile_rollup": q_tile_rollup,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     "knn_kring": q_knn,
@@ -493,6 +529,7 @@ QUERIES = {
 ORACLES = {
     "tile_assign": sql_tile_assign(),
     "tile_counts": sql_tile_counts(),
+    "tile_rollup": sql_tile_rollup(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "knn_kring": sql_knn(),
