@@ -304,6 +304,57 @@ def sql_radius_join() -> str:
     """
 
 
+GEO_DOC_LON = "({} * 48271 % 360000) / 1000.0 - 180.0"
+GEO_DOC_LAT = "(({} * 16807 + 19) % 170000) / 1000.0 - 85.0"
+GEO_NEAR_DUP_KM = 8000.0
+
+
+def q_geo_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition (the graft's two axes in one query):
+    simhash near-dup pairs that are ALSO geographically close —
+    "same capture site re-uploads".  CONTENT-FIRST plan: the simhash
+    band blocking finds the (rare) text near-dups, then a pure
+    column-math haversine over per-doc synthetic coords filters pairs
+    by distance — no spatial join at all, because content candidates
+    are orders of magnitude rarer than spatial neighbors (the
+    spatial-first plan would fan every urban cell out quadratically
+    before ever hashing a document).  Distances are excluded from the
+    compared columns; the 8000 km threshold sits >= 10 km from every
+    pair distance at both gate scales, so membership cannot flip."""
+    pairs = DD.q_dedup_simhash(spark, sf_dir)
+    lon_a = F.expr(GEO_DOC_LON.format("doc_a"))
+    lat_a = F.expr(GEO_DOC_LAT.format("doc_a"))
+    lon_b = F.expr(GEO_DOC_LON.format("doc_b"))
+    lat_b = F.expr(GEO_DOC_LAT.format("doc_b"))
+    dist = KNN.haversine_km(lon_a, lat_a, lon_b, lat_b)
+    return (pairs.withColumn("_dist", dist)
+                 .filter(F.col("_dist") <= F.lit(GEO_NEAR_DUP_KM))
+                 .select(F.col("doc_a").cast("long").alias("doc_a"),
+                         F.col("doc_b").cast("long").alias("doc_b"),
+                         F.col("hamming").cast("int").alias("hamming")))
+
+
+def sql_geo_near_dup() -> str:
+    hav = ("2.0 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(lat_b) - radians(lat_a)) / 2), 2) + "
+           "cos(radians(lat_a)) * cos(radians(lat_b)) * "
+           "pow(sin((radians(lon_b) - radians(lon_a)) / 2), 2)))")
+    return f"""
+    WITH p AS ({DD.sql_dedup_simhash()}),
+    c AS (
+      SELECT doc_a, doc_b, hamming,
+             {GEO_DOC_LON.format('doc_a')} AS lon_a,
+             {GEO_DOC_LAT.format('doc_a')} AS lat_a,
+             {GEO_DOC_LON.format('doc_b')} AS lon_b,
+             {GEO_DOC_LAT.format('doc_b')} AS lat_b
+      FROM p
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(hamming AS INT) AS hamming
+    FROM c WHERE {hav} <= {GEO_NEAR_DUP_KM}
+    """
+
+
 def sql_knn_table() -> str:
     hav = ("2.0 * 6371.0 * asin(sqrt("
            "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
@@ -494,6 +545,8 @@ QUERIES = {
     "dedup_minhash_lsh": DD.q_dedup_minhash_lsh,
     "dedup_minhash_words": DD.q_dedup_minhash_words,
     "dedup_simhash": DD.q_dedup_simhash,
+    # cross-modal: simhash near-dups constrained to nearby capture sites
+    "geo_near_dup": q_geo_near_dup,
     # pair graph -> duplicate clusters -> canonical doc per cluster
     "dedup_components": DD.q_dedup_components,
     # similarity search
@@ -553,6 +606,7 @@ ORACLES = {
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
     "dedup_minhash_words": DD.sql_dedup_minhash_words(),
     "dedup_simhash": DD.sql_dedup_simhash(),
+    "geo_near_dup": sql_geo_near_dup(),
     "dedup_components": DD.sql_dedup_components(),
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
