@@ -597,3 +597,54 @@ def test_zoom_rollup_zoom_subset_and_validation(spark):
     assert got == {0, 7, 10}
     with pytest.raises(ValueError):
         T.zoom_rollup(df, max_zoom=10, zooms=[11])
+
+
+# --- geo_near_dup (cross-modal: simhash near-dups at nearby sites) -----------
+
+def test_geo_near_dup_subset_margin_and_plan(spark):
+    """The composed query must (a) select exactly the simhash pairs whose
+    synthetic capture sites fall within the radius, (b) keep every pair
+    distance >= 10 km away from the threshold so membership cannot flip
+    on float noise, and (c) stay content-first: the distance filter adds
+    ZERO shuffles and zero Python stages on top of the simhash plan."""
+    import math
+    import re
+
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import dedup as DD
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in DD.q_dedup_simhash(spark, SF).collect()}
+    assert pairs, "simhash produced no pairs at sf0.001"
+
+    def _coord(doc):
+        lon = (doc * 48271 % 360000) / 1000.0 - 180.0
+        lat = ((doc * 16807 + 19) % 170000) / 1000.0 - 85.0
+        return lon, lat
+
+    def _hav_km(a, b):
+        lon1, lat1 = _coord(a)
+        lon2, lat2 = _coord(b)
+        p = math.pi / 180.0
+        x = (math.sin((lat2 - lat1) * p / 2) ** 2
+             + math.cos(lat1 * p) * math.cos(lat2 * p)
+             * math.sin((lon2 - lon1) * p / 2) ** 2)
+        return 2.0 * 6371.0 * math.asin(math.sqrt(x))
+
+    thr = Q.GEO_NEAR_DUP_KM
+    for (a, b) in pairs:
+        assert abs(_hav_km(a, b) - thr) >= 10.0, (a, b, _hav_km(a, b))
+    want = {(a, b): h for (a, b), h in pairs.items() if _hav_km(a, b) <= thr}
+
+    out = Q.q_geo_near_dup(spark, SF)
+    # plan shape checked on the un-executed frame (an executed AQE frame
+    # explains Final+Initial sections, double-counting Exchanges)
+    n_ex = r"^\(\d+\) Exchange"
+    base = len(re.findall(n_ex, _plan(DD.q_dedup_simhash(spark, SF)), re.M))
+    plan = _plan(out)
+    assert len(re.findall(n_ex, plan, re.M)) == base, plan
+    assert "EvalPython" not in plan  # pure JVM column math end-to-end
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert got == want
+    assert 0 < len(got) < len(pairs)  # the filter is non-trivial both ways
