@@ -648,3 +648,30 @@ def test_geo_near_dup_subset_margin_and_plan(spark):
     got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
     assert got == want
     assert 0 < len(got) < len(pairs)  # the filter is non-trivial both ways
+
+
+# --- coverage_tile_stats (per-tile row/coverage metrics) ---------------------
+
+def test_coverage_tile_stats_plan_and_values(spark):
+    """Tile id and PIP membership are map-side; raw rows shuffle only as
+    tile-key aggregates (two Exchanges total) and the aggregate-level
+    outer join reuses that partitioning — zero further Exchanges.  The
+    refine stays a single Arrow stage on the covered stream only, and
+    values reconcile against the standalone pip join."""
+    import re
+
+    from zellige_spark import queries as Q
+
+    out = Q.q_coverage_tile_stats(spark, SF)
+    plan = _plan(out)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1, plan
+    assert "CartesianProduct" not in plan
+
+    rows = out.collect()
+    n_cov = sum(r.n_covered for r in rows)
+    n_tot = sum(r.n_rows for r in rows)
+    covered = Q.q_pip_polygon(spark, SF).count()
+    total = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert n_cov == covered and n_tot == total
+    assert all(0 <= r.n_covered <= r.n_rows for r in rows)

@@ -169,23 +169,20 @@ PIP_POLY = [
 ]
 
 
-def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _poly0_df(spark: SparkSession) -> DataFrame:
     import numpy as np
 
-    pts = _customer_points(spark, sf_dir)
     ring = [[float(x), float(y)] for x, y in PIP_POLY]
     arr = np.asarray(ring)
-    polys = spark.createDataFrame(
+    return spark.createDataFrame(
         [("poly0", "fixed", [ring],
           float(arr[:, 0].min()), float(arr[:, 1].min()),
           float(arr[:, 0].max()), float(arr[:, 1].max()))],
         "polygon_id string, name string, rings array<array<array<double>>>, "
         "min_lon double, min_lat double, max_lon double, max_lat double")
-    out = PIP.pip_join_broadcast(pts, polys)
-    return out.select("c_custkey", "polygon_id")
 
 
-def sql_pip_polygon() -> str:
+def _sql_pip_crossings() -> str:
     # even-odd ray cast, one term per edge, matching ray_cast_mask exactly:
     # crossing iff min(y1,y2) <= lat < max(y1,y2) and x1+t*(x2-x1) > lon
     terms = []
@@ -197,14 +194,23 @@ def sql_pip_polygon() -> str:
         cond = (f"(lat >= least({y1!r},{y2!r}) AND lat < greatest({y1!r},{y2!r}) "
                 f"AND {xs} > lon)")
         terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
-    crossings = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    out = PIP.pip_join_broadcast(pts, _poly0_df(spark))
+    return out.select("c_custkey", "polygon_id")
+
+
+def sql_pip_polygon() -> str:
     return f"""
     WITH pts AS (
       SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
     )
     SELECT c_custkey, 'poly0' AS polygon_id
     FROM pts
-    WHERE ({crossings}) % 2 = 1
+    WHERE ({_sql_pip_crossings()}) % 2 = 1
     """
 
 
@@ -216,19 +222,53 @@ def q_pip_polygon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join as q_pip_polygon through the NON-broadcast path
     (cell-bucketed equi-join, both sides shuffle once) — the strategy a
     large polygon dim takes at scale; identical oracle."""
-    import numpy as np
-
     pts = _customer_points(spark, sf_dir)
-    ring = [[float(x), float(y)] for x, y in PIP_POLY]
-    arr = np.asarray(ring)
-    polys = spark.createDataFrame(
-        [("poly0", "fixed", [ring],
-          float(arr[:, 0].min()), float(arr[:, 1].min()),
-          float(arr[:, 0].max()), float(arr[:, 1].max()))],
-        "polygon_id string, name string, rings array<array<array<double>>>, "
-        "min_lon double, min_lat double, max_lon double, max_lat double")
-    out = PIP.pip_join_bucketed(pts, polys, index_zoom=5)
+    out = PIP.pip_join_bucketed(pts, _poly0_df(spark), index_zoom=5)
     return out.select("c_custkey", "polygon_id")
+
+
+def q_coverage_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile coverage metrics at z9 (the north-star's "tile-count /
+    row-count metrics" joined with the coverage-polygon PIP): for every
+    occupied z9 tile, total rows, rows inside the coverage polygon, and
+    the key checksum.  Scale shape: the tile id and the PIP membership
+    are both MAP-SIDE (pure-codegen assignment; broadcast bbox join +
+    Arrow CSR refine), then two partial-agg streams — all rows, covered
+    rows — shuffle only tile-key aggregates and outer-join at the
+    aggregate level (occupied z9 tiles are bounded at ~2.6e5 whatever
+    the input size, so the join side is tiny by construction)."""
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [9])
+    cov = PIP.pip_join_broadcast(a, _poly0_df(spark))
+    tot = (a.groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_sum")))
+    ins = (cov.groupBy("tile_x", "tile_y")
+              .agg(F.count(F.lit(1)).alias("n_covered")))
+    out = tot.join(ins, ["tile_x", "tile_y"], "left")
+    return out.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+        F.col("key_sum").cast("long").alias("key_sum"))
+
+
+def sql_coverage_tile_stats() -> str:
+    tx, ty = _sql_tile("9")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, lon, lat, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    )
+    SELECT {tx} AS tile_x, {ty} AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ({_sql_pip_crossings()}) % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM proj GROUP BY 1, 2
+    """
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +555,8 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
+    # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
+    "coverage_tile_stats": q_coverage_tile_stats,
     "knn_kring": q_knn,
     # table-vs-table kNN (15k-row query side, shuffle-join branch)
     "knn_table": q_knn_table,
@@ -585,6 +627,7 @@ ORACLES = {
     "tile_rollup": sql_tile_rollup(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
+    "coverage_tile_stats": sql_coverage_tile_stats(),
     "knn_kring": sql_knn(),
     "knn_table": sql_knn_table(),
     "radius_join": sql_radius_join(),
