@@ -675,3 +675,60 @@ def test_coverage_tile_stats_plan_and_values(spark):
     total = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert n_cov == covered and n_tot == total
     assert all(0 <= r.n_covered <= r.n_rows for r in rows)
+
+
+# --- focal_sum (neighborhood tile statistics) --------------------------------
+
+def test_focal_sum_equals_bruteforce_with_wrap(spark):
+    """Focal 3x3 sums at a tiny zoom (z3: 8x8 grid) against a pure-
+    Python recompute, with points placed against both antimeridian
+    edges so the x wrap actually fires, and a polar row so the y drop
+    fires."""
+    import collections
+    import math
+
+    from zellige_spark.kernel import mercator as km
+    from zellige_spark.operators import tiles as T
+
+    pts = [(i, float(lon), float(lat)) for i, (lon, lat) in enumerate(
+        [(-179.9, 0.3), (179.8, 0.4), (-179.95, 0.5),   # wrap pair
+         (10.0, 45.0), (10.2, 45.1), (11.5, 44.0),       # cluster
+         (0.0, 84.9), (0.0, -84.9),                      # near-pole rows
+         (100.0, -30.0)])]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    zoom, n = 3, 8
+    out = {(r.tile_x, r.tile_y): (r.n_tiles, r.cnt, r.s)
+           for r in T.focal_sum(df, zoom=zoom, ring=1,
+                                sum_cols={"s": "id"}).collect()}
+
+    agg = collections.Counter()
+    sums = collections.Counter()
+    for i, lon, lat in pts:
+        tx, ty = km.xy3857_to_tile(km.lon_to_x(lon), km.lat_to_y(lat), zoom)
+        agg[(tx, ty)] += 1
+        sums[(tx, ty)] += i
+    want = {}
+    for (tx, ty), cnt in agg.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                kx, ky = (tx + dx) % n, ty + dy
+                if not (0 <= ky < n):
+                    continue
+                t, c, s = want.get((kx, ky), (0, 0, 0))
+                want[(kx, ky)] = (t + 1, c + cnt, s + sums[(tx, ty)])
+    assert out == want
+    # the wrap fired: the two antimeridian clusters smooth into each other
+    wrap_tiles = {k for k in agg if k[0] in (0, n - 1)}
+    assert len({k[0] for k in wrap_tiles}) == 2
+
+
+def test_focal_sum_plan_and_validation(spark):
+    import re
+
+    from zellige_spark.operators import tiles as T
+
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id long, lon double, lat double")
+    plan = _plan(T.focal_sum(df, zoom=9, ring=2))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+    with pytest.raises(ValueError):
+        T.focal_sum(df, zoom=0, ring=1)  # 3x3 wraps onto itself on a 1x1 grid

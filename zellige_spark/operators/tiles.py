@@ -172,6 +172,49 @@ def zoom_rollup(df: DataFrame, max_zoom: int = 14,
                      *[F.sum(name).alias(name) for name in sum_cols]))
 
 
+def focal_sum(df: DataFrame, zoom: int, ring: int = 1,
+              sum_cols: dict | None = None,
+              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Focal (neighborhood) tile statistics: per-tile counts (plus
+    optional column sums) accumulated over the (2·ring+1)² Chebyshev
+    neighborhood of each tile at ``zoom`` — the raster focal-sum /
+    heatmap-smoothing primitive.
+
+    Scale shape: raw rows reduce to per-tile aggregates in ONE shuffle
+    (at most one row per occupied tile, ~2.6e5 at z9 whatever the
+    input size); the (2r+1)² neighbor scatter then runs on the
+    AGGREGATES — tiny by construction — and a second tile-key
+    aggregation merges contributions.  Exactly two Exchanges for any
+    ring.  x wraps modulo 2^zoom (antimeridian-continuous, slippy-map
+    adjacency); scatter rows falling off the poles in y are dropped.
+
+    Output: (tile_x, tile_y, n_tiles, cnt, *sum_cols) — one row per
+    tile receiving any contribution; ``n_tiles`` counts the occupied
+    tiles contributing to that neighborhood."""
+    sum_cols = sum_cols or {}
+    n = 1 << zoom
+    if 2 * ring + 1 > n:
+        raise ValueError(f"ring {ring} wraps onto itself at zoom {zoom}")
+    df = with_web_mercator(df, lon_col, lat_col)
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.lit(zoom))
+    fine = (df.groupBy(tx.alias("tile_x"), ty.alias("tile_y"))
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   *[F.sum(src).alias(name) for name, src in sum_cols.items()]))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in range(-ring, ring + 1)
+                     for dy in range(-ring, ring + 1)])
+    scat = (fine.withColumn("_o", F.explode(offs))
+                .select(((F.col("tile_x") + F.col("_o.dx") + F.lit(n))
+                         % F.lit(n)).alias("tile_x"),
+                        (F.col("tile_y") + F.col("_o.dy")).alias("tile_y"),
+                        "cnt", *sum_cols.keys())
+                .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n)))
+    return (scat.groupBy("tile_x", "tile_y")
+                .agg(F.count(F.lit(1)).alias("n_tiles"),
+                     F.sum("cnt").alias("cnt"),
+                     *[F.sum(name).alias(name) for name in sum_cols]))
+
+
 def spread_bits2(v: Column) -> Column:
     """Spread a (<=31-bit) non-negative long's bits to the even bit
     positions of a 64-bit word — the magic-mask half of a 2-D Morton

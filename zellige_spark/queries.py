@@ -254,6 +254,48 @@ def q_coverage_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").cast("long").alias("key_sum"))
 
 
+def q_tile_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal (neighborhood) sum over the z9 tile grid — the raster
+    heatmap-smoothing primitive (``tiles.focal_sum``): raw rows reduce
+    to per-tile aggregates in one shuffle, the 9-cell scatter runs on
+    the aggregates, and a second tile-key aggregation merges.  x wraps
+    at the antimeridian; y scatter rows off the poles drop."""
+    pts = _customer_points(spark, sf_dir)
+    out = T.focal_sum(pts, zoom=9, ring=1, sum_cols={"key_sum": "c_custkey"})
+    return out.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n_tiles").cast("long").alias("n_tiles"),
+        F.col("cnt").cast("long").alias("focal_rows"),
+        F.col("key_sum").cast("long").alias("focal_key_sum"))
+
+
+def sql_tile_focal() -> str:
+    tx, ty = _sql_tile("9")
+    offs = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), agg AS (
+      SELECT {tx} AS tile_x, {ty} AS tile_y,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM proj GROUP BY 1, 2
+    ), scat AS (
+      SELECT ((tile_x + o.dx) % 512 + 512) % 512 AS tile_x,
+             tile_y + o.dy AS tile_y, cnt, key_sum
+      FROM agg CROSS JOIN (VALUES {offs}) AS o(dx, dy)
+      WHERE tile_y + o.dy BETWEEN 0 AND 511
+    )
+    SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(cnt) AS BIGINT) AS focal_rows,
+           CAST(SUM(key_sum) AS BIGINT) AS focal_key_sum
+    FROM scat GROUP BY 1, 2
+    """
+
+
 def sql_coverage_tile_stats() -> str:
     tx, ty = _sql_tile("9")
     return f"""
@@ -557,6 +599,8 @@ QUERIES = {
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
+    # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
+    "tile_focal": q_tile_focal,
     "knn_kring": q_knn,
     # table-vs-table kNN (15k-row query side, shuffle-join branch)
     "knn_table": q_knn_table,
@@ -628,6 +672,7 @@ ORACLES = {
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
+    "tile_focal": sql_tile_focal(),
     "knn_kring": sql_knn(),
     "knn_table": sql_knn_table(),
     "radius_join": sql_radius_join(),
