@@ -732,3 +732,33 @@ def test_focal_sum_plan_and_validation(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
     with pytest.raises(ValueError):
         T.focal_sum(df, zoom=0, ring=1)  # 3x3 wraps onto itself on a 1x1 grid
+
+
+# --- tile_topk (per-tile top-k selection) ------------------------------------
+
+def test_tile_topk_values_and_group_limit_pushdown(spark):
+    """Top-3 per z3 tile equals a pure-Python recompute, and the
+    rank<=k filter actually triggers WindowGroupLimit — the map-side
+    per-tile prune that keeps the shuffle O(k * occupied tiles)."""
+    from zellige_spark.kernel import mercator as km
+    from zellige_spark.operators import tiles as T
+
+    rows = [(i, float((i * 37) % 1000) / 10.0,
+             float((i * 97) % 360 - 180) + 0.123,
+             float((i * 53) % 160 - 80) + 0.321) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, score double, lon double, lat double")
+    out = T.tile_topk(df, zoom=3, k=3,
+                      order_by=[F.col("score").desc(), F.col("id").asc()])
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan, plan
+
+    got = sorted((r.tile_x, r.tile_y, r.id, r.rank) for r in out.collect())
+    import collections
+    by_tile = collections.defaultdict(list)
+    for i, score, lon, lat in rows:
+        tx, ty = km.xy3857_to_tile(km.lon_to_x(lon), km.lat_to_y(lat), 3)
+        by_tile[(tx, ty)].append((-score, i))
+    want = sorted((tx, ty, i, r + 1)
+                  for (tx, ty), lst in by_tile.items()
+                  for r, (_, i) in enumerate(sorted(lst)[:3]))
+    assert got == want

@@ -215,6 +215,27 @@ def focal_sum(df: DataFrame, zoom: int, ring: int = 1,
                      *[F.sum(name).alias(name) for name in sum_cols]))
 
 
+def tile_topk(df: DataFrame, zoom: int, k: int, order_by: Sequence,
+              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-tile top-k selection (density culling / label placement):
+    keep the k best rows of every occupied tile at ``zoom``, ranked by
+    ``order_by`` (a sequence of Columns; include a unique tie-break so
+    the result is deterministic).
+
+    Scale shape: tile assignment is map-side Column math, then ONE
+    shuffle on the tile key.  The ``row_number() <= k`` filter is
+    recognized by Spark's WindowGroupLimit pushdown (Spark >= 3.5):
+    each map task pre-prunes its partition to k rows PER TILE before
+    the exchange, so the shuffle carries at most k·(occupied tiles per
+    map partition) rows, not the raw input."""
+    from pyspark.sql.window import Window
+
+    a = assign_tiles(df, [zoom]).drop("zoom", "tile_key", "x3857", "y3857")
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(*order_by)
+    return (a.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+
+
 def spread_bits2(v: Column) -> Column:
     """Spread a (<=31-bit) non-negative long's bits to the even bit
     positions of a 64-bit word — the magic-mask half of a 2-D Morton

@@ -254,6 +254,47 @@ def q_coverage_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").cast("long").alias("key_sum"))
 
 
+def q_tile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile top-3 customers by account balance at z3 (density
+    culling / label placement: keep the k most prominent features of
+    every tile).  One shuffle on the tile key; the ``row_number <= k``
+    filter triggers Spark's WindowGroupLimit pushdown, so map tasks
+    pre-prune to k rows per tile BEFORE the exchange — the shuffle
+    carries O(k · occupied tiles), not the raw input."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal",
+        F.expr(CUST_LON).alias("lon"), F.expr(CUST_LAT).alias("lat"))
+    out = T.tile_topk(df, zoom=3, k=3,
+                      order_by=[F.col("c_acctbal").desc(), F.col("c_custkey").asc()])
+    return out.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+def sql_tile_topk() -> str:
+    tx, ty = _sql_tile("3")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal, {CUST_LON} AS lon, {CUST_LAT} AS lat
+      FROM customer
+    ), proj AS (
+      SELECT c_custkey, c_acctbal, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), a AS (
+      SELECT c_custkey, c_acctbal, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), ranked AS (
+      SELECT tile_x, tile_y, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+      FROM a
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(c_custkey AS BIGINT) AS c_custkey, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
 def q_tile_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3x3 focal (neighborhood) sum over the z9 tile grid — the raster
     heatmap-smoothing primitive (``tiles.focal_sum``): raw rows reduce
@@ -601,6 +642,8 @@ QUERIES = {
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
     "tile_focal": q_tile_focal,
+    # per-tile top-k selection (WindowGroupLimit map-side prune)
+    "tile_topk": q_tile_topk,
     "knn_kring": q_knn,
     # table-vs-table kNN (15k-row query side, shuffle-join branch)
     "knn_table": q_knn_table,
@@ -673,6 +716,7 @@ ORACLES = {
     "pip_polygon_bucketed": sql_pip_polygon(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
+    "tile_topk": sql_tile_topk(),
     "knn_kring": sql_knn(),
     "knn_table": sql_knn_table(),
     "radius_join": sql_radius_join(),
