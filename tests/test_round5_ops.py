@@ -762,3 +762,74 @@ def test_tile_topk_values_and_group_limit_pushdown(spark):
                   for (tx, ty), lst in by_tile.items()
                   for r, (_, i) in enumerate(sorted(lst)[:3]))
     assert got == want
+
+
+# --- text-pipeline round-5 additions ----------------------------------------
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a tiny documents.parquet with the driver's schema."""
+    df = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_doc_repetition_handcrafted(spark, tmp_path):
+    """Gopher repetition metrics on handcrafted docs: exact fractions,
+    lexicographic tie-break, and the documented >1 overlap case."""
+    from zellige_spark.operators import text as TXT
+
+    sf = _write_docs(spark, tmp_path, ["a b a b a b", "x y z"])
+    got = {r.doc_id: r for r in TXT.q_doc_repetition(spark, sf).collect()}
+    # doc 0: "a b a b a b" (11 chars, 6 tokens)
+    # bigrams: "a b" x3, "b a" x2 -> top ("a b", 3); chars 3*3/11
+    # trigrams: "a b a" x2, "b a b" x2 -> all duplicated: 4 occ * 5 chars
+    r0 = got[0]
+    assert (r0.top_bigram, r0.top_bigram_n, r0.n_bigrams) == ("a b", 3, 5)
+    assert r0.top_bigram_frac == 9.0 / 11.0
+    assert r0.dup_tri_frac == 20.0 / 11.0  # overlaps -> can exceed 1
+    # doc 1: all bigrams unique -> tie broken by smallest gram; no dup tris
+    r1 = got[1]
+    assert (r1.top_bigram, r1.top_bigram_n) == ("x y", 1)
+    assert r1.dup_tri_frac == 0.0
+
+
+def test_domain_cap_group_limit_and_growth_stability(spark):
+    """The per-source cap plans a WindowGroupLimit (map-side prune) and
+    the hash-ordered sample is stable under corpus growth: every doc
+    kept from the FULL corpus is also kept when its source shrinks
+    (ranks only decrease when competitors leave)."""
+    from zellige_spark.operators import text as TXT
+
+    sf = "/root/testdata/sf0.001"
+    out = TXT.q_domain_cap(spark, sf)
+    assert "WindowGroupLimit" in _plan(out), _plan(out)
+    full = out.toPandas()
+    assert (full.groupby("source").size() <= TXT.DOMAIN_CAP).all()
+
+    import duckdb
+    sub_sql = TXT.sql_domain_cap().replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sub = con.execute(sub_sql).df()
+    kept_full_even = set(full[full.doc_id % 2 == 0].doc_id)
+    assert kept_full_even <= set(sub.doc_id)
+
+
+def test_salient_terms_order_and_group_limit(spark):
+    """Per-doc top-k keyword ranks are monotone in (tf desc, df asc,
+    term asc) and the rank<=k filter takes the WindowGroupLimit prune."""
+    from zellige_spark.operators import text as TXT
+
+    out = TXT.q_salient_terms(spark, "/root/testdata/sf0.001")
+    assert "WindowGroupLimit" in _plan(out), _plan(out)
+    pdf = out.toPandas()
+    for _, g in pdf.groupby("doc_id"):
+        g = g.sort_values("rank")
+        assert len(g) <= TXT.TOP_TERMS_K
+        keys = list(zip(-g.tf, g.df, g.term))
+        assert keys == sorted(keys)

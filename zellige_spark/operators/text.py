@@ -364,6 +364,215 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# --- repetition metrics (Gopher / MassiveText quality filtering) -----------
+
+# The corpus has no line structure (synth docs are single-line word
+# streams), so the repetition signals are the word-n-gram family from
+# the Gopher filtering rules (Rae et al. 2021, table A1): fraction of
+# characters in the most frequent 2-gram, and fraction of characters
+# in duplicated 3-grams.  Both are exact integer ratios (one IEEE
+# division of exact ints on both engines), so the oracle hash-matches.
+
+
+def _gram_structs(arr: str, n: int) -> str:
+    """SQL: array<struct<n:int, gram:string>> of word ``n``-grams of
+    array column ``arr`` (words joined by one space) — arrays_zip of n
+    slices, so ``arr`` is referenced a constant number of times per row
+    (see the project-collapsing note above dedup._sliding3)."""
+    ln = f"greatest(size({arr}) - {n - 1}, 0)"
+    slices = ", ".join(f"slice({arr}, {i + 1}, {ln})" for i in range(n))
+    joined = ", ' ', ".join(f"s['{i}']" for i in range(n))
+    return (f"transform(arrays_zip({slices}), "
+            f"s -> struct({n} as n, concat({joined}) as gram))")
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition filters):
+
+    * ``top_bigram_frac`` — chars covered by occurrences of the most
+      frequent word 2-gram / total chars (ties broken by smallest
+      gram, so the answer is deterministic);
+    * ``dup_tri_frac`` — chars covered by occurrences of word 3-grams
+      that occur more than once / total chars (overlapping occurrences
+      counted per occurrence, so highly repetitive docs can read > 1 —
+      the filter thresholds on "large", not "<= 1").
+
+    Scale shape: tokenization + gram construction are map-side Column
+    math (one explode), then two hash aggregations — (doc, n, gram)
+    counts with map-side partial agg, then a per-doc fold.  Shuffle
+    volume is O(distinct grams per doc), keys are (doc_id, gram) —
+    uniformly spread, no skew even when one document is pathological."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize the token array ONCE behind a nondeterministic
+    # barrier: the gram builders reference it 5x per row, and without
+    # the barrier project collapsing would re-inline the regex
+    # normalization into every slice
+    toks = df.select(
+        "doc_id",
+        F.length(F.expr(_SQUASHED)).cast("long").alias("total_chars"),
+        F.split(F.expr(_SQUASHED), " ").alias("t"),
+        F.monotonically_increasing_id().alias("_barrier"))
+    grams = (toks
+             .select("doc_id", "total_chars",
+                     F.explode(F.concat(F.expr(_gram_structs("t", 2)),
+                                        F.expr(_gram_structs("t", 3)))).alias("g"))
+             .select("doc_id", "total_chars",
+                     F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
+    cnt = (grams.groupBy("doc_id", "n", "gram")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.max("total_chars").alias("total_chars")))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.max("total_chars").alias("total_chars"),
+        # min over (-cnt, gram): largest count, then smallest gram
+        F.min(F.when(F.col("n") == 2,
+                     F.struct((-F.col("cnt")).alias("neg"),
+                              F.col("gram").alias("gram")))).alias("top"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("cnt") > 1),
+                     F.col("cnt") * F.length("gram"))
+               .otherwise(F.lit(0))).alias("dup_tri_chars"),
+        F.sum(F.when(F.col("n") == 2, F.col("cnt"))
+               .otherwise(F.lit(0))).alias("n_bigrams"))
+    return per_doc.select(
+        "doc_id",
+        F.col("top.gram").alias("top_bigram"),
+        (-F.col("top.neg")).alias("top_bigram_n"),
+        (F.expr("CAST((-top.neg) * length(top.gram) AS DOUBLE)")
+         / F.col("total_chars")).alias("top_bigram_frac"),
+        (F.col("dup_tri_chars").cast("double")
+         / F.col("total_chars")).alias("dup_tri_frac"),
+        "n_bigrams")
+
+
+def sql_doc_repetition() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, {_SQUASHED} AS sq FROM documents),
+    toks AS (SELECT doc_id, CAST(length(sq) AS BIGINT) AS total_chars,
+                    string_split(sq, ' ') AS t FROM base),
+    grams AS (
+      SELECT doc_id, total_chars, 2 AS n, t[i] || ' ' || t[i + 1] AS gram
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      UNION ALL
+      SELECT doc_id, total_chars, 3,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+                   MAX(total_chars) AS total_chars
+            FROM grams GROUP BY doc_id, n, gram),
+    top AS (SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM cnt WHERE n = 2),
+    aggd AS (SELECT doc_id, MAX(total_chars) AS total_chars,
+                    CAST(SUM(CASE WHEN n = 3 AND cnt > 1
+                             THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+                        AS dup_tri_chars,
+                    CAST(SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT)
+                        AS n_bigrams
+             FROM cnt GROUP BY doc_id)
+    SELECT a.doc_id, t.gram AS top_bigram, CAST(t.cnt AS BIGINT) AS top_bigram_n,
+           CAST(t.cnt * length(t.gram) AS DOUBLE) / a.total_chars AS top_bigram_frac,
+           CAST(a.dup_tri_chars AS DOUBLE) / a.total_chars AS dup_tri_frac,
+           a.n_bigrams
+    FROM aggd a JOIN top t ON t.doc_id = a.doc_id AND t.rn = 1
+    """
+
+
+# --- per-source cap (domain balancing) -------------------------------------
+
+DOMAIN_CAP = 15  # kept docs per source
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of corpus
+    construction (C4/RefinedWeb cap the contribution of any one
+    domain): keep at most DOMAIN_CAP docs per ``source``, chosen by
+    md5(doc_id) order so the sample is deterministic, content-blind,
+    and stable under corpus growth (a doc's keep/drop flips only when
+    enough LOWER-hashed docs arrive in its source, never on re-order).
+
+    Scale shape: one shuffle on ``source``; the ``row_number() <= k``
+    filter triggers Spark's WindowGroupLimit pushdown, so each map
+    task pre-prunes to k rows per source BEFORE the exchange — a hot
+    domain with 1e9 docs ships k rows per map partition, not 1e9."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (df.withColumn("samp_rank", F.row_number().over(w))
+              .filter(F.col("samp_rank") <= DOMAIN_CAP)
+              .select("doc_id", "source", F.col("samp_rank").cast("int")
+                      .alias("samp_rank")))
+
+
+def sql_domain_cap() -> str:
+    return f"""
+    SELECT doc_id, source, CAST(samp_rank AS INT) AS samp_rank
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS samp_rank
+      FROM documents
+    ) WHERE samp_rank <= {DOMAIN_CAP}
+    """
+
+
+# --- salient terms (keyword extraction) ------------------------------------
+
+TOP_TERMS_K = 3
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: the TOP_TERMS_K terms ranked by
+    (term frequency DESC, document frequency ASC, term ASC) — a
+    tf-idf-shaped salience order kept integer-exact (the multiplicative
+    tf*ln(N/df) score is float and ulp-unstable across engines; the
+    lexicographic (tf, rarity) order preserves "frequent here, rare
+    elsewhere" with a hash-exact oracle).
+
+    Scale shape: explode -> (doc, term) tf counts (partial agg), a
+    term-keyed join against the vocabulary-sized df table (AQE
+    broadcasts it when it fits; web-scale vocab shuffles on term — a
+    well-spread key), then a per-doc top-k whose rank<=k filter takes
+    the WindowGroupLimit map-side prune."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = df.select("doc_id",
+                      F.explode(F.split(F.expr(_SQUASHED), " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= TOP_TERMS_K)
+              .select("doc_id", "term", "tf", "df",
+                      F.col("rank").cast("int").alias("rank")))
+
+
+def sql_salient_terms() -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_SQUASHED}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+                 AS rank
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    ) WHERE rank <= {TOP_TERMS_K}
+    """
+
+
 def sql_sequence_pack() -> str:
     nb = f"GREATEST({PACK_MIN_BUCKETS}, CAST(CEIL(COUNT(*) / {PACK_TARGET_DOCS}.0) AS BIGINT))"
     return f"""

@@ -668,6 +668,12 @@ QUERIES = {
     "training_mix": TXT.q_training_mix,
     # greedy fixed-capacity sequence packing, sharded by bucket
     "sequence_pack": TXT.q_sequence_pack,
+    # Gopher-style repetition metrics (top-2-gram / dup-3-gram char fractions)
+    "doc_repetition": TXT.q_doc_repetition,
+    # per-source cap (domain balancing; WindowGroupLimit map-side prune)
+    "domain_cap": TXT.q_domain_cap,
+    # integer-exact tf/df keyword top-k per document
+    "salient_terms": TXT.q_salient_terms,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -733,6 +739,9 @@ ORACLES = {
     "fingerprint": TXT.sql_fingerprint(),
     "training_mix": TXT.sql_training_mix(),
     "sequence_pack": TXT.sql_sequence_pack(),
+    "doc_repetition": TXT.sql_doc_repetition(),
+    "domain_cap": TXT.sql_domain_cap(),
+    "salient_terms": TXT.sql_salient_terms(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
