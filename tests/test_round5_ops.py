@@ -833,3 +833,26 @@ def test_salient_terms_order_and_group_limit(spark):
         assert len(g) <= TXT.TOP_TERMS_K
         keys = list(zip(-g.tf, g.df, g.term))
         assert keys == sorted(keys)
+
+
+def test_tile_time_rollup_single_fact_scan_and_grain_consistency(spark):
+    """The spatiotemporal cube scans the orders fact table exactly ONCE
+    (year grain merges from month AGGREGATES, not a second raw pass),
+    and year cells equal the sum of their month cells."""
+    import re
+
+    from zellige_spark import queries as Q
+
+    out = Q.q_tile_time_rollup(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, plan
+
+    pdf = out.toPandas()
+    month = pdf[pdf.grain == "month"].copy()
+    year = pdf[pdf.grain == "year"]
+    month["yy"] = month.bucket // 100
+    merged = (month.groupby(["tile_x", "tile_y", "yy"])["n_orders"].sum()
+                   .reset_index())
+    want = {(r.tile_x, r.tile_y, r.yy): r.n_orders for r in merged.itertuples()}
+    got = {(r.tile_x, r.tile_y, r.bucket): r.n_orders for r in year.itertuples()}
+    assert got == want

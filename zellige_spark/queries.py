@@ -140,6 +140,66 @@ def sql_tile_rollup() -> str:
     """
 
 
+TT_ZOOM = 5  # tile level of the spatiotemporal cube
+
+
+def q_tile_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal hypertable cube: orders joined to customer sites,
+    aggregated per (z5 tile, time bucket) at BOTH month and year grain
+    from ONE raw aggregation — the continuous-aggregate cascade.  The
+    raw rows (orders x sites; at 100 TB the fact table) shuffle once on
+    the join key and once into (tile, month) cells; the year grain is
+    merged from the month AGGREGATES (explode over grains + second
+    groupBy, the ``zoom_rollup`` shape), so the fact table is scanned
+    and shuffled exactly once however many grains are requested.  Time
+    buckets are integers (yyyymm / yyyy), never timestamps, per the
+    epoch-comparison rule."""
+    pts = _customer_points(spark, sf_dir)
+    tiled = T.assign_tiles(pts, [TT_ZOOM]).select("c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int").alias("ym"))
+    j = orders.join(tiled, F.col("o_custkey") == F.col("c_custkey"))
+    fine = (j.groupBy("tile_x", "tile_y", "ym")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    g = fine.withColumn(
+        "grain", F.explode(F.array(F.lit("month"), F.lit("year"))))
+    out = (g.groupBy("tile_x", "tile_y", "grain",
+                     F.when(F.col("grain") == "month", F.col("ym"))
+                      .otherwise(F.expr("ym div 100"))
+                      .cast("int").alias("bucket"))
+            .agg(F.sum("n_orders").alias("n_orders")))
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      "grain", "bucket",
+                      F.col("n_orders").cast("long").alias("n_orders"))
+
+
+def sql_tile_time_rollup() -> str:
+    tx, ty = _sql_tile(str(TT_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), j AS (
+      SELECT t.tile_x, t.tile_y,
+             CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INT) AS ym
+      FROM orders o JOIN tiled t ON o.o_custkey = t.c_custkey
+    )
+    SELECT tile_x, tile_y, 'month' AS grain, ym AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM j GROUP BY tile_x, tile_y, ym
+    UNION ALL
+    SELECT tile_x, tile_y, 'year', CAST(ym // 100 AS INT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM j GROUP BY tile_x, tile_y, ym // 100
+    """
+
+
 def sql_tile_counts() -> str:
     tx, ty = _sql_tile("zoom")
     return f"""
@@ -636,6 +696,8 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     # hierarchical zoom rollup (aggregate once at z14, merge ancestors)
     "tile_rollup": q_tile_rollup,
+    # spatiotemporal cube: (z5 tile, month|year) from one raw aggregation
+    "tile_time_rollup": q_tile_time_rollup,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
@@ -718,6 +780,7 @@ ORACLES = {
     "tile_assign": sql_tile_assign(),
     "tile_counts": sql_tile_counts(),
     "tile_rollup": sql_tile_rollup(),
+    "tile_time_rollup": sql_tile_time_rollup(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
