@@ -856,3 +856,47 @@ def test_tile_time_rollup_single_fact_scan_and_grain_consistency(spark):
     want = {(r.tile_x, r.tile_y, r.yy): r.n_orders for r in merged.itertuples()}
     got = {(r.tile_x, r.tile_y, r.bucket): r.n_orders for r in year.itertuples()}
     assert got == want
+
+
+# --- deterministic HLL tile sketch ------------------------------------------
+
+def test_hll_merge_equals_direct_and_estimate_accuracy(spark):
+    """Sketch mergeability is exact: z5 registers max-merged from z9
+    registers equal registers computed directly at z5 (same rows,
+    bit-for-bit) — and the finalized estimate lands within the m=64
+    error envelope at 20k true distinct."""
+    from zellige_spark.operators import sketch as SK
+
+    df = spark.range(20000).select(
+        "id",
+        (F.col("id") % 2 + 100).alias("tile_x"),
+        F.lit(200).alias("tile_y"))
+    reg9 = SK.hll_registers(df, ["tile_x", "tile_y"], "id")
+    direct5 = SK.hll_registers(
+        df.select("id", F.expr("shiftright(tile_x, 4)").alias("tile_x"),
+                  F.expr("shiftright(tile_y, 4)").alias("tile_y")),
+        ["tile_x", "tile_y"], "id")
+    merged5 = SK.hll_merge(reg9, {
+        "tile_x": F.expr("shiftright(tile_x, 4)"),
+        "tile_y": F.expr("shiftright(tile_y, 4)")})
+    a = sorted(map(tuple, merged5.collect()))
+    b = sorted(map(tuple, direct5.collect()))
+    assert a == b and len(a) > 0
+
+    fin = SK.hll_finalize(merged5, ["tile_x", "tile_y"]).collect()
+    assert len(fin) == 1
+    est = fin[0].est_hll
+    assert abs(est - 20000) / 20000 < 0.35, est  # ~2.7 sigma at m=64
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinalities take the LinearCounting branch (literal
+    lookup, not the raw harmonic estimate whose m=64 floor is ~45)."""
+    from zellige_spark.operators import sketch as SK
+
+    df = spark.range(3).select("id", F.lit(7).alias("tile_x"),
+                               F.lit(9).alias("tile_y"))
+    reg = SK.hll_registers(df, ["tile_x", "tile_y"], "id")
+    fin = SK.hll_finalize(reg, ["tile_x", "tile_y"]).collect()[0]
+    assert fin.est_hll < 10, fin.est_hll  # raw estimate would be >= 45
+    assert abs(fin.est_hll - 3) < 2

@@ -1,0 +1,176 @@
+"""Deterministic mergeable distinct-count sketch per tile (HLL-style).
+
+The classic approximate-distinct sketch (HyperLogLog) is usually
+unauditable across engines because each implementation picks its own
+hash.  Here the WHOLE sketch is deterministic integer Column math on a
+shared md5-derived 60-bit hash, so DuckDB can recompute the registers
+bit-for-bit and the driver's value-hash gate applies to an
+*approximate* operator:
+
+* hash: first 15 md5 nibbles of the id string, positionally decoded to
+  a non-negative 60-bit BIGINT (the ``dedup_simhash`` md5-nibble
+  technique, `dedup.py:401`);
+* bucket: ``h % m`` (m = 64 registers);
+* rank: position of the lowest set bit of ``h div m`` (the
+  Flajolet-Martin geometric observable; trailing-zero form because
+  ``bit_count((w & -w) - 1) + 1`` is pure integer SQL on both engines),
+  capped at ``RHO_CAP`` for the measure-zero w == 0 case;
+* register: ``max(rank)`` per (tile, bucket) — an ordinary partial-agg
+  max, which is what makes the sketch MERGEABLE: coarser zooms
+  max-merge the finer zoom's registers without touching raw rows
+  (the ``zoom_rollup`` cascade, applied to sketch state).
+
+Finalization keeps the harmonic mean exact-then-one-division: the
+register sum ``S = sum(2^(RHO_CAP - rho)) + absent * 2^RHO_CAP`` is an
+exact BIGINT (every term a power of two, total < 2^61), and the
+estimate is ONE IEEE division of a shared literal by S — so even the
+float column hash-matches across engines.
+
+At 100 TB: registers are (tile, bucket) rows — at z9 x 64 buckets,
+~1.7e7 rows of two longs regardless of input size; the raw table is
+touched once, every coarser zoom is arithmetic on registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_BUCKETS = 64          # registers per tile
+RHO_CAP = 55            # rank cap (w has <= 54 bits; w == 0 maps here)
+ALPHA_64 = 0.709        # HLL bias constant for m = 64
+# exact-integer harmonic sum is scaled by 2^RHO_CAP; fold the scale
+# into the one float literal so both engines do a single division
+_EST_NUM = ALPHA_64 * M_BUCKETS * M_BUCKETS * float(2 ** RHO_CAP)
+
+_HEXD = "0123456789abcdef"
+
+
+def md5_hash60(hex_col: str) -> str:
+    """SQL (valid in Spark AND DuckDB): positional decode of the first
+    15 nibbles of an md5 hex string column into a 60-bit BIGINT."""
+    # each nibble is cast to BIGINT before the scale multiply: the small
+    # power-of-16 literals fit INT, and INT*INT overflows under ANSI mode
+    terms = " + ".join(
+        f"CAST(instr('{_HEXD}', substr({hex_col}, {j}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (15 - j)}"
+        for j in range(1, 16))
+    return f"({terms})"
+
+
+def rho_rank(w: str) -> str:
+    """SQL (both engines): rank of the lowest set bit of non-negative
+    BIGINT ``w`` (1-based), RHO_CAP when w == 0."""
+    return (f"(CASE WHEN {w} = 0 THEN {RHO_CAP} "
+            f"ELSE bit_count(({w} & -{w}) - 1) + 1 END)")
+
+
+def hll_registers(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
+    """(key_cols..., bucket, rho): max-rank register table — one row
+    per (key, occupied bucket).  Pure JVM Column math + one partial-agg
+    max; the output is mergeable sketch state.
+
+    The 15-term nibble decode is materialized ONCE per row behind
+    nondeterministic barriers: without them, project collapsing would
+    re-inline the md5 hex into all 15 nibble terms and the decoded
+    value into every downstream reference (the training_mix lesson)."""
+    hashed = df.select(
+        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"),
+        F.monotonically_increasing_id().alias("_b1"))
+    hq = hashed.select(
+        *key_cols, F.expr(md5_hash60("_hx")).alias("_h"),
+        F.monotonically_increasing_id().alias("_b2"))
+    wq = hq.select(
+        *key_cols,
+        F.expr(f"_h % {M_BUCKETS}").alias("bucket"),
+        F.expr(f"_h div {M_BUCKETS}").alias("_w"),
+        F.monotonically_increasing_id().alias("_b3"))
+    reg = wq.select(*key_cols, "bucket", F.expr(rho_rank("_w")).alias("rho"))
+    return reg.groupBy(*key_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(reg: DataFrame, new_keys: dict) -> DataFrame:
+    """Merge registers to a coarser key: max over the re-keyed buckets.
+    ``new_keys``: output name -> Column over the register frame."""
+    keyed = reg.select(
+        *[col.alias(name) for name, col in new_keys.items()], "bucket", "rho")
+    return keyed.groupBy(*new_keys.keys(), "bucket").agg(
+        F.max("rho").alias("rho"))
+
+
+def _lc_case(v_expr: str) -> str:
+    """SQL (both engines): LinearCounting estimate ``m * ln(m / V)`` as
+    a 63-entry literal lookup on the empty-register count V — ln() is
+    ulp-unstable across engines, but V only takes 64 values, so the
+    doubles are computed ONCE in Python and embedded as identical
+    literals on both sides."""
+    import math
+
+    whens = " ".join(
+        f"WHEN {v} THEN {M_BUCKETS * math.log(M_BUCKETS / v)!r}"
+        for v in range(1, M_BUCKETS))
+    return f"(CASE {v_expr} {whens} ELSE 0.0 END)"
+
+
+# standard HLL small-range switch: raw estimate below 2.5*m uses
+# LinearCounting when any register is empty
+_LC_THRESHOLD = 2.5 * M_BUCKETS
+
+
+def hll_finalize(reg: DataFrame, key_cols: list) -> DataFrame:
+    """(key_cols..., hll_sum, est_hll): exact BIGINT harmonic sum over
+    the m registers (absent buckets contribute rank 0 == 2^RHO_CAP),
+    then the single-division raw estimate with the standard small-range
+    LinearCounting correction (literal-table form, engine-exact)."""
+    agg = reg.groupBy(*key_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - rho)"))
+         .alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"))
+    s = (F.col("_s_present")
+         + (F.lit(M_BUCKETS) - F.col("_n_present"))
+         * F.lit(1 << RHO_CAP).cast("long"))
+    raw = F.lit(_EST_NUM) / s.cast("double")
+    v = F.lit(M_BUCKETS) - F.col("_n_present")
+    est = F.when((raw <= F.lit(_LC_THRESHOLD)) & (v >= 1),
+                 F.expr(_lc_case(f"({M_BUCKETS} - _n_present)"))
+                 ).otherwise(raw)
+    return agg.select(
+        *key_cols,
+        s.cast("long").alias("hll_sum"),
+        est.alias("est_hll"))
+
+
+def sql_hll_tile(level_tx: str, level_ty: str, from_clause: str,
+                 id_expr: str) -> str:
+    """DuckDB CTE computing the finalized sketch per tile directly from
+    raw rows — operation-for-operation the Spark math (md5 nibbles,
+    % / // split, trailing-zero rank, exact BIGINT sum, one division).
+    ``from_clause`` must yield columns used by the tile exprs and
+    ``id_expr``."""
+    h = md5_hash60("hx")
+    raw = f"({_EST_NUM!r} / CAST(hll_sum AS DOUBLE))"
+    return f"""
+      SELECT tile_x, tile_y, hll_sum,
+             CASE WHEN {raw} <= {_LC_THRESHOLD!r} AND v >= 1
+                  THEN {_lc_case("v")} ELSE {raw} END AS est_hll
+      FROM (
+        SELECT tile_x, tile_y,
+               CAST(s_present + ({M_BUCKETS} - n_present) * {1 << RHO_CAP} AS BIGINT) AS hll_sum,
+               ({M_BUCKETS} - n_present) AS v
+        FROM (
+          SELECT tile_x, tile_y,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - rho)) AS BIGINT) AS s_present,
+                 COUNT(*) AS n_present
+          FROM (
+            SELECT tile_x, tile_y, bucket, MAX(rho) AS rho
+            FROM (
+              SELECT {level_tx} AS tile_x, {level_ty} AS tile_y,
+                     {h} % {M_BUCKETS} AS bucket,
+                     {rho_rank(f"(({h}) // {M_BUCKETS})")} AS rho
+              FROM (SELECT *, md5(CAST({id_expr} AS VARCHAR)) AS hx
+                    FROM {from_clause})
+            ) GROUP BY tile_x, tile_y, bucket
+          ) GROUP BY tile_x, tile_y
+        )
+      )
+    """

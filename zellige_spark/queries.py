@@ -140,6 +140,75 @@ def sql_tile_rollup() -> str:
     """
 
 
+def q_tile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable distinct-count sketch per tile (HLL-style
+    registers on a shared md5-derived hash — `operators/sketch.py`): z9
+    registers from ONE raw pass, z5 registers MAX-MERGED from the z9
+    sketch state (never re-reading raw rows), each finalized to an
+    exact BIGINT harmonic sum + a one-division estimate.  ``n_exact``
+    is the in-job audit column; the oracle recomputes registers,
+    sums, AND the float estimate bit-for-bit — an approximate operator
+    under the exact value-hash gate."""
+    from .operators import sketch as SK
+
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [9]).select("c_custkey", "tile_x", "tile_y")
+    keys = ["tile_x", "tile_y"]
+    reg9 = SK.hll_registers(a, keys, "c_custkey")
+    fin9 = SK.hll_finalize(reg9, keys).withColumn("zoom", F.lit(9))
+    reg5 = SK.hll_merge(reg9, {"tile_x": F.expr("shiftright(tile_x, 4)"),
+                               "tile_y": F.expr("shiftright(tile_y, 4)")})
+    fin5 = SK.hll_finalize(reg5, keys).withColumn("zoom", F.lit(5))
+    ex9 = (a.groupBy(*keys)
+            .agg(F.countDistinct("c_custkey").alias("n_exact"))
+            .withColumn("zoom", F.lit(9)))
+    ex5 = (a.groupBy(F.expr("shiftright(tile_x, 4)").alias("tile_x"),
+                     F.expr("shiftright(tile_y, 4)").alias("tile_y"))
+            .agg(F.countDistinct("c_custkey").alias("n_exact"))
+            .withColumn("zoom", F.lit(5)))
+    fin = fin9.unionByName(fin5)
+    ex = ex9.unionByName(ex5)
+    out = fin.join(ex, ["zoom", "tile_x", "tile_y"])
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("n_exact").cast("long").alias("n_exact"),
+                      "hll_sum", "est_hll")
+
+
+def sql_tile_distinct_sketch() -> str:
+    from .operators import sketch as SK
+
+    tx9, ty9 = _sql_tile("9")
+    tx5, ty5 = _sql_tile("5")
+    s9 = SK.sql_hll_tile(tx9, ty9, "proj", "c_custkey")
+    s5 = SK.sql_hll_tile(tx5, ty5, "proj", "c_custkey")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), s9 AS ({s9}), s5 AS ({s5}),
+    e9 AS (
+      SELECT {tx9} AS tile_x, {ty9} AS tile_y,
+             COUNT(DISTINCT c_custkey) AS n_exact
+      FROM proj GROUP BY 1, 2
+    ),
+    e5 AS (
+      SELECT {tx5} AS tile_x, {ty5} AS tile_y,
+             COUNT(DISTINCT c_custkey) AS n_exact
+      FROM proj GROUP BY 1, 2
+    )
+    SELECT CAST(9 AS INT) AS zoom, s9.tile_x, s9.tile_y,
+           CAST(e9.n_exact AS BIGINT) AS n_exact, s9.hll_sum, s9.est_hll
+    FROM s9 JOIN e9 ON s9.tile_x = e9.tile_x AND s9.tile_y = e9.tile_y
+    UNION ALL
+    SELECT CAST(5 AS INT), s5.tile_x, s5.tile_y,
+           CAST(e5.n_exact AS BIGINT), s5.hll_sum, s5.est_hll
+    FROM s5 JOIN e5 ON s5.tile_x = e5.tile_x AND s5.tile_y = e5.tile_y
+    """
+
+
 TT_ZOOM = 5  # tile level of the spatiotemporal cube
 
 
@@ -698,6 +767,9 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     # spatiotemporal cube: (z5 tile, month|year) from one raw aggregation
     "tile_time_rollup": q_tile_time_rollup,
+    # deterministic mergeable HLL-style distinct sketch (z5 merged from z9
+    # registers; even the float estimate is oracle hash-exact)
+    "tile_distinct_sketch": q_tile_distinct_sketch,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
@@ -781,6 +853,7 @@ ORACLES = {
     "tile_counts": sql_tile_counts(),
     "tile_rollup": sql_tile_rollup(),
     "tile_time_rollup": sql_tile_time_rollup(),
+    "tile_distinct_sketch": sql_tile_distinct_sketch(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
