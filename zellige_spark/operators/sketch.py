@@ -65,27 +65,41 @@ def rho_rank(w: str) -> str:
             f"ELSE bit_count(({w} & -{w}) - 1) + 1 END)")
 
 
-def hll_registers(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
-    """(key_cols..., bucket, rho): max-rank register table — one row
-    per (key, occupied bucket).  Pure JVM Column math + one partial-agg
-    max; the output is mergeable sketch state.
+def hll_row_observables(df: DataFrame, key_cols: list, id_col: str,
+                        barriers: bool = True) -> DataFrame:
+    """(key_cols..., bucket, rho): the per-ROW geometric observable —
+    the map-side half of the sketch, exposed separately so the
+    streaming operator can feed a stateful max-merge.
 
     The 15-term nibble decode is materialized ONCE per row behind
     nondeterministic barriers: without them, project collapsing would
     re-inline the md5 hex into all 15 nibble terms and the decoded
-    value into every downstream reference (the training_mix lesson)."""
+    value into every downstream reference (the training_mix lesson).
+    ``barriers=False`` is for STREAMING inputs, where Spark forbids
+    nondeterministic expressions — there the collapsed projection
+    leans on physical-plan common-subexpression elimination (on by
+    default) to dedup the repeated md5/decode, which is acceptable
+    because the stateful operator downstream is the slow path anyway."""
+    def b(i):
+        return ([F.monotonically_increasing_id().alias(f"_b{i}")]
+                if barriers else [])
+
     hashed = df.select(
-        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"),
-        F.monotonically_increasing_id().alias("_b1"))
+        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"), *b(1))
     hq = hashed.select(
-        *key_cols, F.expr(md5_hash60("_hx")).alias("_h"),
-        F.monotonically_increasing_id().alias("_b2"))
+        *key_cols, F.expr(md5_hash60("_hx")).alias("_h"), *b(2))
     wq = hq.select(
         *key_cols,
         F.expr(f"_h % {M_BUCKETS}").alias("bucket"),
-        F.expr(f"_h div {M_BUCKETS}").alias("_w"),
-        F.monotonically_increasing_id().alias("_b3"))
-    reg = wq.select(*key_cols, "bucket", F.expr(rho_rank("_w")).alias("rho"))
+        F.expr(f"_h div {M_BUCKETS}").alias("_w"), *b(3))
+    return wq.select(*key_cols, "bucket", F.expr(rho_rank("_w")).alias("rho"))
+
+
+def hll_registers(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
+    """(key_cols..., bucket, rho): max-rank register table — one row
+    per (key, occupied bucket).  Pure JVM Column math + one partial-agg
+    max; the output is mergeable sketch state."""
+    reg = hll_row_observables(df, key_cols, id_col)
     return reg.groupBy(*key_cols, "bucket").agg(F.max("rho").alias("rho"))
 
 
