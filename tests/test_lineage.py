@@ -141,3 +141,65 @@ def test_compaction_preserves_latest_content_and_packs_files(spark, tmp_path):
         assert hi1 <= lo2
     # resume after compaction: nothing left to do
     assert store.remaining_tiles(a500).count() == 0
+
+
+def test_expire_snapshots_truncates_behind_full(spark, tmp_path):
+    """expire_snapshots drops chain history behind the newest full
+    (compacted) snapshot: latest view and completed keys are unchanged,
+    the expired data dirs are physically gone, time travel to expired
+    sids fails cleanly."""
+    import pytest
+
+    store = TileStore(str(tmp_path / "store"))
+    sid1 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 200)), "a")
+    sid2 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 400)), "b")
+    c = store.compact(spark)
+    sid3 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 600)), "c")
+
+    def snap_view():
+        pdf = store.latest_view(spark).toPandas()
+        return sorted((r.zoom, r.tile_x, r.tile_y, r.feature_count,
+                       bytes(r.mvt)) for r in pdf.itertuples())
+
+    pre_view = snap_view()
+    pre_keys = sorted(map(tuple, store.completed_tile_keys(spark).collect()))
+
+    expired = store.expire_snapshots(keep_last=1)
+    assert set(expired) == {sid1, sid2}
+    assert sorted(store.snapshots()) == sorted([c, sid3])
+    assert store.manifest(c)["parent_id"] is None
+    assert set(store.manifest(c)["expired_ancestors"]) == {sid1, sid2}
+    assert not os.path.exists(store._data_path(sid1))
+    assert not os.path.exists(store._lineage_path(sid2))
+
+    assert snap_view() == pre_view  # byte-exact latest state
+    post_keys = sorted(map(tuple, store.completed_tile_keys(spark).collect()))
+    assert post_keys == pre_keys    # resume contract intact
+    with pytest.raises(Exception):
+        store.read_tiles(spark, sid1).collect()
+    # a second expire is a no-op (nothing behind the full boundary)
+    assert store.expire_snapshots(keep_last=1) == []
+
+
+def test_expire_refuses_to_break_delta_chain(spark, tmp_path):
+    """Without a full snapshot in range, expiry would silently change
+    the latest view — it must refuse; and keep_last always wins over
+    an eligible boundary."""
+    import pytest
+
+    store = TileStore(str(tmp_path / "store"))
+    store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 200)), "a")
+    assert store.expire_snapshots(keep_last=1) == []  # nothing to expire
+    store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 400)), "b")
+    with pytest.raises(ValueError):
+        store.expire_snapshots(keep_last=1)  # both are deltas
+    c = store.compact(spark)
+    store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 500)), "c")
+    # chain [s3, c, s2, s1]: keep_last=4 keeps everything
+    assert store.expire_snapshots(keep_last=4) == []

@@ -66,10 +66,14 @@ class TileStore:
     # --- commit ----------------------------------------------------------------
 
     def commit_tiles(self, tiles: DataFrame, input_desc: str,
-                     sid: Optional[str] = None, rows_in: Optional[int] = None) -> str:
+                     sid: Optional[str] = None, rows_in: Optional[int] = None,
+                     full: bool = False) -> str:
         """Write tile rows + per-partition lineage, then the manifest
         (manifest-last = atomic commit point).  ``tiles`` must carry
-        (zoom, tile_x, tile_y, mvt, feature_count, bytes_len)."""
+        (zoom, tile_x, tile_y, mvt, feature_count, bytes_len).
+        ``full=True`` marks a snapshot that carries EVERY live tile key
+        (a compaction does) — the safe truncation point for
+        ``expire_snapshots``."""
         spark = tiles.sparkSession
         sid = sid or uuid.uuid4().hex[:16]
         data_path = self._data_path(sid)
@@ -95,6 +99,7 @@ class TileStore:
             "parent_id": self.current_snapshot(),
             "timestamp_ms": int(time.time() * 1000),
             "input": input_desc,
+            "full": bool(full),
             "metrics": {
                 "rows_in": rows_in,
                 "tiles_out": int(totals["tiles"]),
@@ -124,6 +129,29 @@ class TileStore:
         sid = sid or self.current_snapshot()
         return spark.read.parquet(self._lineage_path(sid))
 
+    def latest_view(self, spark: SparkSession) -> DataFrame:
+        """Resolve the snapshot chain to the LATEST version of every
+        tile key (newest snapshot wins) — the table's current state."""
+        from pyspark.sql import Window
+
+        sids = []
+        sid = self.current_snapshot()
+        while sid is not None:
+            sids.append(sid)
+            sid = self.manifest(sid).get("parent_id")
+        if not sids:
+            raise FileNotFoundError("no committed snapshot")
+        parts = [self.read_tiles(spark, s)
+                     .drop("partition_id")
+                     .withColumn("_age", F.lit(i))
+                 for i, s in enumerate(sids)]
+        allt = parts[0]
+        for p in parts[1:]:
+            allt = allt.unionByName(p)
+        w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
+        return (allt.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "_age"))
+
     # --- compaction -------------------------------------------------------------
 
     def compact(self, spark: SparkSession,
@@ -150,18 +178,7 @@ class TileStore:
             sid = self.manifest(sid).get("parent_id")
         if not sids:
             raise FileNotFoundError("no committed snapshot to compact")
-        from pyspark.sql import Window
-
-        parts = [self.read_tiles(spark, s)
-                     .drop("partition_id")
-                     .withColumn("_age", F.lit(i))
-                 for i, s in enumerate(sids)]
-        allt = parts[0]
-        for p in parts[1:]:
-            allt = allt.unionByName(p)
-        w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
-        latest = (allt.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") == 1).drop("_rn", "_age"))
+        latest = self.latest_view(spark)
         total = latest.agg(F.sum("bytes_len").alias("b")).collect()[0]["b"] or 1
         nfiles = max(1, -(-int(total) // int(target_file_bytes)))
         from ..operators.tiles import morton_key
@@ -173,7 +190,65 @@ class TileStore:
                   .sortWithinPartitions("zoom", "_zk")
                   .drop("_zk"))
         return self.commit_tiles(
-            packed, input_desc=f"{input_desc} of {len(sids)} snapshots")
+            packed, input_desc=f"{input_desc} of {len(sids)} snapshots",
+            full=True)
+
+    # --- retention ----------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list:
+        """Iceberg ``expire_snapshots``-lite: truncate chain history
+        behind the newest FULL snapshot while keeping at least
+        ``keep_last`` snapshots.  Every snapshot here is an incremental
+        delta — the chain walk in ``completed_tile_keys`` / ``compact``
+        needs all ancestors — so expiry is only safe behind a snapshot
+        that carries every live tile key (one produced by ``compact``,
+        manifest-flagged ``full``).  Refuses (ValueError) when no such
+        truncation point exists: deleting a delta ancestor would
+        silently change the latest view and break resume.
+
+        Procedure (crash-safe, manifest-first like commit): rewrite the
+        boundary manifest with ``parent_id: null`` (the chain is now
+        truncated even if deletion dies mid-way), then delete the
+        orphaned manifests and data/lineage directories.  Returns the
+        expired snapshot ids, oldest last."""
+        import shutil
+
+        chain = []
+        sid = self.current_snapshot()
+        while sid is not None:
+            chain.append(sid)
+            sid = self.manifest(sid).get("parent_id")
+        if len(chain) <= max(1, keep_last):
+            return []
+        boundary_i = None
+        for i, s in enumerate(chain):
+            if i >= keep_last - 1 and self.manifest(s).get("full"):
+                boundary_i = i
+                break
+        if boundary_i is None or boundary_i + 1 >= len(chain):
+            if boundary_i is not None:
+                return []
+            raise ValueError(
+                "no full (compacted) snapshot to truncate behind — run "
+                "compact() first; expiring delta ancestors would change "
+                "the latest view")
+        doomed = chain[boundary_i + 1:]
+        boundary = chain[boundary_i]
+        m = self.manifest(boundary)
+        m["parent_id"] = None
+        m["expired_ancestors"] = doomed + list(m.get("expired_ancestors", []))
+        mpath = os.path.join(self.root, "manifests", f"{boundary}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(m, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)
+        for s in doomed:
+            try:
+                os.remove(os.path.join(self.root, "manifests", f"{s}.json"))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(self._data_path(s), ignore_errors=True)
+            shutil.rmtree(self._lineage_path(s), ignore_errors=True)
+        return doomed
 
     # --- checkpoint / resume -----------------------------------------------------
 
