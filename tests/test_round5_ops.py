@@ -900,3 +900,34 @@ def test_hll_linear_counting_small_range(spark):
     fin = SK.hll_finalize(reg, ["tile_x", "tile_y"]).collect()[0]
     assert fin.est_hll < 10, fin.est_hll  # raw estimate would be >= 45
     assert abs(fin.est_hll - 3) < 2
+
+
+def test_tile_quartiles_equals_python_recompute(spark):
+    """Exact per-tile quartiles: rank-math result equals an independent
+    pure-Python recompute through the numpy mercator kernel (value at
+    1-based rank ceil(n*k/4) of the sorted per-tile values)."""
+    import collections
+
+    from zellige_spark import queries as Q
+    from zellige_spark.kernel import mercator as km
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.tile_x, r.tile_y): r
+           for r in Q.q_tile_quartiles(spark, sf).collect()}
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey").toPandas()
+    groups = collections.defaultdict(list)
+    for k in cust.c_custkey:
+        k = int(k)
+        lon = (k * 7919 % 360000) / 1000.0 - 180.0
+        lat = ((k * 104729 + 13) % 170000) / 1000.0 - 85.0
+        tx, ty = km.xy3857_to_tile(km.lon_to_x(lon), km.lat_to_y(lat), 5)
+        groups[(tx, ty)].append(k)
+    assert set(out) == set(groups)
+    for key, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        r = out[key]
+        assert r.n_rows == n and r.vmin == vals[0] and r.vmax == vals[-1]
+        for k, got in ((1, r.q1), (2, r.q2), (3, r.q3)):
+            assert got == vals[(n * k + 3) // 4 - 1], (key, k)

@@ -209,6 +209,71 @@ def sql_tile_distinct_sketch() -> str:
     """
 
 
+def q_tile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tile quartiles (z5) of the customer-key distribution —
+    the rank-math form: ``row_number`` + per-tile count in ONE window
+    pass, quartile k = the value at rank ``(n*k + 3) div 4`` (pure
+    integer ceil, identical on both engines), pivoted to columns by a
+    conditional aggregate.  ``percentile_approx`` would be the
+    cluster-default for this, but its sketch is engine-private — this
+    is the auditable exact twin, and its plan is the right shape
+    anyway: one shuffle on the tile key, then aggregate-only math.
+    Per-tile value counts are bounded by tile occupancy (no global
+    sort); a hot tile degrades to one fat window partition, which is
+    where the salting machinery (encode.py) would kick in at 100 TB."""
+    from pyspark.sql.window import Window
+
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [5]).select("c_custkey", "tile_x", "tile_y")
+    wt = Window.partitionBy("tile_x", "tile_y")
+    d = a.select(
+        "tile_x", "tile_y", "c_custkey",
+        F.row_number().over(wt.orderBy("c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"))
+    qcols = [F.max(F.when(F.col("rn") == F.expr(f"(n * {k} + 3) div 4"),
+                          F.col("c_custkey"))).alias(f"q{k}")
+             for k in (1, 2, 3)]
+    out = (d.groupBy("tile_x", "tile_y")
+            .agg(F.max("n").alias("n_rows"),
+                 F.min("c_custkey").alias("vmin"),
+                 F.max("c_custkey").alias("vmax"), *qcols))
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("n_rows").cast("long").alias("n_rows"),
+                      F.col("vmin").cast("long").alias("vmin"),
+                      F.col("q1").cast("long").alias("q1"),
+                      F.col("q2").cast("long").alias("q2"),
+                      F.col("q3").cast("long").alias("q3"),
+                      F.col("vmax").cast("long").alias("vmax"))
+
+
+def sql_tile_quartiles() -> str:
+    tx, ty = _sql_tile("5")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), ranked AS (
+      SELECT tile_x, tile_y, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                ORDER BY c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY tile_x, tile_y) AS n
+      FROM tiled
+    )
+    SELECT tile_x, tile_y,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS vmin,
+           CAST(MAX(CASE WHEN rn = (n * 1 + 3) // 4 THEN c_custkey END) AS BIGINT) AS q1,
+           CAST(MAX(CASE WHEN rn = (n * 2 + 3) // 4 THEN c_custkey END) AS BIGINT) AS q2,
+           CAST(MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN c_custkey END) AS BIGINT) AS q3,
+           CAST(MAX(c_custkey) AS BIGINT) AS vmax
+    FROM ranked GROUP BY tile_x, tile_y
+    """
+
+
 TT_ZOOM = 5  # tile level of the spatiotemporal cube
 
 
@@ -770,6 +835,8 @@ QUERIES = {
     # deterministic mergeable HLL-style distinct sketch (z5 merged from z9
     # registers; even the float estimate is oracle hash-exact)
     "tile_distinct_sketch": q_tile_distinct_sketch,
+    # exact per-tile quartiles via rank math (auditable percentile twin)
+    "tile_quartiles": q_tile_quartiles,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
@@ -854,6 +921,7 @@ ORACLES = {
     "tile_rollup": sql_tile_rollup(),
     "tile_time_rollup": sql_tile_time_rollup(),
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
+    "tile_quartiles": sql_tile_quartiles(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
