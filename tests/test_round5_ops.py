@@ -931,3 +931,27 @@ def test_tile_quartiles_equals_python_recompute(spark):
         assert r.n_rows == n and r.vmin == vals[0] and r.vmax == vals[-1]
         for k, got in ((1, r.q1), (2, r.q2), (3, r.q3)):
             assert got == vals[(n * k + 3) // 4 - 1], (key, k)
+
+
+def test_doc_chunks_map_only_and_coverage(spark):
+    """Context-window chunking is a zero-Exchange map-only plan, and
+    chunks tile every document: starts at stride multiples, full-size
+    except the tail, last chunk reaching exactly the final token."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import text as TXT
+
+    out = Q.QUERIES["doc_chunks"](spark, "/root/testdata/sf0.001")
+    assert "Exchange" not in _plan(out), _plan(out)
+    pdf = out.toPandas()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+                .selectExpr("doc_id",
+                            "size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')) AS n") \
+                .toPandas().set_index("doc_id")["n"]
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        n = int(docs[doc_id])
+        assert list(g.start_tok) == list(range(0, n, TXT.CHUNK_STRIDE))
+        assert (g.chunk_text.str.split(" ").str.len() == g.n_toks).all()
+        full = g.iloc[:-1]
+        assert (full.start_tok + TXT.CHUNK_TOKS >= full.n_toks + full.start_tok).all()
+        assert int((g.start_tok + g.n_toks).max()) == n  # reaches the end

@@ -519,6 +519,64 @@ def sql_domain_cap() -> str:
     """
 
 
+# --- context-window chunking ------------------------------------------------
+
+CHUNK_TOKS = 64     # tokens per training chunk
+CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — split each document into overlapping
+    fixed-size token windows (the step that turns long documents into
+    training examples; stride < size keeps boundary context).  Chunk k
+    starts at token ``k*stride`` while that is inside the document;
+    the final chunk may be short.
+
+    Scale shape: MAP-ONLY — tokenize once (behind a collapse barrier),
+    explode a start-offset sequence, slice + re-join per chunk.  Zero
+    shuffles, zero Python; output size is input tokens x (size/stride)
+    amortized, and every executor streams independently — the ideal
+    100-TB plan shape."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select(
+        "doc_id",
+        F.split(F.expr(_SQUASHED), " ").alias("t"),
+        F.monotonically_increasing_id().alias("_barrier"))
+    out = (toks
+           .withColumn("start_tok", F.explode(F.expr(
+               f"sequence(0, greatest(size(t) - 1, 0), {CHUNK_STRIDE})")))
+           .select("doc_id",
+                   F.expr(f"start_tok div {CHUNK_STRIDE}").cast("int")
+                    .alias("chunk_idx"),
+                   F.col("start_tok").cast("int").alias("start_tok"),
+                   F.expr(f"slice(t, start_tok + 1, {CHUNK_TOKS})").alias("_c"))
+           .select("doc_id", "chunk_idx", "start_tok",
+                   F.size("_c").cast("int").alias("n_toks"),
+                   F.array_join("_c", " ").alias("chunk_text")))
+    return out
+
+
+def sql_doc_chunks() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQUASHED}, ' ') AS t FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t, CAST(s AS INT) AS start_tok
+      FROM toks, UNNEST(generate_series(0, greatest(len(t) - 1, 0),
+                                        {CHUNK_STRIDE})) AS u(s)
+    )
+    SELECT doc_id,
+           CAST(start_tok // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           start_tok,
+           CAST(len(list_slice(t, start_tok + 1, start_tok + {CHUNK_TOKS})) AS INT)
+               AS n_toks,
+           array_to_string(list_slice(t, start_tok + 1, start_tok + {CHUNK_TOKS}), ' ')
+               AS chunk_text
+    FROM st
+    """
+
+
 # --- salient terms (keyword extraction) ------------------------------------
 
 TOP_TERMS_K = 3

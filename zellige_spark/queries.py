@@ -875,6 +875,8 @@ QUERIES = {
     "domain_cap": TXT.q_domain_cap,
     # integer-exact tf/df keyword top-k per document
     "salient_terms": TXT.q_salient_terms,
+    # overlapping context-window chunking (map-only, zero shuffles)
+    "doc_chunks": TXT.q_doc_chunks,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -946,6 +948,7 @@ ORACLES = {
     "doc_repetition": TXT.sql_doc_repetition(),
     "domain_cap": TXT.sql_domain_cap(),
     "salient_terms": TXT.sql_salient_terms(),
+    "doc_chunks": TXT.sql_doc_chunks(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
