@@ -203,3 +203,46 @@ def test_expire_refuses_to_break_delta_chain(spark, tmp_path):
         E.assemble_point_tiles_streaming(_assigned(spark, 500)), "c")
     # chain [s3, c, s2, s1]: keep_last=4 keeps everything
     assert store.expire_snapshots(keep_last=4) == []
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """snapshot_diff between two resolved states: re-encoded tiles with
+    MORE points are 'changed', brand-new tiles 'added', untouched tiles
+    'same'; a removed case is exercised by diffing in reverse."""
+    store = TileStore(str(tmp_path / "store"))
+    s1 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 300)), "a")
+    s2 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 600)), "b")
+
+    d = store.snapshot_diff(spark, s1, s2).toPandas()
+    by = d.groupby("change").size().to_dict()
+    # images_df(600) extends images_df(300): every tile of s1 also
+    # exists in s2's state; tiles whose point set grew are changed
+    assert by.get("removed", 0) == 0
+    assert by.get("changed", 0) > 0
+    # new tiles only if 600-point set hits tiles the 300-point set
+    # missed; either way every s1 tile is accounted for
+    t1 = store.read_tiles(spark, s1).count()
+    assert (by.get("same", 0) + by.get("changed", 0)) == t1
+
+    rev = store.snapshot_diff(spark, s2, s1).toPandas()
+    rby = rev.groupby("change").size().to_dict()
+    assert rby.get("added", 0) == by.get("removed", 0)
+    assert rby.get("removed", 0) == by.get("added", 0)
+    assert rby.get("changed", 0) == by.get("changed", 0)
+    assert rby.get("same", 0) == by.get("same", 0)
+
+    # byte-level truth: 'same' rows really are byte-equal, 'changed' not
+    v1 = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+          for r in store._view_as_of(spark, s1).collect()}
+    v2 = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+          for r in store._view_as_of(spark, s2).collect()}
+    for r in d.itertuples():
+        key = (r.zoom, r.tile_x, r.tile_y)
+        if r.change == "same":
+            assert v1[key] == v2[key]
+        elif r.change == "changed":
+            assert v1[key] != v2[key]
+        elif r.change == "added":
+            assert key not in v1 and key in v2

@@ -132,25 +132,10 @@ class TileStore:
     def latest_view(self, spark: SparkSession) -> DataFrame:
         """Resolve the snapshot chain to the LATEST version of every
         tile key (newest snapshot wins) — the table's current state."""
-        from pyspark.sql import Window
-
-        sids = []
         sid = self.current_snapshot()
-        while sid is not None:
-            sids.append(sid)
-            sid = self.manifest(sid).get("parent_id")
-        if not sids:
+        if sid is None:
             raise FileNotFoundError("no committed snapshot")
-        parts = [self.read_tiles(spark, s)
-                     .drop("partition_id")
-                     .withColumn("_age", F.lit(i))
-                 for i, s in enumerate(sids)]
-        allt = parts[0]
-        for p in parts[1:]:
-            allt = allt.unionByName(p)
-        w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
-        return (allt.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn", "_age"))
+        return self._view_as_of(spark, sid)
 
     # --- compaction -------------------------------------------------------------
 
@@ -192,6 +177,58 @@ class TileStore:
         return self.commit_tiles(
             packed, input_desc=f"{input_desc} of {len(sids)} snapshots",
             full=True)
+
+    def snapshot_diff(self, spark: SparkSession, sid_old: str,
+                      sid_new: str) -> DataFrame:
+        """Changed-tile detection between two snapshots' RESOLVED
+        states — the incremental-publish operator: a map service only
+        re-pushes tiles whose bytes changed.  Each side resolves its
+        chain AS OF that snapshot (latest version per key), then a full
+        outer join on the tile key classifies every key as ``added`` /
+        ``removed`` / ``changed`` / ``same`` (byte equality on the MVT
+        payload).  Output: (zoom, tile_x, tile_y, change, bytes_old,
+        bytes_new).
+
+        Scale shape: two chain resolutions (window over the tile key)
+        + one join on the same key — AQE reuses the partitioning; the
+        diff never touches raw input rows, only committed tiles."""
+        old = (self._view_as_of(spark, sid_old)
+               .select("zoom", "tile_x", "tile_y",
+                       F.col("mvt").alias("_mvt_old"),
+                       F.col("bytes_len").alias("bytes_old")))
+        new = (self._view_as_of(spark, sid_new)
+               .select("zoom", "tile_x", "tile_y",
+                       F.col("mvt").alias("_mvt_new"),
+                       F.col("bytes_len").alias("bytes_new")))
+        j = old.join(new, ["zoom", "tile_x", "tile_y"], "full_outer")
+        change = (F.when(F.col("_mvt_old").isNull(), F.lit("added"))
+                   .when(F.col("_mvt_new").isNull(), F.lit("removed"))
+                   .when(F.col("_mvt_old") == F.col("_mvt_new"),
+                         F.lit("same"))
+                   .otherwise(F.lit("changed")))
+        return j.select("zoom", "tile_x", "tile_y",
+                        change.alias("change"), "bytes_old", "bytes_new")
+
+    def _view_as_of(self, spark: SparkSession, sid: str) -> DataFrame:
+        """Chain-resolved latest version of every tile key AS OF
+        ``sid`` (walking parents from there)."""
+        from pyspark.sql import Window
+
+        sids = []
+        cur = sid
+        while cur is not None:
+            sids.append(cur)
+            cur = self.manifest(cur).get("parent_id")
+        parts = [self.read_tiles(spark, s)
+                     .drop("partition_id")
+                     .withColumn("_age", F.lit(i))
+                 for i, s in enumerate(sids)]
+        allt = parts[0]
+        for p in parts[1:]:
+            allt = allt.unionByName(p)
+        w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
+        return (allt.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "_age"))
 
     # --- retention ----------------------------------------------------------------
 
