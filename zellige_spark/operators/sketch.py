@@ -33,7 +33,7 @@ touched once, every coarser zoom is arithmetic on registers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 M_BUCKETS = 64          # registers per tile
