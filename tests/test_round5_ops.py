@@ -955,3 +955,44 @@ def test_doc_chunks_map_only_and_coverage(spark):
         full = g.iloc[:-1]
         assert (full.start_tok + TXT.CHUNK_TOKS >= full.n_toks + full.start_tok).all()
         assert int((g.start_tok + g.n_toks).max()) == n  # reaches the end
+
+
+def test_zonal_stats_bbox_prefilter_consistency(spark):
+    """Zonal counts agree with running the single-polygon PIP join per
+    zone (the 5-zone dim must not cross-contaminate memberships)."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import pip as PIP
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.polygon_id: r.n_points
+           for r in Q.q_zonal_stats(spark, sf).collect()}
+    pts = Q._customer_points(spark, sf)
+    for pid, verts in Q._zonal_polys().items():
+        import numpy as np
+        ring = [[float(x), float(y)] for x, y in verts]
+        arr = np.asarray(ring)
+        one = spark.createDataFrame(
+            [(pid, "zone", [ring],
+              float(arr[:, 0].min()), float(arr[:, 1].min()),
+              float(arr[:, 0].max()), float(arr[:, 1].max()))],
+            "polygon_id string, name string, rings array<array<array<double>>>, "
+            "min_lon double, min_lat double, max_lon double, max_lat double")
+        n = PIP.pip_join_broadcast(pts, one).count()
+        assert got.get(pid, 0) == n, pid
+
+
+def test_doc_repetition_pathological_doc_streams(spark, tmp_path):
+    """A degenerate 100k-token single-word document must stream through
+    the repetition metrics (per-doc gram distinctness keeps the
+    (doc, gram) group count at 2, not 100k) and read fully repetitive."""
+    from zellige_spark.operators import text as TXT
+
+    sf = _write_docs(spark, tmp_path, ["w " * 100000])
+    r = TXT.q_doc_repetition(spark, sf).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.top_bigram == "w w"
+    assert row.top_bigram_n == 99999
+    assert row.n_bigrams == 99999
+    # every trigram duplicated: dup chars = 99998 * 5 over 199999 chars
+    assert abs(row.dup_tri_frac - (99998 * 5) / 199999) < 1e-12

@@ -376,11 +376,11 @@ def _poly0_df(spark: SparkSession) -> DataFrame:
         "min_lon double, min_lat double, max_lon double, max_lat double")
 
 
-def _sql_pip_crossings() -> str:
+def _sql_pip_crossings(verts=PIP_POLY) -> str:
     # even-odd ray cast, one term per edge, matching ray_cast_mask exactly:
     # crossing iff min(y1,y2) <= lat < max(y1,y2) and x1+t*(x2-x1) > lon
     terms = []
-    for (x1, y1), (x2, y2) in zip(PIP_POLY[:-1], PIP_POLY[1:]):
+    for (x1, y1), (x2, y2) in zip(verts[:-1], verts[1:]):
         if y1 == y2:
             continue
         t = f"((lat - {y1!r}) / ({y2!r} - {y1!r}))"
@@ -389,6 +389,70 @@ def _sql_pip_crossings() -> str:
                 f"AND {xs} > lon)")
         terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
     return " + ".join(terms)
+
+
+# zonal-statistics dim: translated copies of the test polygon (offsets
+# applied in PYTHON so both engines receive byte-identical float
+# literals; all zones stay inside |lat| < 85 and off the antimeridian)
+ZONAL_OFFSETS = [(0.0, 0.0), (60.25, 11.5), (-75.5, -22.25),
+                 (110.75, 25.125), (-150.125, 30.5)]
+
+
+def _zonal_polys() -> dict:
+    return {f"zone{i}": [(x + dx, y + dy) for x, y in PIP_POLY]
+            for i, (dx, dy) in enumerate(ZONAL_OFFSETS)}
+
+
+def _zonal_df(spark: SparkSession) -> DataFrame:
+    import numpy as np
+
+    rows = []
+    for pid, verts in sorted(_zonal_polys().items()):
+        ring = [[float(x), float(y)] for x, y in verts]
+        arr = np.asarray(ring)
+        rows.append((pid, "zone", [ring],
+                     float(arr[:, 0].min()), float(arr[:, 1].min()),
+                     float(arr[:, 0].max()), float(arr[:, 1].max())))
+    return spark.createDataFrame(
+        rows,
+        "polygon_id string, name string, rings array<array<array<double>>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double")
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — per-polygon aggregates over the PIP join
+    (the polygon-side twin of the per-tile metrics): point count, key
+    checksum, key min/max for each coverage zone.  Scale shape: the
+    membership test is the broadcast bbox+CSR map-side join (no
+    shuffle until the aggregate), then one partial-agg'd groupBy on
+    polygon_id; a 1e6-polygon dim flips to the bucketed PIP variant
+    with the same aggregate tail."""
+    pts = _customer_points(spark, sf_dir)
+    out = PIP.pip_join_broadcast(pts, _zonal_df(spark))
+    return (out.groupBy("polygon_id")
+               .agg(F.count(F.lit(1)).alias("n_points"),
+                    F.sum("c_custkey").alias("key_sum"),
+                    F.min("c_custkey").alias("min_key"),
+                    F.max("c_custkey").alias("max_key"))
+               .orderBy("polygon_id"))
+
+
+def sql_zonal_stats() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT c_custkey, '{pid}' AS polygon_id FROM pts "
+        f"WHERE ({_sql_pip_crossings(verts)}) % 2 = 1"
+        for pid, verts in sorted(_zonal_polys().items()))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), m AS ({branches})
+    SELECT polygon_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM m GROUP BY polygon_id ORDER BY polygon_id
+    """
 
 
 def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +903,8 @@ QUERIES = {
     "tile_quartiles": q_tile_quartiles,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
+    # per-polygon zonal statistics over the PIP join (5-zone dim)
+    "zonal_stats": q_zonal_stats,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
@@ -926,6 +992,7 @@ ORACLES = {
     "tile_quartiles": sql_tile_quartiles(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
+    "zonal_stats": sql_zonal_stats(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
     "tile_topk": sql_tile_topk(),
