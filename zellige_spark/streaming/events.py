@@ -63,23 +63,31 @@ def sql_event_user_stats() -> str:
 
 
 def stream_event_windows(spark: SparkSession, input_path: str,
-                         checkpoint: str, watermark: str = "2 hours"):
+                         checkpoint: str, watermark: str = "2 hours",
+                         output_mode: str = "complete",
+                         query_name: str = "event_windows",
+                         max_files_per_trigger: int | None = None):
     """The streaming form of q_event_windows: file source -> watermark ->
-    tumbling window -> complete-mode in-memory sink.  Late rows beyond
-    the watermark are dropped; state is bounded by watermark horizon.
+    tumbling window -> in-memory sink.  Late rows beyond the watermark
+    are dropped; state is bounded by the watermark horizon.  In
+    ``append`` mode a window row emits exactly once, after the
+    watermark passes its end — the late-data semantics the
+    ``test_stream_*`` suite pins with per-file micro-batches.
     Returns the StreamingQuery (caller awaits/stops)."""
-    ev = (spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string")
-          .parquet(input_path))
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_path)
     agg = (ev.withWatermark("ts", watermark)
              .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.sum(F.expr(_CENTS)).alias("sum_cents"))
              .select(F.unix_timestamp(F.col("win.start")).alias("window_epoch"),
                      "event_type", "n_events", "sum_cents"))
-    return (agg.writeStream.outputMode("complete")
-               .format("memory").queryName("event_windows")
+    return (agg.writeStream.outputMode(output_mode)
+               .format("memory").queryName(query_name)
                .option("checkpointLocation", checkpoint)
                .trigger(availableNow=True)
                .start())
