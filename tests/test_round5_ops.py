@@ -996,3 +996,30 @@ def test_doc_repetition_pathological_doc_streams(spark, tmp_path):
     assert row.n_bigrams == 99999
     # every trigram duplicated: dup chars = 99998 * 5 over 199999 chars
     assert abs(row.dup_tri_frac - (99998 * 5) / 199999) < 1e-12
+
+
+def test_domain_cap_hot_domain_prunes_map_side(spark, tmp_path):
+    """A 200k-row single-source hot domain flows through the cap: the
+    WindowGroupLimit map-side prune keeps the shuffle at k rows per map
+    partition, the result is exactly k rows, and the kept set equals a
+    pandas recompute of the md5 hash order."""
+    import hashlib
+
+    import pandas as pd
+
+    from zellige_spark.operators import text as TXT
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang",
+        "'hot' AS source", "1 AS n_chars")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = TXT.q_domain_cap(spark, sf).toPandas()
+    assert len(out) == TXT.DOMAIN_CAP
+    assert (out.source == "hot").all()
+
+    want = sorted(range(n),
+                  key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+                  )[:TXT.DOMAIN_CAP]
+    assert sorted(out.doc_id) == sorted(want)
