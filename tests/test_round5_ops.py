@@ -1023,3 +1023,245 @@ def test_domain_cap_hot_domain_prunes_map_side(spark, tmp_path):
                   key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
                   )[:TXT.DOMAIN_CAP]
     assert sorted(out.doc_id) == sorted(want)
+
+
+# --- per-tile density raster (heatmap tiles) --------------------------------
+
+def _density_brute(spark, df, base_zoom, px_bits):
+    """Recompute the raster summary in pandas from the engine's own
+    (oracle-pinned) fine-zoom tile assignment."""
+    from zellige_spark.operators import tiles as T
+
+    side = 1 << px_bits
+    n_px = side * side
+    fine = (T.assign_tiles(df, [base_zoom + px_bits])
+            .select("tile_x", "tile_y").toPandas())
+    fine["tx"] = fine.tile_x // side
+    fine["ty"] = fine.tile_y // side
+    fine["px"] = (fine.tile_y % side) * side + fine.tile_x % side
+    pix = (fine.groupby(["tx", "ty", "px"]).size()
+               .reset_index(name="cnt"))
+    rows = {}
+    for (tx, ty), g in pix.groupby(["tx", "ty"]):
+        g = g.sort_values(["cnt", "px"], ascending=[False, True])
+        rows[(tx, ty)] = (int(g.cnt.sum()), len(g), int(g.cnt.max()),
+                          int(g.px.iloc[0]),
+                          int(((g.px + 1) * g.cnt).sum()))
+    assert n_px >= pix.px.max() + 1
+    return rows
+
+
+def test_density_raster_equals_bruteforce(spark):
+    """Summary columns must equal a pandas recompute from the engine's
+    fine-zoom assignment — including the mode tie-break (smallest
+    pixel id among max-count pixels) and the clamped edge points."""
+    import random
+
+    from zellige_spark.operators import tiles as T
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.uniform(-180, 180), rnd.uniform(-85, 85))
+            for i in range(3000)]
+    # clamped corners + duplicated points to force mode ties
+    rows += [(9000, -180.0, 85.05113), (9001, 179.99999, -85.05113)]
+    rows += [(9100 + j, 10.0001, 20.0001) for j in range(5)]
+    rows += [(9200 + j, 10.2001, 20.0001) for j in range(5)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+
+    got = {(r.tile_x, r.tile_y):
+           (r.n_points, r.n_px, r.max_px, r.mode_px, r.px_checksum)
+           for r in T.density_raster(df, base_zoom=5, px_bits=4).collect()}
+    want = _density_brute(spark, df, 5, 4)
+    assert got == want
+
+
+def test_density_raster_two_exchanges(spark):
+    """Raw rows shuffle once at the fine zoom; the per-tile summary
+    aggregates pixel AGGREGATES — exactly two Exchanges, like
+    zoom_rollup."""
+    import re
+
+    from zellige_spark.operators import tiles as T
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 3.1 % 360 - 180).alias("lon"),
+        (F.col("id") * 1.7 % 170 - 85).alias("lat"))
+    plan = _plan(T.density_raster(df))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_density_raster_array_dense_and_integrity(spark):
+    """The dense row-major array must agree with the sparse pixel
+    counts, fill absent pixels with 0, and carry the in-job
+    raster_sum == n_points integrity equality on every row."""
+    import random
+
+    from zellige_spark.operators import tiles as T
+
+    rnd = random.Random(13)
+    rows = [(i, rnd.uniform(-30, 30), rnd.uniform(-30, 30))
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+
+    arr = T.density_raster_array(df, base_zoom=5, px_bits=4).toPandas()
+    assert (arr.raster.map(len) == 256).all()
+    assert (arr.raster.map(sum) == arr.n_points).all()
+    assert (arr.raster_sum == arr.n_points).all()
+
+    summ = T.density_raster(df, base_zoom=5, px_bits=4).toPandas()
+    merged = arr.merge(summ, on=["tile_x", "tile_y"])
+    assert len(merged) == len(arr) == len(summ)
+    for _, r in merged.iterrows():
+        ras = list(r.raster)
+        assert max(ras) == r.max_px
+        assert sum(1 for v in ras if v > 0) == r.n_px
+        assert ras.index(max(ras)) == r.mode_px
+        assert sum((i + 1) * v for i, v in enumerate(ras)) == r.px_checksum
+
+
+# --- trajectory operators ----------------------------------------------------
+
+def _py_hav_m(lon1, lat1, lon2, lat2):
+    import math
+
+    r1, r2 = math.radians(lat1), math.radians(lat2)
+    dlat, dlon = r2 - r1, math.radians(lon2) - math.radians(lon1)
+    a = (math.sin(dlat / 2) ** 2
+         + math.cos(r1) * math.cos(r2) * math.sin(dlon / 2) ** 2)
+    return math.floor(2.0 * 6371.0 * math.asin(min(1.0, math.sqrt(a)))
+                      * 1000.0)
+
+
+def test_track_stats_handcrafted(spark):
+    """Three handcrafted tracks vs a pure-Python recompute: a single
+    point (all zeros), a two-point hop, and an out-of-order three-point
+    track with a ts tie broken by event_id."""
+    import datetime as dt
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, 10, s(5), 10.0, 20.0),
+        (2, 20, s(0), 0.0, 0.0), (2, 21, s(60), 1.0, 0.0),
+        # deliberately out of input order + ts tie at s(0)
+        (3, 32, s(90), 50.0, 10.0),
+        (3, 31, s(0), -10.0, -10.0),   # same ts as 30: event_id orders
+        (3, 30, s(0), 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "lon double, lat double")
+    got = {r.user_id: r for r in TRJ.track_stats(df).collect()}
+
+    assert (got[1].n_points, got[1].length_m, got[1].max_leg_m,
+            got[1].net_m, got[1].dur_s) == (1, 0, 0, 0, 0)
+
+    leg2 = _py_hav_m(0, 0, 1, 0)
+    assert (got[2].n_points, got[2].length_m, got[2].max_leg_m,
+            got[2].net_m, got[2].dur_s) == (2, leg2, leg2, leg2, 60)
+
+    l31 = _py_hav_m(0, 0, -10, -10)       # event 30 -> 31 (ts tie)
+    l32 = _py_hav_m(-10, -10, 50, 10)     # event 31 -> 32
+    net = _py_hav_m(0, 0, 50, 10)         # first (30) -> last (32)
+    assert (got[3].n_points, got[3].length_m, got[3].max_leg_m,
+            got[3].net_m, got[3].dur_s) == (3, l31 + l32, max(l31, l32),
+                                            net, 90)
+
+
+def test_track_stats_single_exchange(spark):
+    """Window and aggregation share the entity key: ONE Exchange in the
+    whole plan — the window sort and the final aggregate both reuse
+    hashpartitioning(user_id)."""
+    import re
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 0.0, 0.0)],
+        "user_id long, event_id long, ts timestamp, lon double, lat double")
+    plan = _plan(TRJ.track_stats(df))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_simplify_tracks_matches_kernel(spark):
+    """The distributed DP output (n_kept + kept-index checksum) must
+    equal running the kernel recursion directly per track; collinear
+    tracks collapse to endpoints, zigzags above epsilon keep all, and
+    both integrity columns hold."""
+    import datetime as dt
+
+    import numpy as np
+
+    from zellige_spark.kernel.simplify import douglas_peucker
+    from zellige_spark.operators import trajectories as TRJ
+    from zellige_spark.operators.trajectories import _kept_indices
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    tracks = {
+        # collinear on the 3857 plane: equator lons project linearly
+        1: [(float(i), 0.0) for i in range(8)],
+        # wide zigzag: 20-deg lon steps keep every chord shallow, so
+        # each 13-deg-lat vertex stays >eps from it -> keeps all 7
+        2: [(float(i * 20), 13.0 if i % 2 else 0.0) for i in range(7)],
+        # mixed: small wiggles under eps + one big excursion
+        3: [(0.0, 0.0), (1.0, 0.1), (2.0, 0.0), (30.0, 40.0),
+            (4.0, 0.1), (5.0, 0.0)],
+        # degenerate: single point and duplicate pair
+        4: [(7.0, 7.0)],
+        5: [(3.0, 3.0), (3.0, 3.0), (3.0, 3.0)],
+    }
+    for uid, pts in tracks.items():
+        for i, (lon, lat) in enumerate(pts):
+            rows.append((uid, i, t0 + dt.timedelta(seconds=i), lon, lat))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "lon double, lat double")
+
+    from zellige_spark.operators import tiles as T
+
+    eps = 500_000.0
+    out = {r.user_id: r
+           for r in TRJ.simplify_tracks(T.with_web_mercator(df),
+                                        epsilon_m=eps).collect()}
+    proj = (T.with_web_mercator(df)
+            .select("user_id", "event_id", "x3857", "y3857").toPandas())
+    for uid, pts in tracks.items():
+        g = proj[proj.user_id == uid].sort_values("event_id")
+        arr = g[["x3857", "y3857"]].to_numpy(dtype=np.float64)
+        if len(arr) < 2:
+            want_idx = list(range(len(arr)))
+        else:
+            want_idx = _kept_indices(arr, douglas_peucker(eps, arr))
+        r = out[uid]
+        assert r.n_points == len(arr)
+        assert r.n_kept == len(want_idx)
+        assert r.kept_idx_checksum == sum(i + 1 for i in want_idx)
+        assert r.endpoints_ok and r.within_eps_ok
+
+    assert out[1].n_kept == 2          # collinear -> endpoints only
+    assert out[2].n_kept == 7          # zigzag above eps keeps all
+    assert 2 < out[3].n_kept < 6       # excursion kept, wiggles dropped
+    assert out[4].n_kept == 1
+    assert out[5].n_kept == 2          # duplicate pts: endpoints kept
+
+
+def test_simplify_kept_indices_duplicates():
+    """Greedy subsequence recovery stays total when the track contains
+    bit-identical repeated points."""
+    import numpy as np
+
+    from zellige_spark.operators.trajectories import _kept_indices
+
+    pts = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [0.0, 0.0],
+                    [2.0, 2.0]])
+    kept = np.array([[0.0, 0.0], [1.0, 1.0], [0.0, 0.0], [2.0, 2.0]])
+    idx = _kept_indices(pts, kept)
+    assert idx == [0, 1, 3, 4]
+    assert all(a < b for a, b in zip(idx, idx[1:]))

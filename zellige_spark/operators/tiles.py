@@ -298,3 +298,84 @@ def tile_local_px(df: DataFrame, extent: int = 4096,
         px = F.bround(px / q, 0) * q
         py = F.bround(py / q, 0) * q
     return df.withColumn("px", px).withColumn("py", py)
+
+
+def _pixel_counts(df: DataFrame, base_zoom: int, px_bits: int,
+                  lon_col: str, lat_col: str) -> DataFrame:
+    """(tile_x, tile_y, px, cnt) per occupied pixel: pixel (px, py) of
+    tile (tx, ty) at ``base_zoom`` IS tile (tx·2^b + px, ty·2^b + py)
+    at zoom ``base_zoom + px_bits``, so binning reuses the exact
+    clamped tile floor — no new geometry code, and the raw rows are
+    reduced in ONE shuffle at the fine zoom (the finest grain this
+    operator family ever shuffles).  ``px`` is the row-major tile-local
+    pixel id ``py·2^b + px``."""
+    side = 1 << px_bits
+    df = with_web_mercator(df, lon_col, lat_col)
+    fx, fy = tile_xy(F.col("x3857"), F.col("y3857"),
+                     F.lit(base_zoom + px_bits))
+    pix = (df.groupBy(fx.alias("_fx"), fy.alias("_fy"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return pix.select(
+        F.shiftright("_fx", px_bits).alias("tile_x"),
+        F.shiftright("_fy", px_bits).alias("tile_y"),
+        ((F.col("_fy") % side) * side + (F.col("_fx") % side))
+        .cast("int").alias("px"),
+        "cnt")
+
+
+def density_raster(df: DataFrame, base_zoom: int = 5, px_bits: int = 4,
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-tile density-raster summary (heatmap tiles): bin every
+    occupied tile's points into a 2^px_bits × 2^px_bits pixel grid and
+    aggregate scalar raster statistics per tile.
+
+    Scale shape: one shuffle over raw rows at the fine zoom
+    (``_pixel_counts``), then a per-tile aggregation over at most
+    4^px_bits pixel rows per tile — aggregates-of-aggregates, exactly
+    two Exchanges (plan-asserted), the ``zoom_rollup`` pattern.  All
+    outputs are integers so the operator is oracle hash-exact;
+    ``density_raster_array`` materializes the dense render-ready array.
+
+    Output: (tile_x, tile_y, n_points, n_px, max_px, mode_px,
+    px_checksum) — ``mode_px`` is the smallest pixel id among the
+    max-count pixels; ``px_checksum`` = Σ (pixel_id + 1) · count."""
+    n_px = 1 << (2 * px_bits)
+    pix = _pixel_counts(df, base_zoom, px_bits, lon_col, lat_col)
+    # argmax with a deterministic low-px tie-break via lexicographic
+    # struct max on (cnt, n_px-1-px)
+    best = F.max(F.struct(F.col("cnt").alias("c"),
+                          (F.lit(n_px - 1) - F.col("px")).alias("ipx")))
+    return (pix.groupBy("tile_x", "tile_y")
+               .agg(F.sum("cnt").alias("n_points"),
+                    F.count(F.lit(1)).alias("n_px"),
+                    F.max("cnt").alias("max_px"),
+                    (F.lit(n_px - 1) - best.getField("ipx"))
+                    .cast("long").alias("mode_px"),
+                    F.sum((F.col("px") + F.lit(1)).cast("long")
+                          * F.col("cnt")).alias("px_checksum")))
+
+
+def density_raster_array(df: DataFrame, base_zoom: int = 5,
+                         px_bits: int = 4, lon_col: str = "lon",
+                         lat_col: str = "lat") -> DataFrame:
+    """Dense row-major pixel-count array per tile — the render-ready
+    twin of ``density_raster`` (an MVT/PNG heat layer consumes exactly
+    this shape).  Same two-Exchange plan; the dense fill is an
+    O(4^px_bits) ``transform`` over a map built from the aggregated
+    pixel rows, never over raw rows.  ``raster_sum`` re-aggregates the
+    emitted array JVM-side and must equal ``n_points`` (in-job
+    integrity, test-asserted)."""
+    n_px = 1 << (2 * px_bits)
+    pix = _pixel_counts(df, base_zoom, px_bits, lon_col, lat_col)
+    g = (pix.groupBy("tile_x", "tile_y")
+            .agg(F.map_from_entries(
+                     F.collect_list(F.struct("px", "cnt"))).alias("_m"),
+                 F.sum("cnt").alias("n_points")))
+    raster = F.transform(
+        F.sequence(F.lit(0), F.lit(n_px - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i),
+                             F.lit(0).cast("long")))
+    out = g.select("tile_x", "tile_y", "n_points", raster.alias("raster"))
+    return out.withColumn(
+        "raster_sum",
+        F.aggregate("raster", F.lit(0).cast("long"), lambda a, x: a + x))

@@ -1,0 +1,208 @@
+"""Trajectory operators over ordered geotagged event streams.
+
+NEW relative to the reference (SURVEY.md §2.10 family): the reference
+simplifies geometry per *feature* (DouglasPeucker.hs); here the same
+kernel runs per *trajectory* — the ordered sequence of a user's
+geotagged events — as a distributed groupBy(entity) operator, plus
+pure Column-math track statistics.
+
+Scale shape:
+
+- ``track_stats`` is window + aggregation on the SAME key: Spark plans
+  ONE Exchange (hashpartitioning on the entity), the window sort and
+  the final aggregate both reuse it (plan-asserted).  All leg math is
+  JVM Column expressions; float haversine legs are quantized to whole
+  meters by ``floor`` BEFORE the sum, so the per-track totals are
+  order-independent BIGINTs and the operator stays hash-exact under
+  the DuckDB oracle (the raw float sum would be reduction-order-
+  dependent and engine-drifting).
+- ``simplify_tracks`` shuffles once on the entity key and runs the
+  reference-faithful Douglas-Peucker recursion (kernel/simplify.py,
+  DouglasPeucker.hs:19-55) per trajectory inside an Arrow-batched
+  ``applyInPandas``.  A trajectory must fit in one pandas group —
+  bounded by per-entity event counts, the same contract as
+  ``event_sessions``; the output carries in-job integrity columns
+  (endpoints preserved, every dropped point within epsilon of its
+  kept segment) because the recursion itself is not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..kernel.simplify import _shortest_distances, douglas_peucker
+
+
+def haversine_km_clamped(lon1, lat1, lon2, lat2) -> Column:
+    """Great-circle distance (km) with the ``asin`` argument clamped at
+    1.0 — near-antipodal pairs can push the haversine radicand one ulp
+    above 1, where an unclamped ``asin`` returns NaN and ANSI casts
+    blow up.  The clamp is mirrored verbatim in the DuckDB oracle SQL
+    so both engines evaluate the identical float expression tree."""
+    r1 = F.radians(lat1)
+    r2 = F.radians(lat2)
+    dlat = r2 - r1
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (F.sin(dlat / 2) ** 2 + F.cos(r1) * F.cos(r2) * F.sin(dlon / 2) ** 2)
+    return F.lit(2.0 * 6371.0) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+SQL_HAVERSINE_KM = (
+    "2.0 * 6371.0 * asin(least(1.0, sqrt("
+    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))")
+
+
+def track_stats(df: DataFrame, entity_col: str = "user_id",
+                ts_col: str = "ts", tiebreak_col: str = "event_id",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-entity track statistics over events ordered by
+    ``(ts_col, tiebreak_col)``: point count, total path length, longest
+    leg, straight-line (first-to-last) displacement, and duration.
+
+    Lengths are whole meters (``floor(haversine_km * 1000)`` per leg,
+    then BIGINT sums — exact and reduction-order-independent);
+    duration is exact BIGINT epoch seconds (``unix_timestamp``,
+    mirrored by DuckDB ``floor(epoch(ts))`` — the repo's established
+    epoch rule).  Single-point tracks report zero length and
+    displacement.
+
+    Output: (entity, n_points, length_m, max_leg_m, net_m, dur_s).
+    """
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    plon = F.lag(lon_col).over(w)
+    plat = F.lag(lat_col).over(w)
+    leg_km = haversine_km_clamped(plon, plat, F.col(lon_col), F.col(lat_col))
+    leg_m = F.when(plon.isNotNull(),
+                   F.floor(leg_km * F.lit(1000.0)).cast("long"))
+    e = (df.withColumn("_leg_m", leg_m)
+           .withColumn("_es", F.unix_timestamp(F.col(ts_col)))
+           .withColumn("_flon", F.first(lon_col).over(w))
+           .withColumn("_flat", F.first(lat_col).over(w))
+           .withColumn("_llon", F.last(lon_col).over(wfull))
+           .withColumn("_llat", F.last(lat_col).over(wfull)))
+    g = (e.groupBy(entity_col)
+          .agg(F.count(F.lit(1)).alias("n_points"),
+               F.coalesce(F.sum("_leg_m"), F.lit(0).cast("long"))
+                .alias("length_m"),
+               F.coalesce(F.max("_leg_m"), F.lit(0).cast("long"))
+                .alias("max_leg_m"),
+               (F.max("_es") - F.min("_es")).alias("dur_s"),
+               F.min("_flon").alias("_flon"), F.min("_flat").alias("_flat"),
+               F.min("_llon").alias("_llon"), F.min("_llat").alias("_llat")))
+    net_m = F.floor(
+        haversine_km_clamped(F.col("_flon"), F.col("_flat"),
+                             F.col("_llon"), F.col("_llat"))
+        * F.lit(1000.0)).cast("long")
+    return g.select(F.col(entity_col), "n_points", "length_m", "max_leg_m",
+                    net_m.alias("net_m"), "dur_s")
+
+
+def simplify_tracks(df: DataFrame, epsilon_m: float,
+                    entity_col: str = "user_id",
+                    order_cols: Iterable[str] = ("ts", "event_id"),
+                    x_col: str = "x3857", y_col: str = "y3857") -> DataFrame:
+    """Douglas-Peucker simplification per trajectory: the reference's
+    recursion (kernel/simplify.py ``douglas_peucker``, faithful to
+    DouglasPeucker.hs:19-55 incl. the 1-based split) applied to each
+    entity's ordered 3857-plane track, distributed as one
+    groupBy(entity) + Arrow-batched ``applyInPandas``.
+
+    ``epsilon_m`` is in EPSG:3857 meters (stretched by 1/cos(lat) away
+    from the equator, exactly like the reference's tile-space epsilon).
+
+    In-job integrity columns (the op is not SQL-expressible):
+
+    - ``endpoints_ok`` — the kept sequence starts/ends at the input's
+      first/last point (DP invariant for n >= 2);
+    - ``within_eps_ok`` — every DROPPED point lies within epsilon of
+      the kept segment spanning it (the recursion's stop condition,
+      re-verified against the actual output);
+    - ``kept_idx_checksum`` — Σ (original_index + 1) over kept points,
+      a hash-stable fingerprint of WHICH points survived.
+
+    Tracks with fewer than 2 points are kept verbatim (n_kept == n).
+
+    Output: (entity, n_points, n_kept, kept_idx_checksum,
+    endpoints_ok, within_eps_ok)."""
+    order_cols = list(order_cols)
+    eps = float(epsilon_m)
+    schema = (f"{entity_col} long, n_points long, n_kept long, "
+              "kept_idx_checksum long, endpoints_ok boolean, "
+              "within_eps_ok boolean")
+
+    def one_track(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pts = np.ascontiguousarray(
+            pdf[[x_col, y_col]].to_numpy(dtype=np.float64))
+        n = len(pts)
+        if n < 2:
+            kept_idx = list(range(n))
+            endpoints_ok = True
+            within_ok = True
+        else:
+            kept = douglas_peucker(eps, pts)
+            kept_idx = _kept_indices(pts, kept)
+            endpoints_ok = bool(kept_idx and kept_idx[0] == 0
+                                and kept_idx[-1] == n - 1)
+            within_ok = _dropped_within_eps(pts, kept_idx, eps)
+        checksum = sum(i + 1 for i in kept_idx)
+        return pd.DataFrame({
+            entity_col: [int(pdf[entity_col].iloc[0])],
+            "n_points": [n],
+            "n_kept": [len(kept_idx)],
+            "kept_idx_checksum": [checksum],
+            "endpoints_ok": [endpoints_ok],
+            "within_eps_ok": [within_ok],
+        })
+
+    return df.groupBy(entity_col).applyInPandas(one_track, schema)
+
+
+def _kept_indices(pts: np.ndarray, kept: np.ndarray) -> list:
+    """Recover the original indices of the kept subsequence.  DP output
+    points are exact copies of input points in input order, and for
+    n >= 2 its first/last elements ARE the input endpoints — so the
+    endpoints anchor at 0 and n-1 (a greedy scan would mis-anchor the
+    final endpoint onto an earlier bit-identical duplicate), and the
+    interior points match by greedy forward scan with bit-exact
+    equality (each matches at or before its true index, which is
+    < n-1, so the scan is total)."""
+    m = len(kept)
+    if m == 0:
+        return []
+    if m == 1:
+        return [0]
+    idx = [0]
+    j = 1
+    for p in kept[1:-1]:
+        while not (pts[j, 0] == p[0] and pts[j, 1] == p[1]):
+            j += 1
+        idx.append(j)
+        j += 1
+    idx.append(len(pts) - 1)
+    return idx
+
+
+def _dropped_within_eps(pts: np.ndarray, kept_idx: list,
+                        eps: float) -> bool:
+    """Every dropped point must lie within eps of the kept segment
+    spanning it — the DP stop condition (dmax <= epsilon before the
+    two-endpoint collapse), re-checked against the final output."""
+    tol = eps + 1e-9 * max(1.0, eps)
+    for a, b in zip(kept_idx, kept_idx[1:]):
+        if b - a < 2:
+            continue
+        d = _shortest_distances(pts[a + 1:b], pts[a], pts[b])
+        if float(d.max()) > tol:
+            return False
+    return True

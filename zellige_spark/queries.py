@@ -877,6 +877,163 @@ def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mvt_features", "roundtrip_ok")
 
 
+# ---------------------------------------------------------------------------
+# q: tile_density — per-tile 16x16 density raster summary (heatmap tiles)
+# ---------------------------------------------------------------------------
+
+DENSITY_BASE_ZOOM = 5
+DENSITY_PX_BITS = 4
+
+
+def q_tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap tiles: per-z5-tile 16x16 pixel density summary.  Raw
+    rows shuffle ONCE at the fine zoom (z9 pixel = z9 tile, reusing
+    the exact clamped tile floor), then the per-tile summary runs on
+    the pixel AGGREGATES — exactly two Exchanges however large the
+    input (the ``zoom_rollup`` shape).  All-integer outputs keep the
+    approximate-looking operator under the exact hash gate; the dense
+    array twin (``density_raster_array``) is pytest-pinned with its
+    in-job ``raster_sum == n_points`` integrity column."""
+    pts = _customer_points(spark, sf_dir)
+    out = T.density_raster(pts, base_zoom=DENSITY_BASE_ZOOM,
+                           px_bits=DENSITY_PX_BITS)
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("n_points").cast("long").alias("n_points"),
+                      F.col("n_px").cast("long").alias("n_px"),
+                      F.col("max_px").cast("long").alias("max_px"),
+                      F.col("mode_px").cast("long").alias("mode_px"),
+                      F.col("px_checksum").cast("long")
+                       .alias("px_checksum"))
+
+
+def sql_tile_density() -> str:
+    side = 1 << DENSITY_PX_BITS
+    fine = DENSITY_BASE_ZOOM + DENSITY_PX_BITS
+    tx, ty = _sql_tile(str(fine))
+    return f"""
+    WITH pts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), f AS (
+      SELECT {tx} AS fx, {ty} AS fy FROM proj
+    ), pix AS (
+      SELECT fx // {side} AS tile_x, fy // {side} AS tile_y,
+             (fy % {side}) * {side} + (fx % {side}) AS px,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM f GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY tile_x, tile_y
+                                   ORDER BY cnt DESC, px ASC) AS rn
+      FROM pix
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(SUM(cnt) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(MAX(cnt) AS BIGINT) AS max_px,
+           CAST(MIN(CASE WHEN rn = 1 THEN px END) AS BIGINT) AS mode_px,
+           CAST(SUM((px + 1) * cnt) AS BIGINT) AS px_checksum
+    FROM ranked GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: traj_stats / traj_simplify — trajectories over ordered events
+# ---------------------------------------------------------------------------
+
+EVT_LON = "(event_id * 3571 % 360000) / 1000.0 - 180.0"
+EVT_LAT = "((event_id * 9973 + 7) % 170000) / 1000.0 - 85.0"
+
+TRAJ_EPS_M = 500_000.0  # 3857-plane meters
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.select("user_id", "event_id", "ts",
+                     F.expr(EVT_LON).alias("lon"),
+                     F.expr(EVT_LAT).alias("lat"))
+
+
+def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user track statistics over (ts, event_id)-ordered events:
+    window + aggregation on the SAME key, so Spark plans ONE Exchange
+    (plan-asserted).  Haversine legs are floored to whole meters
+    BEFORE summing — BIGINT totals are reduction-order-independent
+    and hash-exact under the oracle, where a raw float sum would
+    drift by both reduction order and libm ulps."""
+    from .operators import trajectories as TRJ
+
+    return TRJ.track_stats(_event_points(spark, sf_dir)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("length_m").cast("long").alias("length_m"),
+        F.col("max_leg_m").cast("long").alias("max_leg_m"),
+        F.col("net_m").cast("long").alias("net_m"),
+        F.col("dur_s").cast("long").alias("dur_s"))
+
+
+def sql_traj_stats() -> str:
+    from .operators.trajectories import SQL_HAVERSINE_KM
+
+    leg = SQL_HAVERSINE_KM.format(lon1="plon", lat1="plat",
+                                  lon2="lon", lat2="lat")
+    net = SQL_HAVERSINE_KM.format(lon1="flon", lat1="flat",
+                                  lon2="llon", lat2="llat")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), legs AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), leg_m AS (
+      SELECT user_id, es, rn, n, lon, lat,
+             CASE WHEN plon IS NULL THEN NULL
+                  ELSE CAST(FLOOR({leg} * 1000.0) AS BIGINT) END AS leg_m
+      FROM legs
+    ), agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(COALESCE(SUM(leg_m), 0) AS BIGINT) AS length_m,
+             CAST(COALESCE(MAX(leg_m), 0) AS BIGINT) AS max_leg_m,
+             CAST(MAX(es) - MIN(es) AS BIGINT) AS dur_s,
+             MIN(CASE WHEN rn = 1 THEN lon END) AS flon,
+             MIN(CASE WHEN rn = 1 THEN lat END) AS flat,
+             MIN(CASE WHEN rn = n THEN lon END) AS llon,
+             MIN(CASE WHEN rn = n THEN lat END) AS llat
+      FROM leg_m GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_points, length_m, max_leg_m,
+           CAST(FLOOR({net} * 1000.0) AS BIGINT) AS net_m, dur_s
+    FROM agg
+    """
+
+
+def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Douglas-Peucker over per-user tracks: the
+    reference's simplification recursion (kernel/simplify.py,
+    DouglasPeucker.hs:19-55) per trajectory via groupBy(user) +
+    applyInPandas.  Rows-only (the recursion is not SQL-expressible);
+    every row carries in-job integrity columns — endpoints preserved,
+    every dropped point within epsilon of its kept segment, and a
+    kept-index checksum pytest-pinned against the kernel run
+    directly."""
+    from .operators import trajectories as TRJ
+
+    pts = T.with_web_mercator(_event_points(spark, sf_dir))
+    return TRJ.simplify_tracks(pts, epsilon_m=TRAJ_EPS_M).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kept_idx_checksum").cast("long").alias("kept_idx_checksum"),
+        "endpoints_ok", "within_eps_ok")
+
+
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
 from .operators import hexgrid as HEX  # noqa: E402
@@ -901,6 +1058,8 @@ QUERIES = {
     "tile_distinct_sketch": q_tile_distinct_sketch,
     # exact per-tile quartiles via rank math (auditable percentile twin)
     "tile_quartiles": q_tile_quartiles,
+    # per-tile 16x16 density raster summary (heatmap tiles)
+    "tile_density": q_tile_density,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
@@ -966,6 +1125,11 @@ QUERIES = {
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
     "event_sessions": SESS.q_event_sessions,
+    # per-user track stats (meter-quantized haversine legs, one Exchange)
+    "traj_stats": q_traj_stats,
+    # distributed Douglas-Peucker per trajectory (rows-only with
+    # endpoints/within-eps integrity columns + kept-index checksum)
+    "traj_simplify": q_traj_simplify,
     # batch twin of the cross-batch streaming dedup (streaming/dedup.py)
     "dedup_verdicts": SDD.q_dedup_verdicts,
     # batch twin of the cross-batch streaming NEAR-dup (streaming/neardup.py)
@@ -990,6 +1154,7 @@ ORACLES = {
     "tile_time_rollup": sql_tile_time_rollup(),
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
     "tile_quartiles": sql_tile_quartiles(),
+    "tile_density": sql_tile_density(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
@@ -1029,6 +1194,7 @@ ORACLES = {
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_sessions": SESS.sql_event_sessions(),
+    "traj_stats": sql_traj_stats(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
 }
