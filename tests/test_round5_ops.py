@@ -1265,3 +1265,63 @@ def test_simplify_kept_indices_duplicates():
     idx = _kept_indices(pts, kept)
     assert idx == [0, 1, 3, 4]
     assert all(a < b for a, b in zip(idx, idx[1:]))
+
+
+# --- per-tile image mosaic (geo x image) -------------------------------------
+
+def test_tile_mosaic_equals_numpy_recompute(spark):
+    """Mosaic bytes / n_images / pixel_sum must equal a pure-numpy
+    recompute straight from the synthetic corpus (decode -> block-mean
+    -> per-tile integer mean), and every integrity column must hold."""
+    import zlib
+
+    import numpy as np
+
+    from zellige_spark import synth
+    from zellige_spark.kernel import mercator as M
+    from zellige_spark.operators import images as IMG
+
+    n, zoom, thumb = 120, 3, 8
+    out = IMG.tile_image_mosaic(synth.images_df(spark, n),
+                                zoom=zoom, thumb=thumb).toPandas()
+    assert (out.cnt_uniform_ok).all()
+    assert (out.pack_ok).all()
+    assert (out.w == thumb).all() and (out.h == thumb).all()
+
+    pdf = synth.gen_images_pandas(0, n)
+    sums, cnts = {}, {}
+    for r in pdf.itertuples(index=False):
+        px = synth.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        bh, bw = r.h // thumb, r.w // thumb
+        small = (px[: bh * thumb, : bw * thumb]
+                 .reshape(thumb, bh, thumb, bw, 3)
+                 .mean(axis=(1, 3)).astype(np.uint8))
+        tx, ty = M.xy3857_to_tile(M.lon_to_x(r.lon), M.lat_to_y(r.lat), zoom)
+        key = (int(tx), int(ty))
+        sums[key] = sums.get(key, 0) + small.reshape(-1).astype(np.int64)
+        cnts[key] = cnts.get(key, 0) + 1
+
+    assert len(out) == len(sums)
+    for r in out.itertuples(index=False):
+        key = (r.tile_x, r.tile_y)
+        want = sums[key] // cnts[key]
+        assert r.n_images == cnts[key]
+        assert bytes(r.bytes) == want.astype(np.uint8).tobytes()
+        assert r.pixel_sum == int(want.sum())
+        assert r.mosaic_crc32 == zlib.crc32(bytes(r.bytes))
+
+
+def test_tile_mosaic_two_exchanges(spark):
+    """The mosaic is a decomposable vector aggregation: per-image
+    thumbnails map-side, ONE data shuffle at (tile, channel) grain,
+    then per-tile regroup over 192-row aggregates — two Exchanges, no
+    per-tile image collection anywhere in the plan."""
+    import re
+
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    plan = _plan(IMG.tile_image_mosaic(synth.images_df(spark, 16)))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+    assert "collect_list(vals" not in plan
+    assert "collect_list(bytes" not in plan

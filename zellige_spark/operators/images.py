@@ -455,3 +455,126 @@ def q_image_augment(spark, sf_dir: str) -> DataFrame:
     out = augment_images(imgs)
     return out.select("image_id", "aug", "w", "h", "phash",
                       F.col("aug_ok").cast("int").alias("aug_ok"))
+
+
+# --- per-tile image mosaics (geo x image cross-modal) ------------------------
+
+MOSAIC_SCHEMA = ("image_id string, lon double, lat double, "
+                 "vals array<long>")
+
+
+def _thumb_values(images: DataFrame, thumb: int) -> DataFrame:
+    """Map-only phase of the mosaic: decode each image and block-mean
+    it to a thumb x thumb RGB thumbnail, emitted as the 3*thumb^2
+    channel values in row-major (y, x, rgb) order (same truncation as
+    ``resize_block_mean``).  One Arrow-batched pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_any(r.bytes, r.fmt, r.w, r.h)
+                bh, bw = r.h // thumb, r.w // thumb
+                small = (px[: bh * thumb, : bw * thumb]
+                         .reshape(thumb, bh, thumb, bw, 3)
+                         .mean(axis=(1, 3)).astype(np.uint8))
+                rows.append((r.image_id, r.lon, r.lat,
+                             small.reshape(-1).astype(np.int64).tolist()))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "lon", "lat", "vals"])
+
+    return images.mapInPandas(run, MOSAIC_SCHEMA)
+
+
+def tile_image_mosaic(images: DataFrame, zoom: int = 3,
+                      thumb: int = 8) -> DataFrame:
+    """Per-tile image mosaic: the average thumbnail of every image
+    that falls in a tile — the cross-modal op of the graft (geotagged
+    image payloads -> tile pyramid preview layer).
+
+    Scale shape — a DECOMPOSABLE vector aggregation, never a per-tile
+    image collection:
+
+    1. map-only decode + block-mean per image (`_thumb_values`), tile
+       assigned by the usual clamped Column math;
+    2. ``posexplode`` the 3·thumb² channel values and sum per
+       (tile, channel): map-side combine reduces each partition to
+       (occupied tiles x 192) rows BEFORE the single data shuffle, so
+       a hot urban tile with 10^9 images costs the same shuffle bytes
+       as a cold one;
+    3. regroup to a dense array, floor-divide by the tile's image
+       count (integer ``div`` — exact past 2^53 where a double round
+       trip would drift), pack raw RGB bytes per tile row.
+
+    In-job integrity: ``cnt_uniform_ok`` (every channel saw exactly
+    n_images contributions), ``pack_ok`` (the packed bytes decode back
+    to the mosaic values), and ``pixel_sum`` (JVM re-aggregation of
+    the emitted array, pytest-recomputed from the synth corpus).
+
+    Output: (tile_x, tile_y, n_images, w, h, fmt='raw', bytes,
+    mosaic_crc32, pixel_sum, cnt_uniform_ok, pack_ok)."""
+    from . import tiles as T
+
+    n_vals = 3 * thumb * thumb
+    tv = _thumb_values(images, thumb)
+    tv = T.with_web_mercator(tv)
+    tx, ty = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(zoom))
+    ex = (tv.select(tx.alias("tile_x"), ty.alias("tile_y"),
+                    F.posexplode("vals").alias("pos", "v"))
+            .groupBy("tile_x", "tile_y", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")))
+    g = (ex.groupBy("tile_x", "tile_y")
+           .agg(F.map_from_entries(
+                    F.collect_list(F.struct("pos", "s"))).alias("_m"),
+                F.max("c").alias("n_images"),
+                (F.min("c") == F.max("c")).alias("cnt_uniform_ok")))
+    g = g.withColumn(
+        "mosaic",
+        F.expr(f"transform(sequence(0, {n_vals - 1}), "
+               f"i -> element_at(_m, i) div n_images)"))
+    g = g.withColumn(
+        "pixel_sum",
+        F.aggregate("mosaic", F.lit(0).cast("long"), lambda a, x: a + x))
+
+    pack_schema = ("tile_x long, tile_y long, n_images long, w int, h int, "
+                   "fmt string, bytes binary, pixel_sum long, "
+                   "cnt_uniform_ok boolean, pack_ok boolean")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vals = np.asarray(list(r.mosaic), dtype=np.int64)
+                raw = vals.astype(np.uint8).tobytes()
+                ok = bool((np.frombuffer(raw, dtype=np.uint8)
+                           .astype(np.int64) == vals).all())
+                rows.append((int(r.tile_x), int(r.tile_y),
+                             int(r.n_images), thumb, thumb, "raw", raw,
+                             int(r.pixel_sum),
+                             bool(r.cnt_uniform_ok), ok))
+            yield pd.DataFrame(rows, columns=[
+                "tile_x", "tile_y", "n_images", "w", "h", "fmt", "bytes",
+                "pixel_sum", "cnt_uniform_ok", "pack_ok"])
+
+    packed = (g.select("tile_x", "tile_y", "n_images", "cnt_uniform_ok",
+                       "mosaic", "pixel_sum")
+               .mapInPandas(pack, pack_schema))
+    return packed.withColumn("mosaic_crc32", F.crc32("bytes"))
+
+
+def q_tile_mosaic(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; pixel decode not SQL-expressible):
+    per-z3-tile mosaic of 400 synthetic geotagged images, with the
+    cnt_uniform_ok / pack_ok integrity columns and the pixel_sum
+    checksum pytest-recomputed from the synth corpus directly."""
+    imgs = synth.images_df(spark, 400)
+    out = tile_image_mosaic(imgs, zoom=3, thumb=8)
+    return out.select("tile_x", "tile_y",
+                      F.col("n_images").cast("long").alias("n_images"),
+                      "w", "h", "fmt",
+                      F.col("mosaic_crc32").cast("long")
+                       .alias("mosaic_crc32"),
+                      F.col("pixel_sum").cast("long").alias("pixel_sum"),
+                      F.col("cnt_uniform_ok").cast("int")
+                       .alias("cnt_uniform_ok"),
+                      F.col("pack_ok").cast("int").alias("pack_ok"))

@@ -1139,6 +1139,9 @@ QUERIES = {
     # deterministic geometric augmentation fan-out (rows-only with the
     # aug_ok dihedral-group integrity column)
     "image_augment": IMG.q_image_augment,
+    # per-tile image mosaics (geo x image: decomposable pixel-vector
+    # aggregation; rows-only with cnt_uniform/pack_ok integrity)
+    "tile_mosaic": IMG.q_tile_mosaic,
     # multimodal audio/video sampling over the real WAV/Y4M parsers
     # (rows-only: PCM/YUV bit layouts not SQL-expressible)
     "audio_windows": IMG.q_audio_windows,
