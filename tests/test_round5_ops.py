@@ -1325,3 +1325,43 @@ def test_tile_mosaic_two_exchanges(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
     assert "collect_list(vals" not in plan
     assert "collect_list(bytes" not in plan
+
+
+def test_tile_mosaic_pyramid_equals_direct_per_zoom(spark):
+    """One decode pass must give every zoom's mosaic bit-for-bit equal
+    to running tile_image_mosaic directly at that zoom — the
+    integer-exact ancestor-merge claim (parent channel sums == sum of
+    child channel sums), plus integrity columns at every level."""
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    imgs = synth.images_df(spark, 100)
+    pyr = IMG.tile_mosaic_pyramid(imgs, max_zoom=4,
+                                  zooms=[0, 2, 4]).toPandas()
+    assert pyr.cnt_uniform_ok.all() and pyr.pack_ok.all()
+    assert sorted(pyr.zoom.unique()) == [0, 2, 4]
+    assert len(pyr[pyr.zoom == 0]) == 1  # world tile
+    for z in (0, 2, 4):
+        direct = IMG.tile_image_mosaic(synth.images_df(spark, 100),
+                                       zoom=z).toPandas()
+        a = (pyr[pyr.zoom == z]
+             .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+        b = direct.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("tile_x", "tile_y", "n_images", "pixel_sum",
+                    "mosaic_crc32"):
+            assert list(a[col]) == list(b[col]), (z, col)
+        assert [bytes(x) for x in a.bytes] == [bytes(x) for x in b.bytes]
+
+
+def test_tile_mosaic_pyramid_three_exchanges(spark):
+    """Decode once, shuffle channel rows once, merge ancestors over
+    AGGREGATES, regroup — three Exchanges however many zooms."""
+    import re
+
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    plan = _plan(IMG.tile_mosaic_pyramid(synth.images_df(spark, 8),
+                                         max_zoom=4))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan

@@ -513,17 +513,33 @@ def tile_image_mosaic(images: DataFrame, zoom: int = 3,
 
     Output: (tile_x, tile_y, n_images, w, h, fmt='raw', bytes,
     mosaic_crc32, pixel_sum, cnt_uniform_ok, pack_ok)."""
+    ex = _mosaic_channel_sums(images, zoom, thumb)
+    return _finalize_mosaic(ex, thumb, keys=("tile_x", "tile_y"))
+
+
+def _mosaic_channel_sums(images: DataFrame, zoom: int,
+                         thumb: int) -> DataFrame:
+    """Phases 1+2 of the mosaic: map-only thumbnails, tile assignment,
+    and the single data shuffle summing each channel per
+    (tile, channel) — output (tile_x, tile_y, pos, s, c)."""
     from . import tiles as T
 
-    n_vals = 3 * thumb * thumb
     tv = _thumb_values(images, thumb)
     tv = T.with_web_mercator(tv)
     tx, ty = T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(zoom))
-    ex = (tv.select(tx.alias("tile_x"), ty.alias("tile_y"),
-                    F.posexplode("vals").alias("pos", "v"))
-            .groupBy("tile_x", "tile_y", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")))
-    g = (ex.groupBy("tile_x", "tile_y")
+    return (tv.select(tx.alias("tile_x"), ty.alias("tile_y"),
+                      F.posexplode("vals").alias("pos", "v"))
+              .groupBy("tile_x", "tile_y", "pos")
+              .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")))
+
+
+def _finalize_mosaic(ex: DataFrame, thumb: int,
+                     keys: tuple = ("tile_x", "tile_y")) -> DataFrame:
+    """Phase 3: regroup the (keys..., pos, s, c) channel aggregates to
+    a dense array, integer-divide by the image count, pack raw RGB
+    bytes (one tiny Arrow pass over one row per tile)."""
+    n_vals = 3 * thumb * thumb
+    g = (ex.groupBy(*keys)
            .agg(F.map_from_entries(
                     F.collect_list(F.struct("pos", "s"))).alias("_m"),
                 F.max("c").alias("n_images"),
@@ -536,9 +552,12 @@ def tile_image_mosaic(images: DataFrame, zoom: int = 3,
         "pixel_sum",
         F.aggregate("mosaic", F.lit(0).cast("long"), lambda a, x: a + x))
 
-    pack_schema = ("tile_x long, tile_y long, n_images long, w int, h int, "
+    key_sql = ", ".join(f"{k} long" for k in keys)
+    pack_schema = (f"{key_sql}, n_images long, w int, h int, "
                    "fmt string, bytes binary, pixel_sum long, "
                    "cnt_uniform_ok boolean, pack_ok boolean")
+    cols = list(keys) + ["n_images", "w", "h", "fmt", "bytes",
+                         "pixel_sum", "cnt_uniform_ok", "pack_ok"]
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -548,18 +567,49 @@ def tile_image_mosaic(images: DataFrame, zoom: int = 3,
                 raw = vals.astype(np.uint8).tobytes()
                 ok = bool((np.frombuffer(raw, dtype=np.uint8)
                            .astype(np.int64) == vals).all())
-                rows.append((int(r.tile_x), int(r.tile_y),
-                             int(r.n_images), thumb, thumb, "raw", raw,
-                             int(r.pixel_sum),
-                             bool(r.cnt_uniform_ok), ok))
-            yield pd.DataFrame(rows, columns=[
-                "tile_x", "tile_y", "n_images", "w", "h", "fmt", "bytes",
-                "pixel_sum", "cnt_uniform_ok", "pack_ok"])
+                rows.append(tuple(int(getattr(r, k)) for k in keys)
+                            + (int(r.n_images), thumb, thumb, "raw", raw,
+                               int(r.pixel_sum),
+                               bool(r.cnt_uniform_ok), ok))
+            yield pd.DataFrame(rows, columns=cols)
 
-    packed = (g.select("tile_x", "tile_y", "n_images", "cnt_uniform_ok",
+    packed = (g.select(*keys, "n_images", "cnt_uniform_ok",
                        "mosaic", "pixel_sum")
                .mapInPandas(pack, pack_schema))
     return packed.withColumn("mosaic_crc32", F.crc32("bytes"))
+
+
+def tile_mosaic_pyramid(images: DataFrame, max_zoom: int = 4,
+                        zooms=None, thumb: int = 8) -> DataFrame:
+    """Mosaics at EVERY requested zoom from ONE decode pass — the
+    vector-valued twin of ``tiles.zoom_rollup``: images decode and
+    block-mean once at ``max_zoom``, then the per-(tile, channel) sums
+    merge to each coarser zoom by arithmetic-shift ancestor mapping
+    (the mosaic is an average over the tile's image SET, so a parent's
+    channel sums are exactly the sum of its children's — integer-exact,
+    equality with a direct per-zoom mosaic is test-pinned bit-for-bit).
+
+    Three Exchanges for any zoom count: raw channel rows once, the
+    ancestor merge over aggregates, the per-tile regroup — the decode
+    (the actual cost at 10^12 images) never reruns per zoom.
+
+    Output: ``tile_image_mosaic`` columns plus ``zoom``."""
+    zooms = sorted(set(int(z) for z in (zooms if zooms is not None
+                                        else range(max_zoom + 1))))
+    if zooms and not (0 <= zooms[0] and zooms[-1] <= max_zoom):
+        raise ValueError(f"zooms {zooms} outside [0, max_zoom={max_zoom}]")
+    ex = _mosaic_channel_sums(images, max_zoom, thumb)
+    ex = ex.withColumn("zoom", F.explode(
+        F.array(*[F.lit(z) for z in zooms])))
+    merged = (ex.groupBy(F.col("zoom"),
+                         F.expr(f"shiftright(tile_x, {max_zoom} - zoom)")
+                          .alias("tile_x"),
+                         F.expr(f"shiftright(tile_y, {max_zoom} - zoom)")
+                          .alias("tile_y"),
+                         F.col("pos"))
+                .agg(F.sum("s").alias("s"), F.sum("c").alias("c")))
+    return _finalize_mosaic(merged, thumb,
+                            keys=("zoom", "tile_x", "tile_y"))
 
 
 def q_tile_mosaic(spark, sf_dir: str) -> DataFrame:
@@ -572,6 +622,25 @@ def q_tile_mosaic(spark, sf_dir: str) -> DataFrame:
     return out.select("tile_x", "tile_y",
                       F.col("n_images").cast("long").alias("n_images"),
                       "w", "h", "fmt",
+                      F.col("mosaic_crc32").cast("long")
+                       .alias("mosaic_crc32"),
+                      F.col("pixel_sum").cast("long").alias("pixel_sum"),
+                      F.col("cnt_uniform_ok").cast("int")
+                       .alias("cnt_uniform_ok"),
+                      F.col("pack_ok").cast("int").alias("pack_ok"))
+
+
+def q_mosaic_pyramid(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; pixel decode not SQL-expressible):
+    zoom-0..3 mosaics of 400 synthetic geotagged images from ONE
+    decode pass, each level carrying the cnt_uniform_ok / pack_ok
+    integrity columns; bit-equality with per-zoom direct mosaics is
+    pytest-pinned."""
+    imgs = synth.images_df(spark, 400)
+    out = tile_mosaic_pyramid(imgs, max_zoom=3, thumb=8)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y",
+                      F.col("n_images").cast("long").alias("n_images"),
                       F.col("mosaic_crc32").cast("long")
                        .alias("mosaic_crc32"),
                       F.col("pixel_sum").cast("long").alias("pixel_sum"),

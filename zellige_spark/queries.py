@@ -1142,6 +1142,8 @@ QUERIES = {
     # per-tile image mosaics (geo x image: decomposable pixel-vector
     # aggregation; rows-only with cnt_uniform/pack_ok integrity)
     "tile_mosaic": IMG.q_tile_mosaic,
+    # zoom-0..3 mosaics from one decode pass (zoom_rollup's vector twin)
+    "mosaic_pyramid": IMG.q_mosaic_pyramid,
     # multimodal audio/video sampling over the real WAV/Y4M parsers
     # (rows-only: PCM/YUV bit layouts not SQL-expressible)
     "audio_windows": IMG.q_audio_windows,
