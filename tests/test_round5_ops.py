@@ -1365,3 +1365,43 @@ def test_tile_mosaic_pyramid_three_exchanges(spark):
     plan = _plan(IMG.tile_mosaic_pyramid(synth.images_df(spark, 8),
                                          max_zoom=4))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+
+
+def test_tile_cap_hot_tile_prunes_and_is_growth_stable(spark):
+    """A 5000-row single-tile hot spot: the WindowGroupLimit prune is
+    in the plan, exactly TILE_CAP rows survive, the kept set equals a
+    pandas md5-order recompute, and kept-in-full is a subset of
+    kept-in-any-prefix-extension (growth stability: adding rows can
+    only displace by hash order, never by scan order)."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from zellige_spark import queries as Q
+
+    def kept(ids):
+        order = sorted(ids, key=lambda d: (
+            hashlib.md5(str(d).encode()).hexdigest(), d))
+        return order[:Q.TILE_CAP]
+
+    def run(ids):
+        df = spark.createDataFrame([(i, 10.0001, 20.0001) for i in ids],
+                                   "c_custkey long, lon double, lat double")
+        from zellige_spark.operators import tiles as T
+
+        a = T.assign_tiles(df, [Q.TILE_CAP_ZOOM])
+        w = Window.partitionBy("tile_x", "tile_y").orderBy(
+            F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey"))
+        out = (a.withColumn("samp_rank", F.row_number().over(w))
+                .filter(F.col("samp_rank") <= Q.TILE_CAP))
+        return out
+
+    big = run(range(5000))
+    assert "WindowGroupLimit" in _plan(big)
+    rows = big.select("c_custkey").collect()
+    assert sorted(r.c_custkey for r in rows) == sorted(kept(range(5000)))
+    # growth stability: the 5000-row corpus keeps a subset of what any
+    # smaller prefix kept only when hash order says so — check vs 500
+    small_keep = set(kept(range(500)))
+    big_keep = set(kept(range(5000)))
+    assert big_keep == set(kept(list(big_keep) + list(small_keep)))

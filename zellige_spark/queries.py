@@ -939,6 +939,61 @@ def sql_tile_density() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: tile_cap — spatial balancing cap (the geo twin of domain_cap)
+# ---------------------------------------------------------------------------
+
+TILE_CAP = 3
+TILE_CAP_ZOOM = 9
+
+
+def q_tile_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic balancing for training corpora (the spatial twin of
+    ``domain_cap``): keep at most TILE_CAP rows per z9 tile, chosen by
+    md5-hash order — content-blind, deterministic, and stable under
+    corpus growth (a kept row stays kept when more rows arrive only if
+    it still wins the hash order, never because of scan order).  The
+    ``row_number() <= k`` filter takes Spark's WindowGroupLimit
+    map-side prune, so a dense urban tile with 10^9 images ships k
+    rows per map partition into the shuffle, not 10^9."""
+    from pyspark.sql.window import Window
+
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [TILE_CAP_ZOOM])
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey"))
+    return (a.withColumn("samp_rank", F.row_number().over(w))
+             .filter(F.col("samp_rank") <= TILE_CAP)
+             .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                     F.col("tile_x").cast("long").alias("tile_x"),
+                     F.col("tile_y").cast("long").alias("tile_y"),
+                     F.col("samp_rank").cast("int").alias("samp_rank")))
+
+
+def sql_tile_cap() -> str:
+    tx, ty = _sql_tile(str(TILE_CAP_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), r AS (
+      SELECT c_custkey, tile_x, tile_y,
+             ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                         c_custkey) AS samp_rank
+      FROM t
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(samp_rank AS INT) AS samp_rank
+    FROM r WHERE samp_rank <= {TILE_CAP}
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: traj_stats / traj_simplify — trajectories over ordered events
 # ---------------------------------------------------------------------------
 
@@ -1060,6 +1115,8 @@ QUERIES = {
     "tile_quartiles": q_tile_quartiles,
     # per-tile 16x16 density raster summary (heatmap tiles)
     "tile_density": q_tile_density,
+    # spatial balancing cap (geo twin of domain_cap; WindowGroupLimit)
+    "tile_cap": q_tile_cap,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
@@ -1160,6 +1217,7 @@ ORACLES = {
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
     "tile_quartiles": sql_tile_quartiles(),
     "tile_density": sql_tile_density(),
+    "tile_cap": sql_tile_cap(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
