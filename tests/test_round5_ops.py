@@ -1405,3 +1405,72 @@ def test_tile_cap_hot_tile_prunes_and_is_growth_stable(spark):
     small_keep = set(kept(range(500)))
     big_keep = set(kept(range(5000)))
     assert big_keep == set(kept(list(big_keep) + list(small_keep)))
+
+
+# --- compact / uncompact cell covers -----------------------------------------
+
+def test_compact_cells_handcrafted_and_roundtrip(spark):
+    """A full quad merges to its parent, an isolated cell stays; a
+    fully-covered world at z2 collapses to the single z0 cell; and
+    uncompact(compact(S)) == S exactly (disjoint, complete cover)."""
+    from zellige_spark.operators import tiles as T
+
+    # z2: the 4 children of z1-(0,0) as z2 cells -> full z1 quad is
+    # cells (0..1, 0..1); plus isolated (3, 2)
+    quad = [(x, y) for x in (0, 1) for y in (0, 1)]
+    cells = spark.createDataFrame(quad + [(3, 2)],
+                                  "tile_x long, tile_y long")
+    out = sorted(map(tuple, T.compact_cells(cells, 2)
+                     .select("zoom", "tile_x", "tile_y").collect()))
+    assert out == [(1, 0, 0), (2, 3, 2)]
+
+    # full world at z2 -> one z0 cell
+    world = spark.createDataFrame([(x, y) for x in range(4)
+                                   for y in range(4)],
+                                  "tile_x long, tile_y long")
+    out = [tuple(r) for r in T.compact_cells(world, 2).collect()]
+    assert out == [(0, 0, 0)]
+
+    # random-ish set: round-trip equality
+    import random
+
+    rnd = random.Random(3)
+    s = {(rnd.randrange(16), rnd.randrange(16)) for _ in range(140)}
+    cells = spark.createDataFrame(sorted(s), "tile_x long, tile_y long")
+    comp = T.compact_cells(cells, 4)
+    back = sorted(map(tuple, T.uncompact_cells(comp, 4).collect()))
+    assert back == sorted(s)  # exact: disjoint and complete
+
+
+def test_compact_cells_minimal_no_quad_remains(spark):
+    """Minimality: the output contains no complete 4-sibling group at
+    any level (it would have merged), checked on a dense cover."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark.operators import tiles as T
+
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)
+         if not (x == 7 and y == 7)],           # one hole
+        "tile_x long, tile_y long")
+    comp = T.compact_cells(cells, 3)
+    quads = (comp.groupBy("zoom",
+                          F.shiftright("tile_x", 1).alias("px"),
+                          F.shiftright("tile_y", 1).alias("py"))
+                 .count().filter(F.col("count") >= 4))
+    assert quads.count() == 0
+    # and the cover is still exact
+    back = sorted(map(tuple, T.uncompact_cells(comp, 3).collect()))
+    assert len(back) == 63
+
+
+def test_uncompact_sequence_fanout_is_runtime(spark):
+    """Deep expansions must not inline literal arrays: a z0 cell
+    expanded to z8 is 65536 children via a runtime sequence."""
+    from zellige_spark.operators import tiles as T
+
+    one = spark.createDataFrame([(0, 0, 0)], "zoom int, tile_x long, tile_y long")
+    out = T.uncompact_cells(one, 8)
+    assert out.count() == 65536
+    plan = _plan(out)
+    assert "sequence(" in plan and len(plan) < 20000

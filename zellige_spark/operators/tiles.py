@@ -379,3 +379,73 @@ def density_raster_array(df: DataFrame, base_zoom: int = 5,
     return out.withColumn(
         "raster_sum",
         F.aggregate("raster", F.lit(0).cast("long"), lambda a, x: a + x))
+
+
+def compact_cells(cells: DataFrame, zoom: int) -> DataFrame:
+    """H3-style ``compactCells`` on the XYZ quadtree: given a DISTINCT
+    cell set at ``zoom``, return the minimal mixed-zoom cover — any
+    complete 4-sibling group is replaced by its parent, recursively
+    (the coverage-minimization primitive behind polygon covers and
+    tile-pyramid manifests; mirrors H3's published compact/uncompact
+    API on the quad hierarchy).
+
+    Scale shape: the loop operates on the CELL SET, never raw rows —
+    bounded by 4^zoom regardless of input size (dedupe rows to cells
+    first; this function does it defensively).  Each level is one
+    aggregate + one anti-join over the current set, eagerly
+    localCheckpointed: ``promoted`` feeds both the anti-join and the
+    next level, and without the checkpoint the double-use doubles the
+    recomputation PER LEVEL (2^15 blowup by z0).  Empty levels break
+    out early.
+
+    Output: (zoom, tile_x, tile_y) — the minimal cover; every input
+    cell is inside exactly one output cell (round-trip and minimality
+    are test-pinned)."""
+    cur = cells.select(F.col("tile_x").cast("long").alias("tile_x"),
+                       F.col("tile_y").cast("long").alias("tile_y")).distinct()
+    spark = cells.sparkSession
+    schema = "zoom int, tile_x long, tile_y long"
+    out = spark.createDataFrame([], schema)
+    for z in range(zoom, 0, -1):
+        cur = cur.localCheckpoint(eager=True)
+        if cur.limit(1).count() == 0:
+            return out
+        promoted = (cur.groupBy(F.shiftright("tile_x", 1).alias("tile_x"),
+                                F.shiftright("tile_y", 1).alias("tile_y"))
+                       .agg(F.count(F.lit(1)).alias("_n"))
+                       .filter(F.col("_n") == 4).drop("_n")
+                       .localCheckpoint(eager=True))
+        withp = cur.select("tile_x", "tile_y",
+                           F.shiftright("tile_x", 1).alias("_px"),
+                           F.shiftright("tile_y", 1).alias("_py"))
+        keep = (withp.join(promoted.select(F.col("tile_x").alias("_px"),
+                                           F.col("tile_y").alias("_py")),
+                           ["_px", "_py"], "left_anti")
+                     .select(F.lit(z).cast("int").alias("zoom"),
+                             "tile_x", "tile_y"))
+        out = out.unionByName(keep)
+        cur = promoted
+    return out.unionByName(
+        cur.select(F.lit(0).cast("int").alias("zoom"), "tile_x", "tile_y"))
+
+
+def uncompact_cells(cells: DataFrame, target_zoom: int,
+                    zoom_col: str = "zoom") -> DataFrame:
+    """Inverse of ``compact_cells``: expand a mixed-zoom cell set back
+    to uniform cells at ``target_zoom`` via a runtime ``sequence``
+    fan-out (4^(target-z) children per cell, O(1) plan bytes however
+    deep the expansion — same pattern as the kNN ring fan-out).
+
+    Output: (tile_x, tile_y) at ``target_zoom``."""
+    side = F.expr(f"shiftleft(CAST(1 AS BIGINT), {target_zoom} - {zoom_col})")
+    base_x = F.expr(f"shiftleft(tile_x, {target_zoom} - {zoom_col})")
+    base_y = F.expr(f"shiftleft(tile_y, {target_zoom} - {zoom_col})")
+    return (cells
+            .withColumn("_bx", base_x).withColumn("_by", base_y)
+            .withColumn("_side", side)
+            .withColumn("_dx", F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)))
+            .withColumn("_dy", F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)))
+            .select((F.col("_bx") + F.col("_dx")).alias("tile_x"),
+                    (F.col("_by") + F.col("_dy")).alias("tile_y")))

@@ -994,6 +994,73 @@ def sql_tile_cap() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: tile_compact — minimal mixed-zoom cell cover (H3 compactCells shape)
+# ---------------------------------------------------------------------------
+
+TILE_COMPACT_ZOOM = 6
+
+LINE_KEY = "l_orderkey * 10 + l_linenumber"
+LINE_LON = f"(({LINE_KEY}) * 7919 % 360000) / 1000.0 - 180.0"
+LINE_LAT = f"((({LINE_KEY}) * 104729 + 13) % 170000) / 1000.0 - 85.0"
+
+
+def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return df.select(F.expr(LINE_LON).alias("lon"),
+                     F.expr(LINE_LAT).alias("lat"))
+
+
+def q_tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal mixed-zoom cover of the occupied z6 cell set (H3-style
+    compactCells on the XYZ quadtree): complete 4-sibling groups merge
+    into their parent, recursively.  The loop runs on the DISTINCT
+    cell set — bounded by 4^zoom whatever the input size — one
+    aggregate + anti-join per level over eagerly-checkpointed frames.
+    The oracle re-states all six levels as chained CTEs.  Lineitem
+    density makes the cover genuinely mixed-zoom at both gate scales
+    (hundreds of promoted quads, multiple levels deep)."""
+    pts = _lineitem_points(spark, sf_dir)
+    cells = (T.assign_tiles(pts, [TILE_COMPACT_ZOOM])
+              .select("tile_x", "tile_y").distinct())
+    out = T.compact_cells(cells, TILE_COMPACT_ZOOM)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def sql_tile_compact() -> str:
+    z = TILE_COMPACT_ZOOM
+    tx, ty = _sql_tile(str(z))
+    parts = [f"c{z} AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM proj)"]
+    for lvl in range(z, 0, -1):
+        parts.append(
+            f"p{lvl - 1} AS (SELECT tx // 2 AS tx, ty // 2 AS ty "
+            f"FROM c{lvl} GROUP BY 1, 2 HAVING COUNT(*) = 4)")
+        parts.append(
+            f"k{lvl} AS (SELECT c.tx, c.ty FROM c{lvl} c "
+            f"LEFT JOIN p{lvl - 1} p "
+            f"ON c.tx // 2 = p.tx AND c.ty // 2 = p.ty "
+            f"WHERE p.tx IS NULL)")
+        parts.append(f"c{lvl - 1} AS (SELECT tx, ty FROM p{lvl - 1})")
+    union = "\n      UNION ALL ".join(
+        [f"SELECT CAST({lvl} AS INT) AS zoom, CAST(tx AS BIGINT) AS tile_x,"
+         f" CAST(ty AS BIGINT) AS tile_y FROM k{lvl}"
+         for lvl in range(z, 0, -1)]
+        + ["SELECT CAST(0 AS INT) AS zoom, CAST(tx AS BIGINT) AS tile_x,"
+           " CAST(ty AS BIGINT) AS tile_y FROM c0"])
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH pts AS (
+      SELECT {LINE_LON} AS lon, {LINE_LAT} AS lat FROM lineitem
+    ), proj AS (
+      SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ),
+    {ctes}
+    {union}
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: traj_stats / traj_simplify — trajectories over ordered events
 # ---------------------------------------------------------------------------
 
@@ -1117,6 +1184,8 @@ QUERIES = {
     "tile_density": q_tile_density,
     # spatial balancing cap (geo twin of domain_cap; WindowGroupLimit)
     "tile_cap": q_tile_cap,
+    # minimal mixed-zoom cell cover (H3 compactCells on the quadtree)
+    "tile_compact": q_tile_compact,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
@@ -1218,6 +1287,7 @@ ORACLES = {
     "tile_quartiles": sql_tile_quartiles(),
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
+    "tile_compact": sql_tile_compact(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
