@@ -1474,3 +1474,107 @@ def test_uncompact_sequence_fanout_is_runtime(spark):
     assert out.count() == 65536
     plan = _plan(out)
     assert "sequence(" in plan and len(plan) < 20000
+
+
+# --- KMV bottom-k sketch + set operations ------------------------------------
+
+def _py_h60(u):
+    import hashlib
+
+    return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_merge_equals_direct(spark):
+    """z3 sketches max-merged from z5 bottom-k lists must equal direct
+    z3 sketches bit-for-bit, including the float estimate — the
+    losslessness of bottom-k union merging."""
+    from zellige_spark.operators import sketch as SK
+    from zellige_spark.operators import tiles as T
+    from zellige_spark import queries as Q
+
+    pts = Q._event_points(spark, "/root/testdata/sf0.01")
+    t5 = T.assign_tiles(pts, [5]).select("user_id", "tile_x", "tile_y")
+    bk5 = SK.kmv_sketch(t5, ["tile_x", "tile_y"], "user_id")
+    merged = SK.kmv_merge(bk5, {"tile_x": F.shiftright("tile_x", 2),
+                                "tile_y": F.shiftright("tile_y", 2)})
+    via_merge = SK.kmv_finalize(merged, ["tile_x", "tile_y"])
+
+    t3 = T.assign_tiles(pts, [3]).select("user_id", "tile_x", "tile_y")
+    direct = SK.kmv_finalize(
+        SK.kmv_sketch(t3, ["tile_x", "tile_y"], "user_id"),
+        ["tile_x", "tile_y"])
+    a = sorted(map(tuple, via_merge.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b  # bit-for-bit, est_kmv doubles included
+
+
+def test_kmv_python_recompute_and_accuracy(spark):
+    """One key with 5000 known distinct ids: n_sketch/kth/estimate must
+    equal a pure-Python recompute exactly, and the deterministic
+    estimate lands within 50% of truth (k=32 => ~18% std)."""
+    from zellige_spark.operators import sketch as SK
+
+    n = 5000
+    df = spark.range(n).selectExpr("1 AS tile_x", "1 AS tile_y",
+                                   "id AS user_id")
+    out = SK.kmv_finalize(
+        SK.kmv_sketch(df, ["tile_x", "tile_y"], "user_id"),
+        ["tile_x", "tile_y"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    hs = sorted(_py_h60(u) for u in range(n))
+    kth = hs[SK.KMV_K - 1]
+    assert (r.n_sketch, r.kth_hash) == (SK.KMV_K, kth)
+    want_est = SK._KMV_NUM / float(kth)
+    assert r.est_kmv == want_est
+    assert abs(want_est / n - 1.0) < 0.5
+
+
+def test_kmv_overlap_exact_and_estimated(spark):
+    """Two adjacent tiles with known user sets: the small case (union
+    below k) reports the EXACT intersection; the large case matches a
+    pure-Python KMV recompute bit-for-bit."""
+    from zellige_spark.operators import sketch as SK
+
+    # small: A = 0..9, B = 5..14 -> union 15 < k, exact inter = 5
+    rows = ([(0, 0, u) for u in range(10)]
+            + [(1, 0, u) for u in range(5, 15)])
+    small = spark.createDataFrame(rows, "tile_x long, tile_y long, user_id long")
+    out = SK.kmv_overlap_x(
+        SK.kmv_sketch(small, ["tile_x", "tile_y"], "user_id")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.matches, r.union_kth, r.est_inter) == (5, 0, 5.0)
+    assert r.n_union_sketch == 15
+
+    # large: A = 0..99, B = 50..149 -> union 150 > k
+    rows = ([(0, 0, u) for u in range(100)]
+            + [(1, 0, u) for u in range(50, 150)])
+    big = spark.createDataFrame(rows, "tile_x long, tile_y long, user_id long")
+    out = SK.kmv_overlap_x(
+        SK.kmv_sketch(big, ["tile_x", "tile_y"], "user_id")).collect()
+    assert len(out) == 1
+    r = out[0]
+    k = SK.KMV_K
+    ha = sorted((_py_h60(u), u) for u in range(100))[:k]
+    hb = sorted((_py_h60(u), u) for u in range(50, 150))[:k]
+    union = sorted({h for h, _ in ha} | {h for h, _ in hb})[:k]
+    kth = union[-1]
+    sa = {h for h, _ in ha}
+    sb = {h for h, _ in hb}
+    matches = sum(1 for h in union if h in sa and h in sb)
+    want = float(matches) * (SK._KMV_NUM / float(kth)) / float(k)
+    assert (r.matches, r.union_kth) == (matches, kth)
+    assert r.est_inter == want
+    assert 10 <= want <= 150  # sane vs true intersection 50
+
+
+def test_kmv_sketch_window_group_limit(spark):
+    """The bottom-k rank filter must take the WindowGroupLimit map-side
+    prune: per-key sketch state is k rows before the exchange."""
+    from zellige_spark.operators import sketch as SK
+
+    df = spark.range(1000).selectExpr("id % 4 AS tile_x", "0 AS tile_y",
+                                      "id AS user_id")
+    plan = _plan(SK.kmv_sketch(df, ["tile_x", "tile_y"], "user_id"))
+    assert "WindowGroupLimit" in plan, plan

@@ -188,3 +188,133 @@ def sql_hll_tile(level_tx: str, level_ty: str, from_clause: str,
         )
       )
     """
+
+
+# --- KMV (bottom-k) distinct sketch + sketch set operations ------------------
+#
+# The HLL sketch above answers "how many distinct"; the KMV (k minimum
+# values / bottom-k) sketch additionally supports SET OPERATIONS on
+# sketches — intersection / Jaccard between regions ("how many users
+# did these two tiles share") — because the k smallest hashes of a
+# union are computable from the k smallest hashes of the parts.  Same
+# auditability design as HLL: the shared md5-derived 60-bit hash, pure
+# integer Column math, and estimates that are a single IEEE expression
+# over exact integers, so even the float columns hash-match DuckDB.
+#
+# Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+# stream", RANDOM 2002): with h_(k) the k-th smallest of n distinct
+# uniform 60-bit hashes, E[n] ~= (k-1) * 2^60 / h_(k); when a key has
+# fewer than k distinct hashes the sketch IS the complete set and the
+# count is exact.  (k-1)*2^60 has 5 significant bits — an exact double.
+
+KMV_K = 32
+_KMV_NUM = float((KMV_K - 1) * (1 << 60))
+
+
+def kmv_hashes(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
+    """(key_cols..., h): DISTINCT md5-derived 60-bit hashes per key —
+    the map side dedups partially before the shuffle (dropDuplicates
+    is an aggregate).  The md5 hex is materialized once behind a
+    barrier (the training_mix / hll lesson)."""
+    hashed = df.select(
+        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"),
+        F.monotonically_increasing_id().alias("_b1"))
+    hq = hashed.select(*key_cols, F.expr(md5_hash60("_hx")).alias("h"))
+    return hq.dropDuplicates([*key_cols, "h"])
+
+
+def kmv_sketch(df: DataFrame, key_cols: list, id_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """(key_cols..., rank, h): the k smallest distinct hashes per key.
+    The ``row_number() <= k`` filter takes the WindowGroupLimit
+    map-side prune, so sketch state per key is at most k longs however
+    many rows the key holds."""
+    from pyspark.sql.window import Window
+
+    d = kmv_hashes(df, key_cols, id_col)
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (d.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+
+
+def kmv_merge(bk: DataFrame, new_keys: dict, k: int = KMV_K) -> DataFrame:
+    """Merge bottom-k sketches to a coarser key: union the hash lists,
+    dedup, re-take the bottom k.  LOSSLESS for the coarser sketch —
+    the parent's k smallest distinct hashes are always inside the
+    union of its children's bottom-k lists (test-pinned merge ==
+    direct)."""
+    from pyspark.sql.window import Window
+
+    keyed = bk.select(
+        *[col.alias(name) for name, col in new_keys.items()], "h")
+    d = keyed.dropDuplicates([*new_keys.keys(), "h"])
+    w = Window.partitionBy(*new_keys.keys()).orderBy("h")
+    return (d.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+
+
+def kmv_finalize(bk: DataFrame, key_cols: list,
+                 k: int = KMV_K) -> DataFrame:
+    """(key_cols..., n_sketch, kth_hash, est_kmv): exact count below k
+    (the sketch is the complete set), else the one-expression
+    (k-1)*2^60 / h_(k) estimate — long→double casts are correctly
+    rounded on both engines, so the float column stays hash-exact."""
+    g = bk.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_kth"))
+    est = (F.when(F.col("_kth").isNull(),
+                  F.col("n_sketch").cast("double"))
+            .otherwise(F.lit(_KMV_NUM) / F.col("_kth").cast("double")))
+    return g.select(*key_cols, "n_sketch",
+                    F.coalesce(F.col("_kth"), F.lit(0).cast("long"))
+                     .alias("kth_hash"),
+                    est.alias("est_kmv"))
+
+
+def kmv_overlap_x(bk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch-space set intersection between horizontally-adjacent
+    tiles: for each pair ((x, y), (x+1, y)) with sketches on both
+    sides, rank the UNION's distinct hashes, keep the k smallest, and
+    count how many of those belong to both sides (the KMV intersection
+    estimator: est = matches * est_union / k).  When the union sketch
+    holds fewer than k hashes, both input sketches were complete sets
+    and ``matches`` IS the exact intersection size.
+
+    Everything runs on SKETCH rows (<= 2k per pair), never raw data.
+
+    Output: (tile_x, tile_y [left tile], matches, n_union_sketch,
+    union_kth, est_inter)."""
+    from pyspark.sql.window import Window
+
+    tiles = bk.select("tile_x", "tile_y").distinct()
+    rt = tiles.select((F.col("tile_x") - 1).alias("tile_x"), "tile_y")
+    pairs = tiles.join(rt, ["tile_x", "tile_y"], "inner")
+
+    a = (bk.join(pairs, ["tile_x", "tile_y"], "semi")
+           .select("tile_x", "tile_y", "h",
+                   F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    b_src = bk.select((F.col("tile_x") - 1).alias("tile_x"),
+                      "tile_y", "h")
+    b = (b_src.join(pairs, ["tile_x", "tile_y"], "semi")
+              .select("tile_x", "tile_y", "h",
+                      F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    flags = (a.unionByName(b)
+              .groupBy("tile_x", "tile_y", "h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("tile_x", "tile_y").orderBy("h")
+    ranked = (flags.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k))
+    g = ranked.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_kth"))
+    est = (F.when(F.col("_kth").isNull(),
+                  F.col("matches").cast("double"))
+            .otherwise(F.col("matches").cast("double")
+                       * (F.lit(_KMV_NUM) / F.col("_kth").cast("double"))
+                       / F.lit(float(k))))
+    return g.select("tile_x", "tile_y", "matches", "n_union_sketch",
+                    F.coalesce(F.col("_kth"), F.lit(0).cast("long"))
+                     .alias("union_kth"),
+                    est.alias("est_inter"))

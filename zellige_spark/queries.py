@@ -1061,6 +1061,142 @@ def sql_tile_compact() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: tile_kmv / tile_overlap — bottom-k distinct sketch + set operations
+# ---------------------------------------------------------------------------
+
+KMV_ZOOM = 3
+
+
+def _event_user_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points(spark, sf_dir)
+    return (T.assign_tiles(pts, [KMV_ZOOM])
+             .select("user_id", "tile_x", "tile_y"))
+
+
+def q_tile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z3-tile KMV (bottom-k) distinct-user sketch: k smallest
+    md5-derived 60-bit hashes per tile (WindowGroupLimit prune), exact
+    count below k, (k-1)*2^60/h_(k) estimate above — a SECOND
+    mergeable sketch family under the exact value-hash gate, chosen
+    because bottom-k supports sketch SET OPERATIONS (see
+    ``tile_overlap``) that HLL registers cannot."""
+    from .operators import sketch as SK
+
+    bk = SK.kmv_sketch(_event_user_tiles(spark, sf_dir),
+                       ["tile_x", "tile_y"], "user_id")
+    out = SK.kmv_finalize(bk, ["tile_x", "tile_y"])
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("n_sketch").cast("long").alias("n_sketch"),
+                      F.col("kth_hash").cast("long").alias("kth_hash"),
+                      F.col("est_kmv").cast("double").alias("est_kmv"))
+
+
+def _sql_kmv_bk() -> str:
+    from .operators.sketch import KMV_K, md5_hash60
+
+    tx, ty = _sql_tile(str(KMV_ZOOM))
+    h = md5_hash60("md5(CAST(user_id AS VARCHAR))")
+    return f"""pts AS (
+      SELECT user_id, {EVT_LON} AS lon, {EVT_LAT} AS lat FROM events
+    ), proj AS (
+      SELECT user_id, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t AS (
+      SELECT user_id, {tx} AS tx, {ty} AS ty FROM proj
+    ), hs AS (
+      SELECT DISTINCT tx, ty, {h} AS h FROM t
+    ), r AS (
+      SELECT tx, ty, h,
+             row_number() OVER (PARTITION BY tx, ty ORDER BY h) AS rank
+      FROM hs
+    ), bk AS (
+      SELECT * FROM r WHERE rank <= {KMV_K}
+    )"""
+
+
+def sql_tile_kmv() -> str:
+    from .operators.sketch import _KMV_NUM, KMV_K
+
+    return f"""
+    WITH {_sql_kmv_bk()},
+    g AS (
+      SELECT tx, ty, COUNT(*) AS n_sketch,
+             MAX(CASE WHEN rank = {KMV_K} THEN h END) AS kth
+      FROM bk GROUP BY 1, 2
+    )
+    SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(n_sketch AS BIGINT) AS n_sketch,
+           CAST(COALESCE(kth, 0) AS BIGINT) AS kth_hash,
+           CASE WHEN kth IS NULL THEN CAST(n_sketch AS DOUBLE)
+                ELSE {_KMV_NUM!r} / CAST(kth AS DOUBLE) END AS est_kmv
+    FROM g
+    """
+
+
+def q_tile_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space set intersection: for each horizontally-adjacent
+    z3 tile pair, how many distinct users both tiles saw — estimated
+    from the two bottom-k sketches alone (matches inside the union's
+    bottom-k, scaled by the union estimate; exact when the union
+    sketch is complete).  The whole operator runs on sketch rows
+    (<= 2k per pair), never raw events — region-overlap analytics at
+    10^12 rows for the price of a sketch join."""
+    from .operators import sketch as SK
+
+    bk = SK.kmv_sketch(_event_user_tiles(spark, sf_dir),
+                       ["tile_x", "tile_y"], "user_id")
+    out = SK.kmv_overlap_x(bk)
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("matches").cast("long").alias("matches"),
+                      F.col("n_union_sketch").cast("long")
+                       .alias("n_union_sketch"),
+                      F.col("union_kth").cast("long").alias("union_kth"),
+                      F.col("est_inter").cast("double").alias("est_inter"))
+
+
+def sql_tile_overlap() -> str:
+    from .operators.sketch import _KMV_NUM, KMV_K
+
+    return f"""
+    WITH {_sql_kmv_bk()},
+    pairs AS (
+      SELECT a.tx, a.ty
+      FROM (SELECT DISTINCT tx, ty FROM bk) a
+      JOIN (SELECT DISTINCT tx, ty FROM bk) b
+        ON a.tx + 1 = b.tx AND a.ty = b.ty
+    ), u AS (
+      SELECT p.tx, p.ty, bk.h,
+             MAX(CASE WHEN bk.tx = p.tx THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN bk.tx = p.tx + 1 THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN bk ON bk.ty = p.ty AND (bk.tx = p.tx OR bk.tx = p.tx + 1)
+      GROUP BY 1, 2, bk.h
+    ), ur AS (
+      SELECT tx, ty, h, in_a, in_b,
+             row_number() OVER (PARTITION BY tx, ty ORDER BY h) AS rank
+      FROM u
+    ), uk AS (
+      SELECT * FROM ur WHERE rank <= {KMV_K}
+    ), og AS (
+      SELECT tx, ty, SUM(in_a * in_b) AS matches,
+             COUNT(*) AS n_union_sketch,
+             MAX(CASE WHEN rank = {KMV_K} THEN h END) AS kth
+      FROM uk GROUP BY 1, 2
+    )
+    SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(matches AS BIGINT) AS matches,
+           CAST(n_union_sketch AS BIGINT) AS n_union_sketch,
+           CAST(COALESCE(kth, 0) AS BIGINT) AS union_kth,
+           CASE WHEN kth IS NULL THEN CAST(matches AS DOUBLE)
+                ELSE CAST(matches AS DOUBLE)
+                     * ({_KMV_NUM!r} / CAST(kth AS DOUBLE)) / {float(KMV_K)!r}
+           END AS est_inter
+    FROM og
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: traj_stats / traj_simplify — trajectories over ordered events
 # ---------------------------------------------------------------------------
 
@@ -1186,6 +1322,10 @@ QUERIES = {
     "tile_cap": q_tile_cap,
     # minimal mixed-zoom cell cover (H3 compactCells on the quadtree)
     "tile_compact": q_tile_compact,
+    # bottom-k distinct sketch (second mergeable family; exact gate)
+    "tile_kmv": q_tile_kmv,
+    # sketch-space set intersection between adjacent tiles
+    "tile_overlap": q_tile_overlap,
     "pip_polygon": q_pip_polygon,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
@@ -1288,6 +1428,8 @@ ORACLES = {
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
     "tile_compact": sql_tile_compact(),
+    "tile_kmv": sql_tile_kmv(),
+    "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
