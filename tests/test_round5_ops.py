@@ -1578,3 +1578,25 @@ def test_kmv_sketch_window_group_limit(spark):
                                       "id AS user_id")
     plan = _plan(SK.kmv_sketch(df, ["tile_x", "tile_y"], "user_id"))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_polygon_cover_roundtrip_and_mixed_zoom(spark):
+    """The compacted polyfill must expand back to exactly the set of
+    z7 cells whose center passes the plane ray-cast, and genuinely
+    mix zoom levels on the fixture polygon."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import tiles as T
+
+    cover = Q.q_polygon_cover(spark, SF)
+    zooms = {r.zoom for r in cover.select("zoom").distinct().collect()}
+    assert len(zooms) >= 2 and max(zooms) == Q.POLYFILL_ZOOM
+
+    tx0, tx1, ty0, ty1, inside = Q._polyfill_exprs()
+    cand = (spark.range(tx0, tx1 + 1).selectExpr("id AS tile_x")
+            .crossJoin(spark.range(ty0, ty1 + 1).selectExpr("id AS tile_y")))
+    direct = sorted(map(tuple,
+                        cand.filter(F.expr(inside)).collect()))
+    back = sorted(map(tuple,
+                      T.uncompact_cells(cover, Q.POLYFILL_ZOOM).collect()))
+    assert back == direct
+    assert len(direct) > 100  # the fixture polygon spans many z7 cells

@@ -1028,10 +1028,11 @@ def q_tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("tile_y").cast("long").alias("tile_y"))
 
 
-def sql_tile_compact() -> str:
-    z = TILE_COMPACT_ZOOM
-    tx, ty = _sql_tile(str(z))
-    parts = [f"c{z} AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM proj)"]
+def _sql_compact_ctes(z: int, base_select: str) -> tuple:
+    """(ctes, union): the per-level compact recursion as generated
+    chained CTEs over a ``SELECT DISTINCT ... AS tx, ... AS ty`` base —
+    shared by ``tile_compact`` and ``polygon_cover``."""
+    parts = [f"c{z} AS ({base_select})"]
     for lvl in range(z, 0, -1):
         parts.append(
             f"p{lvl - 1} AS (SELECT tx // 2 AS tx, ty // 2 AS ty "
@@ -1048,7 +1049,14 @@ def sql_tile_compact() -> str:
          for lvl in range(z, 0, -1)]
         + ["SELECT CAST(0 AS INT) AS zoom, CAST(tx AS BIGINT) AS tile_x,"
            " CAST(ty AS BIGINT) AS tile_y FROM c0"])
-    ctes = ",\n    ".join(parts)
+    return ",\n    ".join(parts), union
+
+
+def sql_tile_compact() -> str:
+    z = TILE_COMPACT_ZOOM
+    tx, ty = _sql_tile(str(z))
+    ctes, union = _sql_compact_ctes(
+        z, f"SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM proj")
     return f"""
     WITH pts AS (
       SELECT {LINE_LON} AS lon, {LINE_LAT} AS lat FROM lineitem
@@ -1056,6 +1064,92 @@ def sql_tile_compact() -> str:
       SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
     ),
     {ctes}
+    {union}
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: polygon_cover — H3-polyfill shape: polygon -> compacted cell cover
+# ---------------------------------------------------------------------------
+
+POLYFILL_ZOOM = 7
+
+
+def _poly0_3857() -> list:
+    """PIP_POLY vertices projected to EPSG:3857 in PYTHON (the
+    libm-exact kernel), so both engines receive byte-identical float
+    literals — the zonal-stats offsets trick applied to projection."""
+    from .kernel import mercator as M
+
+    xs = M.lon_to_x([v[0] for v in PIP_POLY])
+    ys = M.lat_to_y([v[1] for v in PIP_POLY])
+    return [(float(x), float(y)) for x, y in zip(xs, ys)]
+
+
+def _sql_plane_crossings(verts, x: str, y: str) -> str:
+    """Even-odd ray cast over 3857-plane vertex literals — the same
+    generated expression string runs in Spark (F.expr) and DuckDB."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(verts[:-1], verts[1:]):
+        if y1 == y2:
+            continue
+        t = f"(({y} - {y1!r}) / ({y2!r} - {y1!r}))"
+        xs = f"({x1!r} + {t} * ({x2!r} - {x1!r}))"
+        cond = (f"({y} >= least({y1!r},{y2!r}) AND "
+                f"{y} < greatest({y1!r},{y2!r}) AND {xs} > {x})")
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _polyfill_exprs() -> tuple:
+    """(tx_min, tx_max, ty_min, ty_max, inside_sql): Python-computed
+    candidate tile ranges for the fixture polygon's bbox at
+    POLYFILL_ZOOM, plus the shared-text center-in-polygon predicate
+    (cell centers are pure arithmetic on the tile index — no inverse
+    projection, no transcendentals, identical doubles both engines)."""
+    import numpy as np
+
+    from .kernel import mercator as M
+
+    verts = _poly0_3857()
+    arr = np.asarray(verts)
+    txa, tya = M.xy3857_to_tile(arr[:, 0], arr[:, 1], POLYFILL_ZOOM)
+    res = 2.0 * MAX_EXTENTS / (1 << POLYFILL_ZOOM)
+    cx = f"(-{MAX_EXTENTS!r} + (CAST(tile_x AS DOUBLE) + 0.5) * {res!r})"
+    cy = f"({MAX_EXTENTS!r} - (CAST(tile_y AS DOUBLE) + 0.5) * {res!r})"
+    inside = f"(({_sql_plane_crossings(verts, cx, cy)}) % 2 = 1)"
+    return (int(txa.min()), int(txa.max()),
+            int(tya.min()), int(tya.max()), inside)
+
+
+def q_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-polyfill shape: the coverage polygon's compacted cell cover
+    at z7 — candidate cells from the bbox tile range (a bounded,
+    Python-computed cross range), centers tested by a plane ray-cast
+    whose generated expression text is shared verbatim with the
+    DuckDB oracle (the hexgrid technique), then ``compact_cells``
+    minimizes the cover.  Composes three families — tile math, PIP,
+    compact — under one exact oracle."""
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    cand = (spark.range(tx0, tx1 + 1).select(F.col("id").alias("tile_x"))
+            .crossJoin(spark.range(ty0, ty1 + 1)
+                       .select(F.col("id").alias("tile_y"))))
+    cells = cand.filter(F.expr(inside))
+    out = T.compact_cells(cells, POLYFILL_ZOOM)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def sql_polygon_cover() -> str:
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    base = (f"SELECT DISTINCT tile_x AS tx, tile_y AS ty FROM ("
+            f"SELECT gx.range AS tile_x, gy.range AS tile_y "
+            f"FROM range({tx0}, {tx1 + 1}) gx, range({ty0}, {ty1 + 1}) gy"
+            f") WHERE {inside}")
+    ctes, union = _sql_compact_ctes(POLYFILL_ZOOM, base)
+    return f"""
+    WITH {ctes}
     {union}
     """
 
@@ -1322,6 +1416,8 @@ QUERIES = {
     "tile_cap": q_tile_cap,
     # minimal mixed-zoom cell cover (H3 compactCells on the quadtree)
     "tile_compact": q_tile_compact,
+    # polygon -> compacted cell cover (H3 polyfill shape)
+    "polygon_cover": q_polygon_cover,
     # bottom-k distinct sketch (second mergeable family; exact gate)
     "tile_kmv": q_tile_kmv,
     # sketch-space set intersection between adjacent tiles
@@ -1428,6 +1524,7 @@ ORACLES = {
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
     "tile_compact": sql_tile_compact(),
+    "polygon_cover": sql_polygon_cover(),
     "tile_kmv": sql_tile_kmv(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
