@@ -99,3 +99,59 @@ def test_stream_track_stats_state_is_constant_size(spark, tmp_path):
     r = out.iloc[0]
     assert (r.n_points, r.length_m, r.max_leg_m, r.net_m) == (50, 0, 0, 0)
     assert "array" not in ST.STATE_SCHEMA and "binary" not in ST.STATE_SCHEMA
+
+
+# --- streaming bottom-k sketch ------------------------------------------------
+
+
+def test_stream_kmv_equals_batch_and_state_bounded(spark, tmp_path):
+    """Three micro-batches of (id, lon, lat): the final streamed row
+    per tile must equal the batch kmv_finalize(kmv_sketch(...))
+    bit-for-bit INCLUDING the float estimate (bottom-k merge is
+    order-independent), and re-sent duplicates must never grow the
+    sketch past k."""
+    import pandas as pd
+
+    from zellige_spark.operators import sketch as SK
+    from zellige_spark.operators import tiles as T
+    from zellige_spark.streaming import kmv as SKMV
+
+    src = str(tmp_path / "kmv_in")
+    os.makedirs(src)
+    # 3 batches over 2 tiles; batch 3 resends batch 1's ids (dups)
+    def rows(ids, lon):
+        return pd.DataFrame({"id": list(ids),
+                             "lon": [lon] * len(ids),
+                             "lat": [10.0] * len(ids)})
+
+    b1 = pd.concat([rows(range(0, 60), 10.0), rows(range(200, 230), 120.0)])
+    b2 = pd.concat([rows(range(60, 120), 10.0), rows(range(230, 260), 120.0)])
+    b3 = rows(range(0, 60), 10.0)  # pure resend
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    q = SKMV.stream_tile_kmv(spark, src, str(tmp_path / "ckpt_kmv"),
+                             zoom=3, query_name="kmv_stream_t1",
+                             max_files_per_trigger=1)
+    q.awaitTermination(180)
+    out = spark.table("kmv_stream_t1").toPandas()
+    assert (out.n_sketch <= SK.KMV_K).all()
+
+    final = (out.sort_values("n_updates").groupby(["tile_x", "tile_y"])
+                .last().reset_index())
+    batch = spark.read.parquet(src)
+    t = T.assign_tiles(batch, [3]).select("id", "tile_x", "tile_y")
+    twin = SK.kmv_finalize(SK.kmv_sketch(t, ["tile_x", "tile_y"], "id"),
+                           ["tile_x", "tile_y"]).toPandas()
+    cols = ["tile_x", "tile_y", "n_sketch", "kth_hash", "est_kmv"]
+    a = final[cols].sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    b = twin[cols].sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # the resend batch must not have changed tile (10.0, 10.0)'s sketch
+    t1 = out[(out.tile_x == a.tile_x.iloc[0]) & (out.tile_y == a.tile_y.iloc[0])]
+    t1 = t1.sort_values("n_updates")
+    if len(t1) >= 3:
+        assert t1.iloc[-1].n_sketch == t1.iloc[-2].n_sketch
+        assert t1.iloc[-1].kth_hash == t1.iloc[-2].kth_hash

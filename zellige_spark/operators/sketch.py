@@ -211,16 +211,24 @@ KMV_K = 32
 _KMV_NUM = float((KMV_K - 1) * (1 << 60))
 
 
-def kmv_hashes(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
-    """(key_cols..., h): DISTINCT md5-derived 60-bit hashes per key —
-    the map side dedups partially before the shuffle (dropDuplicates
-    is an aggregate).  The md5 hex is materialized once behind a
-    barrier (the training_mix / hll lesson)."""
+def kmv_row_hashes(df: DataFrame, key_cols: list, id_col: str,
+                   barriers: bool = True) -> DataFrame:
+    """(key_cols..., h): per-ROW md5-derived 60-bit hash.  The md5 hex
+    is materialized once behind a barrier (the training_mix / hll
+    lesson); ``barriers=False`` for STREAMING inputs, where Spark
+    forbids nondeterministic expressions (the hll pattern)."""
+    b = ([F.monotonically_increasing_id().alias("_b1")]
+         if barriers else [])
     hashed = df.select(
-        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"),
-        F.monotonically_increasing_id().alias("_b1"))
-    hq = hashed.select(*key_cols, F.expr(md5_hash60("_hx")).alias("h"))
-    return hq.dropDuplicates([*key_cols, "h"])
+        *key_cols, F.md5(F.col(id_col).cast("string")).alias("_hx"), *b)
+    return hashed.select(*key_cols, F.expr(md5_hash60("_hx")).alias("h"))
+
+
+def kmv_hashes(df: DataFrame, key_cols: list, id_col: str) -> DataFrame:
+    """(key_cols..., h): DISTINCT hashes per key — the map side dedups
+    partially before the shuffle (dropDuplicates is an aggregate)."""
+    return (kmv_row_hashes(df, key_cols, id_col)
+            .dropDuplicates([*key_cols, "h"]))
 
 
 def kmv_sketch(df: DataFrame, key_cols: list, id_col: str,
