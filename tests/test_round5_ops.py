@@ -1600,3 +1600,24 @@ def test_polygon_cover_roundtrip_and_mixed_zoom(spark):
                       T.uncompact_cells(cover, Q.POLYFILL_ZOOM).collect()))
     assert back == direct
     assert len(direct) > 100  # the fixture polygon spans many z7 cells
+
+
+def test_s2_compact_roundtrip_and_face_collapse(spark):
+    """S2 compact: uncompact(compact(S)) == S exactly, and a fully
+    covered face collapses to its single level-0 cid (face layout is
+    cid = face·4^level + pos, so parent = cid >> 2)."""
+    from zellige_spark.operators import s2cells as S2C
+
+    # full face 2 at level 2 (16 cells) + two isolated cells on face 4
+    full = [(2 << 4) + p for p in range(16)]
+    iso = [(4 << 4) + 3, (4 << 4) + 9]
+    cells = spark.createDataFrame([(c,) for c in full + iso],
+                                  "s2_cid long")
+    comp = S2C.compact_s2(cells, 2)
+    got = sorted(map(tuple, comp.collect()))
+    assert (0, 2) in got                       # face 2 collapsed to level 0
+    assert (2, (4 << 4) + 3) in got and (2, (4 << 4) + 9) in got
+    assert len(got) == 3
+
+    back = sorted(r.s2_cid for r in S2C.uncompact_s2(comp, 2).collect())
+    assert back == sorted(full + iso)

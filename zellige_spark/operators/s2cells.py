@@ -364,3 +364,37 @@ def q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("query_id").cast("long").alias("query_id"),
                       F.col("neighbor_id").cast("long").alias("neighbor_id"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+def compact_s2(cells: DataFrame, level: int) -> DataFrame:
+    """H3-style compact on the S2 hierarchy: the cid layout is
+    ``face * 4^level + hilbert_pos``, so the parent at level-1 is
+    exactly ``cid >> 2`` — the same 4-to-1 recursion as the XYZ tile
+    compact, run through the shared ``tiles.compact_quadtree`` loop
+    (hierarchy algebra through the CellIndex seam).
+
+    Input: distinct ``s2_cid`` values at ``level``.
+    Output: (level, s2_cid) — the minimal mixed-level cover."""
+    from pyspark.sql import functions as F
+
+    from . import tiles as T
+
+    return T.compact_quadtree(cells, level, ["s2_cid"],
+                              lambda: [F.shiftright("s2_cid", 2)],
+                              level_col="level")
+
+
+def uncompact_s2(cells: DataFrame, target_level: int,
+                 level_col: str = "level") -> DataFrame:
+    """Inverse of ``compact_s2``: expand mixed-level cids back to
+    uniform cells at ``target_level`` via a runtime ``sequence``
+    fan-out (4^(target-level) children per cell)."""
+    from pyspark.sql import functions as F
+
+    n4 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), 2 * ({target_level} - {level_col}))")
+    base = F.expr(f"shiftleft(s2_cid, 2 * ({target_level} - {level_col}))")
+    return (cells.withColumn("_b", base).withColumn("_n4", n4)
+                 .withColumn("_d", F.explode(
+                     F.sequence(F.lit(0).cast("long"), F.col("_n4") - 1)))
+                 .select((F.col("_b") + F.col("_d")).alias("s2_cid")))

@@ -401,32 +401,48 @@ def compact_cells(cells: DataFrame, zoom: int) -> DataFrame:
     Output: (zoom, tile_x, tile_y) — the minimal cover; every input
     cell is inside exactly one output cell (round-trip and minimality
     are test-pinned)."""
-    cur = cells.select(F.col("tile_x").cast("long").alias("tile_x"),
-                       F.col("tile_y").cast("long").alias("tile_y")).distinct()
+    return compact_quadtree(
+        cells, zoom, ["tile_x", "tile_y"],
+        lambda: [F.shiftright("tile_x", 1), F.shiftright("tile_y", 1)],
+        level_col="zoom")
+
+
+def compact_quadtree(cells: DataFrame, max_level: int, key_cols: list,
+                     parent_exprs, level_col: str = "zoom") -> DataFrame:
+    """Generic 4-to-1 hierarchy compact shared by every quadtree-shaped
+    backend (XYZ tile pairs here; S2 Hilbert cids in
+    ``s2cells.compact_s2`` — the CellIndex-seam philosophy applied to
+    hierarchy algebra).  ``parent_exprs`` is a zero-arg callable
+    returning Columns that map the current keys to parent keys,
+    positionally matching ``key_cols``."""
+    cur = cells.select(*[F.col(k).cast("long").alias(k)
+                         for k in key_cols]).distinct()
     spark = cells.sparkSession
-    schema = "zoom int, tile_x long, tile_y long"
+    schema = f"{level_col} int, " + ", ".join(f"{k} long" for k in key_cols)
     out = spark.createDataFrame([], schema)
-    for z in range(zoom, 0, -1):
+    renames = [f"_p_{k}" for k in key_cols]
+    for lvl in range(max_level, 0, -1):
         cur = cur.localCheckpoint(eager=True)
         if cur.limit(1).count() == 0:
             return out
-        promoted = (cur.groupBy(F.shiftright("tile_x", 1).alias("tile_x"),
-                                F.shiftright("tile_y", 1).alias("tile_y"))
+        pexprs = parent_exprs()
+        promoted = (cur.groupBy(*[e.alias(k)
+                                  for k, e in zip(key_cols, pexprs)])
                        .agg(F.count(F.lit(1)).alias("_n"))
                        .filter(F.col("_n") == 4).drop("_n")
                        .localCheckpoint(eager=True))
-        withp = cur.select("tile_x", "tile_y",
-                           F.shiftright("tile_x", 1).alias("_px"),
-                           F.shiftright("tile_y", 1).alias("_py"))
-        keep = (withp.join(promoted.select(F.col("tile_x").alias("_px"),
-                                           F.col("tile_y").alias("_py")),
-                           ["_px", "_py"], "left_anti")
-                     .select(F.lit(z).cast("int").alias("zoom"),
-                             "tile_x", "tile_y"))
+        withp = cur.select(*key_cols, *[e.alias(r)
+                                        for r, e in zip(renames, pexprs)])
+        keep = (withp.join(promoted.select(
+                    *[F.col(k).alias(r)
+                      for k, r in zip(key_cols, renames)]),
+                    renames, "left_anti")
+                     .select(F.lit(lvl).cast("int").alias(level_col),
+                             *key_cols))
         out = out.unionByName(keep)
         cur = promoted
     return out.unionByName(
-        cur.select(F.lit(0).cast("int").alias("zoom"), "tile_x", "tile_y"))
+        cur.select(F.lit(0).cast("int").alias(level_col), *key_cols))
 
 
 def uncompact_cells(cells: DataFrame, target_zoom: int,

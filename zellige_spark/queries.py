@@ -1028,27 +1028,37 @@ def q_tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("tile_y").cast("long").alias("tile_y"))
 
 
-def _sql_compact_ctes(z: int, base_select: str) -> tuple:
-    """(ctes, union): the per-level compact recursion as generated
-    chained CTEs over a ``SELECT DISTINCT ... AS tx, ... AS ty`` base —
-    shared by ``tile_compact`` and ``polygon_cover``."""
+def _sql_compact_ctes(z: int, base_select: str,
+                      keys: tuple = ("tx", "ty"),
+                      parents: tuple = ("tx // 2", "ty // 2"),
+                      out_names: tuple = ("tile_x", "tile_y"),
+                      level_name: str = "zoom") -> tuple:
+    """(ctes, union): the per-level 4-to-1 compact recursion as
+    generated chained CTEs over a ``SELECT DISTINCT ... AS <keys>``
+    base — shared by ``tile_compact`` / ``polygon_cover`` (tx, ty pair)
+    and ``s2_compact`` (single Hilbert cid, parent = cid // 4)."""
+    key_list = ", ".join(keys)
+    parent_sel = ", ".join(f"{p} AS {k}" for k, p in zip(keys, parents))
+    join_on = " AND ".join(f"c.{p} = p.{k}"
+                           for k, p in zip(keys, parents))
+    c_keys = ", ".join(f"c.{k}" for k in keys)
+    group_by = ", ".join(str(i + 1) for i in range(len(keys)))
     parts = [f"c{z} AS ({base_select})"]
     for lvl in range(z, 0, -1):
         parts.append(
-            f"p{lvl - 1} AS (SELECT tx // 2 AS tx, ty // 2 AS ty "
-            f"FROM c{lvl} GROUP BY 1, 2 HAVING COUNT(*) = 4)")
+            f"p{lvl - 1} AS (SELECT {parent_sel} "
+            f"FROM c{lvl} GROUP BY {group_by} HAVING COUNT(*) = 4)")
         parts.append(
-            f"k{lvl} AS (SELECT c.tx, c.ty FROM c{lvl} c "
-            f"LEFT JOIN p{lvl - 1} p "
-            f"ON c.tx // 2 = p.tx AND c.ty // 2 = p.ty "
-            f"WHERE p.tx IS NULL)")
-        parts.append(f"c{lvl - 1} AS (SELECT tx, ty FROM p{lvl - 1})")
+            f"k{lvl} AS (SELECT {c_keys} FROM c{lvl} c "
+            f"LEFT JOIN p{lvl - 1} p ON {join_on} "
+            f"WHERE p.{keys[0]} IS NULL)")
+        parts.append(f"c{lvl - 1} AS (SELECT {key_list} FROM p{lvl - 1})")
+    out_sel = ", ".join(f"CAST({k} AS BIGINT) AS {o}"
+                        for k, o in zip(keys, out_names))
     union = "\n      UNION ALL ".join(
-        [f"SELECT CAST({lvl} AS INT) AS zoom, CAST(tx AS BIGINT) AS tile_x,"
-         f" CAST(ty AS BIGINT) AS tile_y FROM k{lvl}"
+        [f"SELECT CAST({lvl} AS INT) AS {level_name}, {out_sel} FROM k{lvl}"
          for lvl in range(z, 0, -1)]
-        + ["SELECT CAST(0 AS INT) AS zoom, CAST(tx AS BIGINT) AS tile_x,"
-           " CAST(ty AS BIGINT) AS tile_y FROM c0"])
+        + [f"SELECT CAST(0 AS INT) AS {level_name}, {out_sel} FROM c0"])
     return ",\n    ".join(parts), union
 
 
@@ -1063,6 +1073,55 @@ def sql_tile_compact() -> str:
     ), proj AS (
       SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
     ),
+    {ctes}
+    {union}
+    """
+
+
+# ---------------------------------------------------------------------------
+# q: s2_compact — the same compact recursion on the S2 hierarchy
+# ---------------------------------------------------------------------------
+
+S2_COMPACT_LEVEL = 4
+# lattice-offset coordinates (the s2cells.S2_LON trick): exact ±45°
+# diagonals make the cube-face tie-break engine-dependent
+S2L_LON = f"(({LINE_KEY}) * 7919 % 360000) / 1000.0 - 179.9993"
+S2L_LAT = f"((({LINE_KEY}) * 104729 + 13) % 170000) / 1000.0 - 84.99935"
+
+
+def q_s2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact on the S2 hierarchy: the cid layout (face·4^level + pos)
+    makes the parent exactly ``cid >> 2``, so the SAME generic
+    4-to-1 recursion that compacts XYZ tiles compacts S2 cells —
+    hierarchy algebra through the CellIndex seam.  Lineitem density at
+    level 4 (1536 world cells) makes the cover genuinely mixed-level
+    at the gate scales."""
+    from .operators import s2cells as S2C
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = df.select(F.expr(S2L_LON).alias("lon"),
+                    F.expr(S2L_LAT).alias("lat"))
+    cells = (S2C.with_s2_cell(pts, S2_COMPACT_LEVEL)
+                .select("s2_cid").distinct())
+    out = S2C.compact_s2(cells, S2_COMPACT_LEVEL)
+    return out.select(F.col("level").cast("int").alias("level"),
+                      F.col("s2_cid").cast("long").alias("s2_cid"))
+
+
+def sql_s2_compact() -> str:
+    from .operators.s2cells import sql_s2_cell_cte
+
+    s2 = sql_s2_cell_cte("_pts", S2_COMPACT_LEVEL, "lon")
+    ctes, union = _sql_compact_ctes(
+        S2_COMPACT_LEVEL,
+        "SELECT DISTINCT s2_cid AS cid FROM _s2_out",
+        keys=("cid",), parents=("cid // 4",),
+        out_names=("s2_cid",), level_name="level")
+    return f"""
+    WITH _pts AS (
+      SELECT {S2L_LON} AS lon, {S2L_LAT} AS lat FROM lineitem
+    ),
+    {s2},
     {ctes}
     {union}
     """
@@ -1416,6 +1475,8 @@ QUERIES = {
     "tile_cap": q_tile_cap,
     # minimal mixed-zoom cell cover (H3 compactCells on the quadtree)
     "tile_compact": q_tile_compact,
+    # the same compact recursion on the S2 hierarchy (cid >> 2 parent)
+    "s2_compact": q_s2_compact,
     # polygon -> compacted cell cover (H3 polyfill shape)
     "polygon_cover": q_polygon_cover,
     # bottom-k distinct sketch (second mergeable family; exact gate)
@@ -1524,6 +1585,7 @@ ORACLES = {
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
     "tile_compact": sql_tile_compact(),
+    "s2_compact": sql_s2_compact(),
     "polygon_cover": sql_polygon_cover(),
     "tile_kmv": sql_tile_kmv(),
     "tile_overlap": sql_tile_overlap(),
