@@ -1546,6 +1546,7 @@ def test_kmv_overlap_exact_and_estimated(spark):
     r = out[0]
     assert (r.matches, r.union_kth, r.est_inter) == (5, 0, 5.0)
     assert r.n_union_sketch == 15
+    assert r.est_jaccard == 5.0 / 15.0  # exact Jaccard on a complete union
 
     # large: A = 0..99, B = 50..149 -> union 150 > k
     rows = ([(0, 0, u) for u in range(100)]
@@ -1566,6 +1567,7 @@ def test_kmv_overlap_exact_and_estimated(spark):
     want = float(matches) * (SK._KMV_NUM / float(kth)) / float(k)
     assert (r.matches, r.union_kth) == (matches, kth)
     assert r.est_inter == want
+    assert r.est_jaccard == float(matches) / float(k)
     assert 10 <= want <= 150  # sane vs true intersection 50
 
 

@@ -322,7 +322,14 @@ def kmv_overlap_x(bk: DataFrame, k: int = KMV_K) -> DataFrame:
             .otherwise(F.col("matches").cast("double")
                        * (F.lit(_KMV_NUM) / F.col("_kth").cast("double"))
                        / F.lit(float(k))))
+    # standard KMV Jaccard: matches/k on a full union sketch; on a
+    # complete (sub-k) union the ratio matches/|A∪B| is EXACT
+    jac = (F.when(F.col("_kth").isNull(),
+                  F.col("matches").cast("double")
+                  / F.col("n_union_sketch").cast("double"))
+            .otherwise(F.col("matches").cast("double") / F.lit(float(k))))
     return g.select("tile_x", "tile_y", "matches", "n_union_sketch",
                     F.coalesce(F.col("_kth"), F.lit(0).cast("long"))
                      .alias("union_kth"),
-                    est.alias("est_inter"))
+                    est.alias("est_inter"),
+                    jac.alias("est_jaccard"))

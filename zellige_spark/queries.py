@@ -1305,7 +1305,9 @@ def q_tile_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_union_sketch").cast("long")
                        .alias("n_union_sketch"),
                       F.col("union_kth").cast("long").alias("union_kth"),
-                      F.col("est_inter").cast("double").alias("est_inter"))
+                      F.col("est_inter").cast("double").alias("est_inter"),
+                      F.col("est_jaccard").cast("double")
+                       .alias("est_jaccard"))
 
 
 def sql_tile_overlap() -> str:
@@ -1344,7 +1346,11 @@ def sql_tile_overlap() -> str:
            CASE WHEN kth IS NULL THEN CAST(matches AS DOUBLE)
                 ELSE CAST(matches AS DOUBLE)
                      * ({_KMV_NUM!r} / CAST(kth AS DOUBLE)) / {float(KMV_K)!r}
-           END AS est_inter
+           END AS est_inter,
+           CASE WHEN kth IS NULL
+                THEN CAST(matches AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+                ELSE CAST(matches AS DOUBLE) / {float(KMV_K)!r}
+           END AS est_jaccard
     FROM og
     """
 
