@@ -1623,3 +1623,63 @@ def test_s2_compact_roundtrip_and_face_collapse(spark):
 
     back = sorted(r.s2_cid for r in S2C.uncompact_s2(comp, 2).collect())
     assert back == sorted(full + iso)
+
+
+# --- segment supercover --------------------------------------------------------
+
+def test_segment_cover_dense_sampling_and_bounds(spark):
+    """Soundness + completeness of the grid supercover: densely
+    sampling each segment must visit EXACTLY the covered tile set, and
+    the cover size obeys the O(dx+dy) bound that motivates it over the
+    O(dx*dy) bbox fan-out."""
+    import numpy as np
+
+    from zellige_spark.kernel import mercator as M
+    from zellige_spark.operators import tiles as T
+
+    zoom = 6
+    segs = [
+        (1, -150.0, -60.0, 140.0, 70.0),   # long diagonal
+        (2, 10.0, 20.0, 10.0, 21.5),       # vertical (du == 0)
+        (3, -5.0, 0.0, 25.0, 0.0),         # horizontal-ish
+        (4, 7.3, 7.3, 7.3, 7.3),           # degenerate point
+        (5, 0.01, 0.01, 0.02, 0.02),       # inside one tile
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, lon1 double, lat1 double, "
+              "lon2 double, lat2 double")
+    cover = {}
+    for r in T.segment_cover(df, zoom).collect():
+        cover.setdefault(r.seg_id, set()).add((r.tile_x, r.tile_y))
+
+    for sid, lo1, la1, lo2, la2 in segs:
+        x1, y1 = float(M.lon_to_x(lo1)), float(M.lat_to_y(la1))
+        x2, y2 = float(M.lon_to_x(lo2)), float(M.lat_to_y(la2))
+        t = np.linspace(0.0, 1.0, 200001)
+        xs = x1 + t * (x2 - x1)
+        ys = y1 + t * (y2 - y1)
+        tx, ty = M.xy3857_to_tile(xs, ys, zoom)
+        sampled = set(zip(tx.tolist(), ty.tolist()))
+        got = cover[sid]
+        assert sampled == got, (sid, sampled ^ got)
+        dx = abs(int(tx[-1]) - int(tx[0]))
+        dy = abs(int(ty[-1]) - int(ty[0]))
+        assert len(got) <= dx + dy + 1
+    assert len(cover[4]) == 1 and len(cover[5]) == 1
+
+
+def test_segment_cover_linear_vs_bbox_quadratic(spark):
+    """The efficiency claim in numbers: a long diagonal's supercover is
+    dx+dy+1 tiles while its bbox fan-out would be (dx+1)*(dy+1)."""
+    from zellige_spark.operators import tiles as T
+
+    df = spark.createDataFrame(
+        [(1, -170.0, -80.0, 170.0, 80.0)],
+        "seg_id long, lon1 double, lat1 double, lon2 double, lat2 double")
+    rows = T.segment_cover(df, 8).collect()
+    txs = [r.tile_x for r in rows]
+    tys = [r.tile_y for r in rows]
+    dx = max(txs) - min(txs)
+    dy = max(tys) - min(tys)
+    assert len(rows) <= dx + dy + 1
+    assert (dx + 1) * (dy + 1) > 10 * len(rows)  # bbox would be >10x

@@ -465,3 +465,72 @@ def uncompact_cells(cells: DataFrame, target_zoom: int,
                 F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)))
             .select((F.col("_bx") + F.col("_dx")).alias("tile_x"),
                     (F.col("_by") + F.col("_dy")).alias("tile_y")))
+
+
+def segment_cover(df: DataFrame, zoom: int,
+                  seg_cols: Sequence[str] = ("seg_id",),
+                  lon1: str = "lon1", lat1: str = "lat1",
+                  lon2: str = "lon2", lat2: str = "lat2") -> DataFrame:
+    """Exact tile cover of a line segment (grid supercover): the tiles
+    the segment actually CROSSES, not its bbox.  The bbox fan-out that
+    `feature_tiles.assign_feature_tiles` uses is self-correcting (clip
+    drops empty tiles) but ships O(dx·dy) candidates for a diagonal —
+    this is the O(dx+dy) replacement for linework-heavy corpora.
+
+    Construction (pure Column math, one window): project endpoints to
+    continuous tile coordinates, explode the parametric positions of
+    every x- and y-gridline crossing (two runtime ``sequence``
+    fan-outs, empty when a segment spans no gridline), union t = 0,
+    then evaluate the tile at each inter-crossing MIDPOINT (lead
+    window over t, default 1.0) — each midpoint lands strictly inside
+    one covered cell.  Segments are planar in the 3857 plane (no
+    antimeridian wrap), matching the reference's planar clipping
+    semantics.
+
+    Output: (*seg_cols, tile_x, tile_y) distinct."""
+    from pyspark.sql.window import Window
+
+    seg_cols = list(seg_cols)
+    n = 1 << zoom
+    res = 2.0 * MAX_EXTENTS / n
+    u = (lambda x: (x + F.lit(MAX_EXTENTS)) / F.lit(res))
+    v = (lambda y: (F.lit(MAX_EXTENTS) - y) / F.lit(res))
+    e = df.select(
+        *seg_cols,
+        u(x3857(F.col(lon1))).alias("_u1"), v(y3857(F.col(lat1))).alias("_v1"),
+        u(x3857(F.col(lon2))).alias("_u2"), v(y3857(F.col(lat2))).alias("_v2"))
+
+    def crossings(a1, a2):
+        lo = F.ceil(F.least(F.col(a1), F.col(a2))).cast("long")
+        hi = F.floor(F.greatest(F.col(a1), F.col(a2))).cast("long")
+        grid = F.when(hi >= lo, F.sequence(lo, hi)) \
+                .otherwise(F.array().cast("array<long>"))
+        return grid
+
+    base = e.select(*seg_cols, "_u1", "_v1", "_u2", "_v2",
+                    F.lit(0.0).alias("t"))
+    # the du/dv != 0 guards keep every division well-defined on BOTH
+    # engines (DuckDB nulls double div-by-zero; Spark IEEE-NaNs it)
+    xc = (e.filter(F.col("_u2") != F.col("_u1"))
+           .withColumn("_g", F.explode(crossings("_u1", "_u2")))
+           .select(*seg_cols, "_u1", "_v1", "_u2", "_v2",
+                   ((F.col("_g").cast("double") - F.col("_u1"))
+                    / (F.col("_u2") - F.col("_u1"))).alias("t")))
+    yc = (e.filter(F.col("_v2") != F.col("_v1"))
+           .withColumn("_g", F.explode(crossings("_v1", "_v2")))
+           .select(*seg_cols, "_u1", "_v1", "_u2", "_v2",
+                   ((F.col("_g").cast("double") - F.col("_v1"))
+                    / (F.col("_v2") - F.col("_v1"))).alias("t")))
+    ts = (base.unionByName(xc).unionByName(yc)
+              .filter((F.col("t") >= 0.0) & (F.col("t") < 1.0)))
+    w = Window.partitionBy(*seg_cols).orderBy("t")
+    mid = (F.col("t") + F.coalesce(F.lead("t").over(w), F.lit(1.0))) / 2
+    pu = F.col("_u1") + mid * (F.col("_u2") - F.col("_u1"))
+    pv = F.col("_v1") + mid * (F.col("_v2") - F.col("_v1"))
+    last = F.lit(n - 1).cast("long")
+    tx = F.greatest(F.lit(0).cast("long"),
+                    F.least(F.floor(pu).cast("long"), last))
+    ty = F.greatest(F.lit(0).cast("long"),
+                    F.least(F.floor(pv).cast("long"), last))
+    return (ts.select(*seg_cols, tx.alias("tile_x"), ty.alias("tile_y"))
+              .distinct())

@@ -1079,6 +1079,102 @@ def sql_tile_compact() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: leg_cover — exact segment supercover of trajectory legs
+# ---------------------------------------------------------------------------
+
+LEG_COVER_ZOOM = 4
+
+
+def q_leg_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which z4 tiles does each travel leg CROSS: consecutive event
+    points per user become planar segments, and ``segment_cover``
+    computes the exact grid supercover — O(dx+dy) tiles per leg where
+    the bbox fan-out would ship O(dx·dy) candidates for a diagonal.
+    Pure Column math: two runtime sequence fan-outs (gridline
+    crossings), one lead window over t, midpoint floor."""
+    from pyspark.sql.window import Window
+
+    pts = _event_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = (pts.withColumn("lon2", F.lead("lon").over(w))
+               .withColumn("lat2", F.lead("lat").over(w))
+               .filter(F.col("lon2").isNotNull())
+               .select("user_id", "event_id",
+                       F.col("lon").alias("lon1"), F.col("lat").alias("lat1"),
+                       "lon2", "lat2"))
+    out = T.segment_cover(legs, LEG_COVER_ZOOM,
+                          seg_cols=("user_id", "event_id"))
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("event_id").cast("long").alias("event_id"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def sql_leg_cover() -> str:
+    z = LEG_COVER_ZOOM
+    n = 1 << z
+    res = 2.0 * MAX_EXTENTS / n
+    u = f"(({{x}}) + {MAX_EXTENTS!r}) / {res!r}"
+    v = f"({MAX_EXTENTS!r} - ({{y}})) / {res!r}"
+    x1 = _SQL_X.replace("lon", "lon1").replace("lat", "lat1")
+    y1 = _SQL_Y.replace("lon", "lon1").replace("lat", "lat1")
+    x2 = _SQL_X.replace("lon", "lon2").replace("lat", "lat2")
+    y2 = _SQL_Y.replace("lon", "lon2").replace("lat", "lat2")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), legs0 AS (
+      SELECT user_id, event_id, lon AS lon1, lat AS lat1,
+             lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), legs AS (
+      SELECT user_id, event_id,
+             {u.format(x=x1)} AS u1, {v.format(y=y1)} AS v1,
+             {u.format(x=x2)} AS u2, {v.format(y=y2)} AS v2
+      FROM legs0 WHERE lon2 IS NOT NULL
+    ), xr AS (
+      SELECT *, CAST(ceil(least(u1, u2)) AS BIGINT) AS lo,
+                CAST(floor(greatest(u1, u2)) AS BIGINT) AS hi
+      FROM legs WHERE u2 <> u1
+    ), xc AS (
+      SELECT user_id, event_id, u1, v1, u2, v2,
+             (CAST(unnest(generate_series(lo, hi)) AS DOUBLE) - u1)
+               / (u2 - u1) AS t
+      FROM xr WHERE hi >= lo
+    ), yr AS (
+      SELECT *, CAST(ceil(least(v1, v2)) AS BIGINT) AS lo,
+                CAST(floor(greatest(v1, v2)) AS BIGINT) AS hi
+      FROM legs WHERE v2 <> v1
+    ), yc AS (
+      SELECT user_id, event_id, u1, v1, u2, v2,
+             (CAST(unnest(generate_series(lo, hi)) AS DOUBLE) - v1)
+               / (v2 - v1) AS t
+      FROM yr WHERE hi >= lo
+    ), ts AS (
+      SELECT user_id, event_id, u1, v1, u2, v2, 0.0 AS t FROM legs
+      UNION ALL SELECT * FROM xc
+      UNION ALL SELECT * FROM yc
+    ), tf AS (
+      SELECT * FROM ts WHERE t >= 0.0 AND t < 1.0
+    ), mids AS (
+      SELECT user_id, event_id,
+             (t + COALESCE(lead(t) OVER (PARTITION BY user_id, event_id
+                                         ORDER BY t), 1.0)) / 2 AS tm,
+             u1, v1, u2, v2
+      FROM tf
+    )
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(greatest(0, least(CAST(floor(u1 + tm * (u2 - u1)) AS BIGINT),
+                                  {n - 1})) AS BIGINT) AS tile_x,
+           CAST(greatest(0, least(CAST(floor(v1 + tm * (v2 - v1)) AS BIGINT),
+                                  {n - 1})) AS BIGINT) AS tile_y
+    FROM mids
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: s2_compact — the same compact recursion on the S2 hierarchy
 # ---------------------------------------------------------------------------
 
@@ -1481,6 +1577,8 @@ QUERIES = {
     "tile_cap": q_tile_cap,
     # minimal mixed-zoom cell cover (H3 compactCells on the quadtree)
     "tile_compact": q_tile_compact,
+    # exact segment supercover of trajectory legs (O(dx+dy) line tiling)
+    "leg_cover": q_leg_cover,
     # the same compact recursion on the S2 hierarchy (cid >> 2 parent)
     "s2_compact": q_s2_compact,
     # polygon -> compacted cell cover (H3 polyfill shape)
@@ -1591,6 +1689,7 @@ ORACLES = {
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
     "tile_compact": sql_tile_compact(),
+    "leg_cover": sql_leg_cover(),
     "s2_compact": sql_s2_compact(),
     "polygon_cover": sql_polygon_cover(),
     "tile_kmv": sql_tile_kmv(),
