@@ -1683,3 +1683,19 @@ def test_segment_cover_linear_vs_bbox_quadratic(spark):
     dy = max(tys) - min(tys)
     assert len(rows) <= dx + dy + 1
     assert (dx + 1) * (dy + 1) > 10 * len(rows)  # bbox would be >10x
+
+
+def test_segment_cover_single_exchange(spark):
+    """One shuffle total: the distinct's grouping keys include the
+    window's partition key, so Spark reuses hashpartitioning(seg) for
+    both — no second Exchange, no joins."""
+    import re
+
+    from zellige_spark.operators import tiles as T
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0)],
+        "seg_id long, lon1 double, lat1 double, lon2 double, lat2 double")
+    plan = _plan(T.segment_cover(df, 6))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
