@@ -1699,3 +1699,41 @@ def test_segment_cover_single_exchange(spark):
     plan = _plan(T.segment_cover(df, 6))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
+def test_polygon_full_cover_exactness(spark):
+    """full cover == center-inside cells ∪ densely-sampled boundary
+    cells (the provable decomposition: a cell intersecting the polygon
+    either contains boundary or lies entirely inside), and the
+    center-based polyfill is a subset of it."""
+    import numpy as np
+
+    from zellige_spark import queries as Q
+    from zellige_spark.kernel import mercator as M
+    from zellige_spark.operators import tiles as T
+
+    z = Q.POLYFILL_ZOOM
+    full = set(map(tuple,
+                   T.uncompact_cells(Q.q_polygon_full_cover(spark, SF), z)
+                    .collect()))
+
+    tx0, tx1, ty0, ty1, inside = Q._polyfill_exprs()
+    cand = (spark.range(tx0, tx1 + 1).selectExpr("id AS tile_x")
+            .crossJoin(spark.range(ty0, ty1 + 1).selectExpr("id AS tile_y")))
+    centers = set(map(tuple, cand.filter(F.expr(inside)).collect()))
+
+    verts = Q._poly0_3857()
+    boundary = set()
+    for (x1, y1), (x2, y2) in zip(verts[:-1], verts[1:]):
+        t = np.linspace(0.0, 1.0, 400001)
+        tx, ty = M.xy3857_to_tile(x1 + t * (x2 - x1), y1 + t * (y2 - y1), z)
+        boundary.update(zip(tx.tolist(), ty.tolist()))
+
+    assert full == centers | boundary
+    assert centers <= full
+    assert len(full) > len(centers)  # boundary-only cells exist
+
+    polyfill = set(map(tuple,
+                       T.uncompact_cells(Q.q_polygon_cover(spark, SF), z)
+                        .collect()))
+    assert polyfill <= full

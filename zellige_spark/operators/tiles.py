@@ -470,7 +470,8 @@ def uncompact_cells(cells: DataFrame, target_zoom: int,
 def segment_cover(df: DataFrame, zoom: int,
                   seg_cols: Sequence[str] = ("seg_id",),
                   lon1: str = "lon1", lat1: str = "lat1",
-                  lon2: str = "lon2", lat2: str = "lat2") -> DataFrame:
+                  lon2: str = "lon2", lat2: str = "lat2",
+                  coords: str = "lonlat") -> DataFrame:
     """Exact tile cover of a line segment (grid supercover): the tiles
     the segment actually CROSSES, not its bbox.  The bbox fan-out that
     `feature_tiles.assign_feature_tiles` uses is self-correcting (clip
@@ -487,6 +488,10 @@ def segment_cover(df: DataFrame, zoom: int,
     antimeridian wrap), matching the reference's planar clipping
     semantics.
 
+    ``coords="lonlat"`` (default) projects the endpoint columns;
+    ``coords="3857"`` takes them as plane meters directly (polygon
+    edges already projected driver-side).
+
     Output: (*seg_cols, tile_x, tile_y) distinct."""
     from pyspark.sql.window import Window
 
@@ -495,10 +500,18 @@ def segment_cover(df: DataFrame, zoom: int,
     res = 2.0 * MAX_EXTENTS / n
     u = (lambda x: (x + F.lit(MAX_EXTENTS)) / F.lit(res))
     v = (lambda y: (F.lit(MAX_EXTENTS) - y) / F.lit(res))
+    if coords == "lonlat":
+        px1, py1 = x3857(F.col(lon1)), y3857(F.col(lat1))
+        px2, py2 = x3857(F.col(lon2)), y3857(F.col(lat2))
+    elif coords == "3857":
+        px1, py1 = F.col(lon1), F.col(lat1)
+        px2, py2 = F.col(lon2), F.col(lat2)
+    else:
+        raise ValueError(f"coords {coords!r} not in ('lonlat', '3857')")
     e = df.select(
         *seg_cols,
-        u(x3857(F.col(lon1))).alias("_u1"), v(y3857(F.col(lat1))).alias("_v1"),
-        u(x3857(F.col(lon2))).alias("_u2"), v(y3857(F.col(lat2))).alias("_v2"))
+        u(px1).alias("_u1"), v(py1).alias("_v1"),
+        u(px2).alias("_u2"), v(py2).alias("_v2"))
 
     def crossings(a1, a2):
         lo = F.ceil(F.least(F.col(a1), F.col(a2))).cast("long")

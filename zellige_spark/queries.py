@@ -1309,6 +1309,104 @@ def sql_polygon_cover() -> str:
     """
 
 
+def q_polygon_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT polygon cover (any-intersection, vs ``polygon_cover``'s
+    center-in-polygon polyfill): a cell intersects the polygon iff its
+    boundary crosses the cell (edge supercover via ``segment_cover``)
+    OR the cell lies entirely inside (then its center is inside) — so
+    full cover = edge supercover ∪ center-inside, provably exact, then
+    compacted.  Composes four families: projection, supercover,
+    ray-cast PIP, compact — all under one hash-exact oracle."""
+    verts = _poly0_3857()
+    edges = [(i, verts[i][0], verts[i][1], verts[i + 1][0], verts[i + 1][1])
+             for i in range(len(verts) - 1)]
+    edf = spark.createDataFrame(
+        edges, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    ecov = (T.segment_cover(edf, POLYFILL_ZOOM, seg_cols=("seg_id",),
+                            lon1="x1", lat1="y1", lon2="x2", lat2="y2",
+                            coords="3857")
+             .select("tile_x", "tile_y"))
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    cand = (spark.range(tx0, tx1 + 1).select(F.col("id").alias("tile_x"))
+            .crossJoin(spark.range(ty0, ty1 + 1)
+                       .select(F.col("id").alias("tile_y"))))
+    centers = cand.filter(F.expr(inside)).select("tile_x", "tile_y")
+    cells = ecov.unionByName(centers).distinct()
+    out = T.compact_cells(cells, POLYFILL_ZOOM)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def sql_polygon_full_cover() -> str:
+    verts = _poly0_3857()
+    z = POLYFILL_ZOOM
+    n = 1 << z
+    res = 2.0 * MAX_EXTENTS / n
+    u = f"(({{x}}) + {MAX_EXTENTS!r}) / {res!r}"
+    v = f"({MAX_EXTENTS!r} - ({{y}})) / {res!r}"
+    edge_rows = ", ".join(
+        f"({i}, {verts[i][0]!r}, {verts[i][1]!r}, "
+        f"{verts[i + 1][0]!r}, {verts[i + 1][1]!r})"
+        for i in range(len(verts) - 1))
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    sup = f"""legs AS (
+      SELECT seg_id, {u.format(x='x1')} AS u1, {v.format(y='y1')} AS v1,
+             {u.format(x='x2')} AS u2, {v.format(y='y2')} AS v2
+      FROM (VALUES {edge_rows}) AS e(seg_id, x1, y1, x2, y2)
+    ), xr AS (
+      SELECT *, CAST(ceil(least(u1, u2)) AS BIGINT) AS lo,
+                CAST(floor(greatest(u1, u2)) AS BIGINT) AS hi
+      FROM legs WHERE u2 <> u1
+    ), xc AS (
+      SELECT seg_id, u1, v1, u2, v2,
+             (CAST(unnest(generate_series(lo, hi)) AS DOUBLE) - u1)
+               / (u2 - u1) AS t
+      FROM xr WHERE hi >= lo
+    ), yr AS (
+      SELECT *, CAST(ceil(least(v1, v2)) AS BIGINT) AS lo,
+                CAST(floor(greatest(v1, v2)) AS BIGINT) AS hi
+      FROM legs WHERE v2 <> v1
+    ), yc AS (
+      SELECT seg_id, u1, v1, u2, v2,
+             (CAST(unnest(generate_series(lo, hi)) AS DOUBLE) - v1)
+               / (v2 - v1) AS t
+      FROM yr WHERE hi >= lo
+    ), tsu AS (
+      SELECT seg_id, u1, v1, u2, v2, 0.0 AS t FROM legs
+      UNION ALL SELECT * FROM xc
+      UNION ALL SELECT * FROM yc
+    ), tfu AS (
+      SELECT * FROM tsu WHERE t >= 0.0 AND t < 1.0
+    ), mids AS (
+      SELECT seg_id,
+             (t + COALESCE(lead(t) OVER (PARTITION BY seg_id
+                                         ORDER BY t), 1.0)) / 2 AS tm,
+             u1, v1, u2, v2
+      FROM tfu
+    ), ecov AS (
+      SELECT DISTINCT
+             greatest(0, least(CAST(floor(u1 + tm * (u2 - u1)) AS BIGINT),
+                               {n - 1})) AS tile_x,
+             greatest(0, least(CAST(floor(v1 + tm * (v2 - v1)) AS BIGINT),
+                               {n - 1})) AS tile_y
+      FROM mids
+    ), centers AS (
+      SELECT tile_x, tile_y FROM (
+        SELECT gx.range AS tile_x, gy.range AS tile_y
+        FROM range({tx0}, {tx1 + 1}) gx, range({ty0}, {ty1 + 1}) gy
+      ) WHERE {inside}
+    )"""
+    ctes, union = _sql_compact_ctes(
+        z, "SELECT DISTINCT tile_x AS tx, tile_y AS ty FROM "
+           "(SELECT * FROM ecov UNION ALL SELECT * FROM centers)")
+    return f"""
+    WITH {sup},
+    {ctes}
+    {union}
+    """
+
+
 # ---------------------------------------------------------------------------
 # q: tile_kmv / tile_overlap — bottom-k distinct sketch + set operations
 # ---------------------------------------------------------------------------
@@ -1583,6 +1681,8 @@ QUERIES = {
     "s2_compact": q_s2_compact,
     # polygon -> compacted cell cover (H3 polyfill shape)
     "polygon_cover": q_polygon_cover,
+    # exact any-intersection polygon cover (edge supercover ∪ centers)
+    "polygon_full_cover": q_polygon_full_cover,
     # bottom-k distinct sketch (second mergeable family; exact gate)
     "tile_kmv": q_tile_kmv,
     # sketch-space set intersection between adjacent tiles
@@ -1692,6 +1792,7 @@ ORACLES = {
     "leg_cover": sql_leg_cover(),
     "s2_compact": sql_s2_compact(),
     "polygon_cover": sql_polygon_cover(),
+    "polygon_full_cover": sql_polygon_full_cover(),
     "tile_kmv": sql_tile_kmv(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
