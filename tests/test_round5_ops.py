@@ -1737,3 +1737,73 @@ def test_polygon_full_cover_exactness(spark):
                        T.uncompact_cells(Q.q_polygon_cover(spark, SF), z)
                         .collect()))
     assert polyfill <= full
+
+
+# --- geocodes: geohash + quadkey string cell codes ---------------------------
+
+def test_geohash_public_goldens_and_column_twin(spark):
+    """The scalar twin reproduces the public geohash test vectors
+    (Niemeyer spec examples), and the Spark Column path equals the
+    scalar twin on a pole/antimeridian/equator stress grid at both an
+    odd and an even precision (the two interleave parities)."""
+    from zellige_spark.operators import geocodes as GC
+
+    assert GC.geohash_py(-5.603, 42.605, 5) == "ezs42"
+    assert GC.geohash_py(10.40744, 57.64911, 11) == "u4pruydqqvj"
+
+    lons = [-180.0, -179.999, -90.5, -0.1, 0.0, 0.1, 90.25, 179.999, 180.0]
+    lats = [-90.0, -89.999, -45.5, -0.1, 0.0, 0.1, 45.25, 89.999, 90.0]
+    rows = [(lon, lat) for lon in lons for lat in lats]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for p in (5, 6):
+        got = {(r["lon"], r["lat"]): r["gh"]
+               for r in GC.with_geohash(df, p, out_col="gh").collect()}
+        for lon, lat in rows:
+            assert got[(lon, lat)] == GC.geohash_py(lon, lat, p), (lon, lat, p)
+
+
+def test_geohash_prefix_containment_and_map_only(spark):
+    """Prefix-of-precision-p == code-at-precision-q (the property that
+    makes string sort order a spatial layout key), and with_geohash is
+    map-only: zero Exchanges in the plan."""
+    from zellige_spark.operators import geocodes as GC
+
+    df = (spark.range(500)
+          .selectExpr("(id * 7919 % 360000) / 1000.0 - 180.0 AS lon",
+                      "((id * 104729 + 13) % 170000) / 1000.0 - 85.0 AS lat"))
+    out = GC.with_geohash(df, 8, out_col="g8")
+    for q in (1, 3, 4, 7):
+        out = GC.with_geohash(out, q, out_col=f"g{q}")
+    bad = out.filter(
+        " OR ".join(f"substr(g8, 1, {q}) <> g{q}" for q in (1, 3, 4, 7)))
+    assert bad.count() == 0
+    assert "Exchange" not in _plan(GC.with_geohash(df, 6))
+
+
+def test_quadkey_known_values_parents_and_root(spark):
+    """Bing spec structure: tile (x=3, y=5, z=3) -> '213' (digit =
+    2*y_bit + x_bit, MSB first); every z-1 prefix equals the parent
+    tile's quadkey; z0 is the empty string; and the round-trip
+    int(quadkey, 4) == interleaved index holds on a random grid."""
+    from zellige_spark.operators import geocodes as GC
+
+    one = spark.createDataFrame([(3, 5)], "tile_x long, tile_y long")
+    assert GC.with_quadkey(one, 3).collect()[0]["quadkey"] == "213"
+    assert GC.with_quadkey(one, 0).collect()[0]["quadkey"] == ""
+
+    z = 6
+    df = (spark.range(300)
+          .selectExpr(f"id * 37 % {1 << z} AS tile_x",
+                      f"id * 101 % {1 << z} AS tile_y"))
+    out = GC.with_quadkey(df, z)
+    out = out.selectExpr("tile_x", "tile_y", "quadkey",
+                         "tile_x >> 1 AS px", "tile_y >> 1 AS py")
+    parent = GC.with_quadkey(out, z - 1, "px", "py", out_col="pq")
+    assert parent.filter(f"substr(quadkey, 1, {z - 1}) <> pq").count() == 0
+    for r in out.limit(50).collect():
+        digits = [int(c) for c in r["quadkey"]]
+        x = y = 0
+        for d in digits:
+            x = (x << 1) | (d & 1)
+            y = (y << 1) | (d >> 1)
+        assert (x, y) == (r["tile_x"], r["tile_y"])

@@ -140,6 +140,89 @@ def sql_tile_rollup() -> str:
     """
 
 
+GEOHASH_P = 7
+QUADKEY_Z = 9
+
+
+def q_geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell codes (4th cell-index family, string-keyed): the
+    precision-7 code per customer plus its precision-4 prefix cell and
+    that cell's population — the prefix IS the coarse cell (geohash
+    containment = string prefix), so the coarse rollup is a substr +
+    window count, no second spatial assignment.  Map-only Column math
+    + one window; the code text is shared verbatim with the oracle
+    (``operators/geocodes.py``)."""
+    from pyspark.sql.window import Window
+
+    from .operators import geocodes as GC
+
+    pts = _customer_points(spark, sf_dir)
+    out = GC.with_geohash(pts, GEOHASH_P)
+    out = out.withColumn("gh4", F.expr("substr(geohash, 1, 4)"))
+    w = Window.partitionBy("gh4")
+    return out.select("c_custkey", "geohash", "gh4",
+                      F.count(F.lit(1)).over(w).alias("gh4_n"))
+
+
+def sql_geohash_assign() -> str:
+    from .operators import geocodes as GC
+
+    lon_sql, lat_sql = GC.geohash_idx_sql(GEOHASH_P, "lon", "lat")
+    code = GC.geohash_code_sql(GEOHASH_P)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), idx AS (
+      SELECT c_custkey, {lon_sql} AS _gh_lon, {lat_sql} AS _gh_lat FROM pts
+    ), codes AS (
+      SELECT c_custkey, {code} AS geohash FROM idx
+    )
+    SELECT c_custkey, geohash, substr(geohash, 1, 4) AS gh4,
+           CAST(COUNT(*) OVER (PARTITION BY substr(geohash, 1, 4))
+                AS BIGINT) AS gh4_n
+    FROM codes
+    """
+
+
+def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing quadkey strings for the z9 tile assignment — the string
+    twin of ``tile_key`` (prefix = ancestor on the quadtree), with the
+    parent key derived by prefix truncation and checked against the
+    z8 shift arithmetic in-job (``qk_parent_ok``, also oracle-compared
+    so a FALSE anywhere hash-mismatches)."""
+    from .operators import geocodes as GC
+
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [QUADKEY_Z])
+    out = GC.with_quadkey(a, QUADKEY_Z)
+    parent_qk = GC.quadkey_sql(QUADKEY_Z - 1,
+                               "(tile_x >> 1)", "(tile_y >> 1)")
+    return out.select(
+        "c_custkey", "tile_x", "tile_y", "quadkey",
+        (F.expr(f"substr(quadkey, 1, {QUADKEY_Z - 1})")
+         == F.expr(parent_qk)).alias("qk_parent_ok"))
+
+
+def sql_quadkey_assign() -> str:
+    from .operators import geocodes as GC
+
+    tx, ty = _sql_tile(str(QUADKEY_Z))
+    qk = GC.quadkey_sql(QUADKEY_Z, "tile_x", "tile_y")
+    parent_qk = GC.quadkey_sql(QUADKEY_Z - 1, "(tile_x >> 1)", "(tile_y >> 1)")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiles AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    )
+    SELECT c_custkey, tile_x, tile_y, {qk} AS quadkey,
+           substr({qk}, 1, {QUADKEY_Z - 1}) = {parent_qk} AS qk_parent_ok
+    FROM tiles
+    """
+
+
 def q_tile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mergeable distinct-count sketch per tile (HLL-style
     registers on a shared md5-derived hash — `operators/sketch.py`): z9
@@ -1664,6 +1747,10 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     # spatiotemporal cube: (z5 tile, month|year) from one raw aggregation
     "tile_time_rollup": q_tile_time_rollup,
+    # geohash string cell codes (prefix = containment; shared-text oracle)
+    "geohash_assign": q_geohash_assign,
+    # Bing quadkey strings for z9 tiles (string twin of tile_key)
+    "quadkey_assign": q_quadkey_assign,
     # deterministic mergeable HLL-style distinct sketch (z5 merged from z9
     # registers; even the float estimate is oracle hash-exact)
     "tile_distinct_sketch": q_tile_distinct_sketch,
@@ -1784,6 +1871,8 @@ ORACLES = {
     "tile_counts": sql_tile_counts(),
     "tile_rollup": sql_tile_rollup(),
     "tile_time_rollup": sql_tile_time_rollup(),
+    "geohash_assign": sql_geohash_assign(),
+    "quadkey_assign": sql_quadkey_assign(),
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
     "tile_quartiles": sql_tile_quartiles(),
     "tile_density": sql_tile_density(),
