@@ -1807,3 +1807,47 @@ def test_quadkey_known_values_parents_and_root(spark):
             x = (x << 1) | (d & 1)
             y = (y << 1) | (d >> 1)
         assert (x, y) == (r["tile_x"], r["tile_y"])
+
+
+def test_buffer_cells_equals_python_dilation_with_wrap(spark):
+    """buffer_cells == brute-force Chebyshev dilation on a handcrafted
+    set straddling the antimeridian seam and the pole edge at z3
+    (x wraps mod 8, y clamps), for rings 1 and 2; reflexive."""
+    from zellige_spark.operators import tiles as T
+
+    z, n = 3, 8
+    cells = [(0, 0), (7, 4), (3, 3), (4, 3), (0, 7)]
+    df = spark.createDataFrame(cells, "tile_x long, tile_y long")
+    for ring in (1, 2):
+        got = set(map(tuple, T.buffer_cells(df, z, ring).collect()))
+        want = {((x + dx) % n, y + dy)
+                for x, y in cells
+                for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)
+                if 0 <= y + dy < n}
+        assert got == want, ring
+        assert set(cells) <= got
+    with pytest.raises(ValueError):
+        T.buffer_cells(df, 1, ring=2)  # 5-wide kernel on a 2-wide grid
+
+
+def test_polygon_buffer_is_one_ring_halo_of_cover(spark):
+    """The buffered cover's uncompacted cell set is exactly the
+    polyfill's set dilated one ring: superset of the cover, and every
+    added cell is Chebyshev-adjacent to a cover cell."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import tiles as T
+
+    z = Q.POLYFILL_ZOOM
+    cover = set(map(tuple,
+                    T.uncompact_cells(Q.q_polygon_cover(spark, SF), z)
+                     .collect()))
+    buf = set(map(tuple,
+                  T.uncompact_cells(Q.q_polygon_buffer(spark, SF), z)
+                   .collect()))
+    n = 1 << z
+    want = {((x + dx) % n, y + dy) for x, y in cover
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if 0 <= y + dy < n}
+    assert buf == want
+    assert cover < buf  # the halo is non-empty

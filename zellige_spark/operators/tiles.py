@@ -467,6 +467,35 @@ def uncompact_cells(cells: DataFrame, target_zoom: int,
                     (F.col("_by") + F.col("_dy")).alias("tile_y")))
 
 
+def buffer_cells(cells: DataFrame, zoom: int, ring: int = 1) -> DataFrame:
+    """Morphological dilation of a cell SET: every cell within ``ring``
+    Chebyshev steps of an input cell at ``zoom`` — the grid form of
+    "within k cells of the cover" (polygon buffering, safety margins
+    around coverage areas, halo reads for focal ops).
+
+    Scale shape: operates on the DISTINCT cell set, never raw rows —
+    the (2r+1)² offset explode runs over at most 4^zoom rows whatever
+    the corpus size (the ``focal_sum`` scatter applied to set algebra).
+    x wraps modulo 2^zoom (slippy-map adjacency across the
+    antimeridian); rows falling off the poles in y are dropped.
+
+    Output: (tile_x, tile_y) distinct — input cells included (dilation
+    is reflexive)."""
+    n = 1 << zoom
+    if 2 * ring + 1 > n:
+        raise ValueError(f"ring {ring} wraps onto itself at zoom {zoom}")
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in range(-ring, ring + 1)
+                     for dy in range(-ring, ring + 1)])
+    return (cells.select("tile_x", "tile_y").distinct()
+            .withColumn("_o", F.explode(offs))
+            .select(((F.col("tile_x") + F.col("_o.dx") + F.lit(n))
+                     % F.lit(n)).alias("tile_x"),
+                    (F.col("tile_y") + F.col("_o.dy")).alias("tile_y"))
+            .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
+            .distinct())
+
+
 def segment_cover(df: DataFrame, zoom: int,
                   seg_cols: Sequence[str] = ("seg_id",),
                   lon1: str = "lon1", lat1: str = "lat1",

@@ -1392,6 +1392,48 @@ def sql_polygon_cover() -> str:
     """
 
 
+BUFFER_RING = 1
+
+
+def q_polygon_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered polygon cover: the polyfill's cell set dilated by one
+    Chebyshev ring (``tiles.buffer_cells`` — grid morphological
+    dilation, the "within one cell of the coverage area" margin), then
+    compacted.  The whole chain — candidate range, shared-text
+    ray-cast, set dilation with x-wrap, 4-to-1 compact — runs on CELL
+    SETS (bounded by 4^zoom at any corpus size) under one hash-exact
+    oracle."""
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    cand = (spark.range(tx0, tx1 + 1).select(F.col("id").alias("tile_x"))
+            .crossJoin(spark.range(ty0, ty1 + 1)
+                       .select(F.col("id").alias("tile_y"))))
+    cells = cand.filter(F.expr(inside))
+    buf = T.buffer_cells(cells, POLYFILL_ZOOM, ring=BUFFER_RING)
+    out = T.compact_cells(buf, POLYFILL_ZOOM)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"))
+
+
+def sql_polygon_buffer() -> str:
+    tx0, tx1, ty0, ty1, inside = _polyfill_exprs()
+    n = 1 << POLYFILL_ZOOM
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in range(-BUFFER_RING, BUFFER_RING + 1)
+                     for dy in range(-BUFFER_RING, BUFFER_RING + 1))
+    base = (f"SELECT DISTINCT (tile_x + dx + {n}) % {n} AS tx, "
+            f"tile_y + dy AS ty FROM ("
+            f"SELECT gx.range AS tile_x, gy.range AS tile_y "
+            f"FROM range({tx0}, {tx1 + 1}) gx, range({ty0}, {ty1 + 1}) gy"
+            f") CROSS JOIN (VALUES {offs}) AS o(dx, dy) "
+            f"WHERE ({inside}) AND tile_y + dy >= 0 AND tile_y + dy < {n}")
+    ctes, union = _sql_compact_ctes(POLYFILL_ZOOM, base)
+    return f"""
+    WITH {ctes}
+    {union}
+    """
+
+
 def q_polygon_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT polygon cover (any-intersection, vs ``polygon_cover``'s
     center-in-polygon polyfill): a cell intersects the polygon iff its
@@ -1768,6 +1810,8 @@ QUERIES = {
     "s2_compact": q_s2_compact,
     # polygon -> compacted cell cover (H3 polyfill shape)
     "polygon_cover": q_polygon_cover,
+    # cover dilated one ring then compacted (grid polygon buffering)
+    "polygon_buffer": q_polygon_buffer,
     # exact any-intersection polygon cover (edge supercover ∪ centers)
     "polygon_full_cover": q_polygon_full_cover,
     # bottom-k distinct sketch (second mergeable family; exact gate)
@@ -1881,6 +1925,7 @@ ORACLES = {
     "leg_cover": sql_leg_cover(),
     "s2_compact": sql_s2_compact(),
     "polygon_cover": sql_polygon_cover(),
+    "polygon_buffer": sql_polygon_buffer(),
     "polygon_full_cover": sql_polygon_full_cover(),
     "tile_kmv": sql_tile_kmv(),
     "tile_overlap": sql_tile_overlap(),
