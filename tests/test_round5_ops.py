@@ -1851,3 +1851,99 @@ def test_polygon_buffer_is_one_ring_halo_of_cover(spark):
             if 0 <= y + dy < n}
     assert buf == want
     assert cover < buf  # the halo is non-empty
+
+
+# --- overzoom: children from parent tile bytes -------------------------------
+
+def _tile_dict(df):
+    return {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["mvt"])
+            for r in df.collect()}
+
+
+def test_overzoom_double_extent_is_byte_identical_to_direct(spark):
+    """The exact path: parents at z4/extent 8192 overzoomed to
+    z5/extent 4096 must be BYTE-IDENTICAL to encoding z5 directly from
+    raw coordinates — the integer shift commutes with half-even
+    rounding and the parent window is the union of the child windows,
+    so tile set, feature membership, ordering, fids, and value
+    dictionaries all coincide."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    pa = T.assign_tiles_buffered(pts, zoom=4, extent=8192, buffer=128)
+    parents = E.assemble_point_tiles_streaming(pa, extent=8192, buffer=128)
+    oz = _tile_dict(OZ.overzoom_point_tiles(parents, child_extent=4096,
+                                            buffer=128))
+
+    da = T.assign_tiles_buffered(pts, zoom=5, extent=4096, buffer=128)
+    direct = _tile_dict(E.assemble_point_tiles_streaming(da, extent=4096,
+                                                         buffer=128))
+    assert set(oz) == set(direct)
+    assert oz == direct  # byte-for-byte
+
+
+def test_overzoom_classic_same_extent_scales_coords(spark):
+    """Classic serving overzoom (parent extent == child extent):
+    decoded child coordinates are exactly 2*parent - q*extent for the
+    window-surviving subset, id order preserved."""
+    from zellige_spark import queries as Q
+    from zellige_spark.kernel import mvt as kmvt
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    pa = T.assign_tiles_buffered(pts, zoom=4, extent=4096, buffer=128)
+    parents = E.assemble_point_tiles_streaming(pa, extent=4096, buffer=128)
+    pbytes = _tile_dict(parents)
+    kids = _tile_dict(OZ.overzoom_point_tiles(parents, child_extent=4096,
+                                              buffer=128))
+    assert kids  # non-empty
+    checked = 0
+    for (z, tx, ty), mvt in kids.items():
+        ids, ix, iy, ext = OZ._decode_points(mvt, "images")
+        assert ext == 4096 and z == 5
+        pids, px, py, _ = OZ._decode_points(
+            pbytes[(4, tx >> 1, ty >> 1)], "images")
+        qx, qy = tx & 1, ty & 1
+        want = [(i, 2 * x - qx * 4096, 2 * y - qy * 4096)
+                for i, x, y in zip(pids, px, py)
+                if -128 <= 2 * x - qx * 4096 <= 4224
+                and -128 <= 2 * y - qy * 4096 <= 4224]
+        assert list(zip(ids, ix.tolist(), iy.tolist())) == want
+        checked += 1
+    assert checked == len(kids)
+
+
+def test_overzoom_is_map_only_after_parent_encode(spark):
+    """No Exchange between the parent tiles and the overzoomed
+    children: the overzoom stage (and the decode audit) must add zero
+    shuffles to the parent plan."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    pa = T.assign_tiles_buffered(pts, zoom=4, extent=8192, buffer=128)
+    parents = E.assemble_point_tiles_streaming(pa, extent=8192, buffer=128)
+    kids = OZ.overzoom_point_tiles(parents, child_extent=4096, buffer=128)
+    audited = OZ.point_tile_id_stats(kids)
+    assert _plan(parents).count("Exchange") == _plan(audited).count("Exchange")
+
+
+def test_overzoom_rejects_non_integer_scale_and_non_points(spark):
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    pa = T.assign_tiles_buffered(pts, zoom=4, extent=4096, buffer=128)
+    parents = E.assemble_point_tiles_streaming(pa, extent=4096, buffer=128)
+    with pytest.raises(Exception, match="not a.*positive integer|scale"):
+        OZ.overzoom_point_tiles(parents, child_extent=1000,
+                                buffer=0).collect()

@@ -917,6 +917,82 @@ def sql_mvt_tile_stats() -> str:
     """
 
 
+OZ_PZOOM = 4  # parents at z4 / extent 8192 -> children at z5 / extent 4096
+
+
+def q_tile_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overzoom: z5 tiles derived from the BYTES of z4 tiles encoded at
+    double extent (``operators/overzoom.py`` — the exact path: integer
+    shift commutes with half-even rounding), then decoded BACK for
+    audit stats.  The oracle recomputes the whole chain — buffered
+    parent assignment, parent-pixel rounding (``round_even``), child
+    window membership — in SQL, so encode → overzoom → decode is
+    hash-exact end-to-end, ids included (``id_sum``).  Overzoom itself
+    is map-only over parent tiles: zero Exchanges after the parent
+    encode (plan-asserted)."""
+    from .operators import overzoom as OZ
+
+    pts = _customer_images(spark, sf_dir)
+    assigned = T.assign_tiles_buffered(pts, zoom=OZ_PZOOM,
+                                       extent=2 * ENC_EXTENT,
+                                       buffer=ENC_BUFFER)
+    parents = E.assemble_point_tiles_streaming(assigned,
+                                               extent=2 * ENC_EXTENT,
+                                               buffer=ENC_BUFFER)
+    kids = OZ.overzoom_point_tiles(parents, child_extent=ENC_EXTENT,
+                                   buffer=ENC_BUFFER)
+    out = OZ.point_tile_id_stats(kids)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y", "feature_count", "id_sum")
+
+
+def sql_tile_overzoom() -> str:
+    n = 1 << OZ_PZOOM
+    pext = 2 * ENC_EXTENT
+    res = 2.0 * MAX_EXTENTS / n
+    pad = float(ENC_BUFFER) / float(pext)
+    fan = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), frac AS (
+      SELECT c_custkey, x3857, y3857,
+             (x3857 + {MAX_EXTENTS}) / {res!r} AS fx,
+             ({MAX_EXTENTS} - y3857) / {res!r} AS fy,
+             least(cast(floor((x3857 + {MAX_EXTENTS}) / {res!r}) as bigint), {n - 1}) AS bx,
+             least(cast(floor(({MAX_EXTENTS} - y3857) / {res!r}) as bigint), {n - 1}) AS by
+      FROM proj
+    ), fanned AS (
+      SELECT c_custkey, x3857, y3857, bx + s.dx AS ptx, by + s.dy AS pty
+      FROM frac CROSS JOIN (VALUES {fan}) AS s(dx, dy)
+      WHERE bx + s.dx >= 0 AND by + s.dy >= 0
+        AND bx + s.dx < {n} AND by + s.dy < {n}
+        AND fx >= (bx + s.dx) - {pad} AND fx <= (bx + s.dx) + 1 + {pad}
+        AND fy >= (by + s.dy) - {pad} AND fy <= (by + s.dy) + 1 + {pad}
+    ), ipix AS (
+      SELECT c_custkey, ptx, pty,
+             CAST(round_even((x3857 - (-{MAX_EXTENTS} + CAST(ptx AS DOUBLE)
+                  * {res!r})) * {float(pext)!r} / {res!r}, 0) AS BIGINT) AS ix,
+             CAST(round_even((y3857 - ({MAX_EXTENTS} - CAST(pty AS DOUBLE)
+                  * {res!r})) * {float(pext)!r} / (-{res!r}), 0) AS BIGINT) AS iy
+      FROM fanned
+    ), kids AS (
+      SELECT c_custkey, ptx * 2 + qx AS tile_x, pty * 2 + qy AS tile_y
+      FROM ipix CROSS JOIN (VALUES (0,0),(1,0),(0,1),(1,1)) AS q(qx, qy)
+      WHERE ix - qx * {ENC_EXTENT} BETWEEN -{ENC_BUFFER}
+                                       AND {ENC_EXTENT + ENC_BUFFER}
+        AND iy - qy * {ENC_EXTENT} BETWEEN -{ENC_BUFFER}
+                                       AND {ENC_EXTENT + ENC_BUFFER}
+    )
+    SELECT CAST({OZ_PZOOM + 1} AS INT) AS zoom, tile_x, tile_y,
+           CAST(COUNT(*) AS BIGINT) AS feature_count,
+           CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+    FROM kids GROUP BY tile_x, tile_y
+    """
+
+
 # ---------------------------------------------------------------------------
 # q: mvt_encode — full tile bytes (no SQL oracle: protobuf not expressible);
 # driver records the weaker rows-only check
@@ -1843,6 +1919,9 @@ QUERIES = {
     "knn_hex": HEX.q_knn_hex,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
+    # z5 tiles derived from z4 tile BYTES (map-only overzoom), decoded
+    # back to stats under a full-chain hash-exact oracle
+    "tile_overzoom": q_tile_overzoom,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -1945,6 +2024,7 @@ ORACLES = {
     # nor the hex index: same brute oracle again
     "knn_hex": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
+    "tile_overzoom": sql_tile_overzoom(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
