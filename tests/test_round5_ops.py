@@ -1947,3 +1947,63 @@ def test_overzoom_rejects_non_integer_scale_and_non_points(spark):
     with pytest.raises(Exception, match="not a.*positive integer|scale"):
         OZ.overzoom_point_tiles(parents, child_extent=1000,
                                 buffer=0).collect()
+
+
+# --- multi-layer tile composition --------------------------------------------
+
+def test_merge_tile_layers_decodes_to_both_inputs(spark):
+    """The byte-concat composition decodes to exactly the union of the
+    input layers, feature-for-feature (ids and coordinates), and the
+    strict decoder still rejects a composition with duplicate layer
+    names — the wire-format contract behind merge_tile_layers."""
+    from zellige_spark import queries as Q
+    from zellige_spark.kernel import mvt as kmvt
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    a1 = T.assign_tiles_buffered(pts, zoom=3, extent=4096, buffer=128)
+    images = E.assemble_point_tiles_streaming(a1, extent=4096, buffer=128)
+    nat = Q._nation_points(spark, SF).selectExpr(
+        "CAST(n_nationkey AS STRING) AS image_id", "lon", "lat")
+    a2 = T.assign_tiles_buffered(nat, zoom=3, extent=4096, buffer=128)
+    sites = E.assemble_point_tiles_streaming(a2, layer_name="sites",
+                                             extent=4096, buffer=128)
+    merged = _tile_dict(E.merge_tile_layers(images, sites))
+    imgs = _tile_dict(images)
+    sts = _tile_dict(sites)
+    assert set(merged) == set(imgs) | set(sts)
+    for key, buf in merged.items():
+        layers = kmvt.decode_tile(buf)
+        want_names = ({"images"} if key in imgs else set()) | \
+                     ({"sites"} if key in sts else set())
+        assert set(layers) == want_names
+        for name, src in (("images", imgs), ("sites", sts)):
+            if key in src:
+                own = kmvt.decode_tile(src[key])[name]
+                assert layers[name]["features"] == own["features"]
+
+    # duplicate layer names must still be rejected by the decoder
+    dup = E.merge_tile_layers(images, images)
+    row = dup.limit(1).collect()[0]
+    with pytest.raises(kmvt.MvtError, match="Duplicate layer name"):
+        kmvt.decode_tile(bytes(row["mvt"]))
+
+
+def test_merge_tile_layers_adds_no_python_stage(spark):
+    """Composition is pure Column ops: the merged plan contains exactly
+    the two parents' Python stages (the encodes) and nothing more."""
+    from zellige_spark import queries as Q
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import tiles as T
+
+    pts = Q._customer_images(spark, SF)
+    a1 = T.assign_tiles_buffered(pts, zoom=3, extent=4096, buffer=128)
+    images = E.assemble_point_tiles_streaming(a1, extent=4096, buffer=128)
+    sites = E.assemble_point_tiles_streaming(
+        a1, layer_name="sites", extent=4096, buffer=128)
+    merged = E.merge_tile_layers(images, sites)
+    mplan = _plan(merged)
+    n_py = mplan.count("MapInPandas")
+    assert n_py == _plan(images).count("MapInPandas") * 2

@@ -545,3 +545,67 @@ def encode_geojson_tile(features: list, layer_name: str, z: int, x: int, y: int,
     cfg = kpipe.TileConfig(name=layer_name, z=z, x=x, y=y, buffer=buffer,
                            extent=extent, quantize=quantize, simplify=simplify)
     return kpipe.encode_features(features, cfg)
+
+
+# ---------------------------------------------------------------------------
+# multi-layer composition: tile sets merge by BYTE concatenation
+# ---------------------------------------------------------------------------
+
+def merge_tile_layers(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Compose two encoded tile sets into multi-layer tiles: a tile's
+    bytes are repeated protobuf field-3 (Layer) records, so per-cell
+    layer composition is BINARY CONCATENATION — no decode, no
+    re-encode, pure Column ops (the wire-format property
+    ``kernel/mvt.py::encode_tile`` relies on; vector_tile.proto 2.1
+    declares ``repeated Tile.Layer layers = 3``).
+
+    Full-outer on the tile key: a cell present in either input emits a
+    tile; missing sides contribute zero bytes.  Layer NAMES must be
+    distinct between the inputs (the strict decoder rejects duplicate
+    names per tile — test-asserted).
+
+    Scale shape: one shuffle join on the tile key over two
+    already-aggregated tile tables (one row per occupied tile each —
+    at 100 TB these are ~10^8 rows of tile bytes, not raw rows).
+    Output keeps TILE_SCHEMA; ``feature_count``/``bytes_len`` sum."""
+    keys = ["zoom", "tile_x", "tile_y"]
+    l = left.select(*keys, F.col("mvt").alias("_lm"),
+                    F.col("feature_count").alias("_lc"),
+                    F.col("bytes_len").alias("_lb"))
+    r = right.select(*keys, F.col("mvt").alias("_rm"),
+                     F.col("feature_count").alias("_rc"),
+                     F.col("bytes_len").alias("_rb"))
+    j = l.join(r, keys, "full_outer")
+    empty = F.lit(b"")
+    return j.select(
+        *keys,
+        F.concat(F.coalesce("_lm", empty),
+                 F.coalesce("_rm", empty)).alias("mvt"),
+        (F.coalesce("_lc", F.lit(0))
+         + F.coalesce("_rc", F.lit(0))).alias("feature_count"),
+        (F.coalesce("_lb", F.lit(0))
+         + F.coalesce("_rb", F.lit(0))).alias("bytes_len"))
+
+
+def tile_layer_stats(tiles: DataFrame) -> DataFrame:
+    """Decode-back audit for (possibly multi-layer) tiles: layer
+    count, total decoded features, and the sorted layer-name list —
+    integer/string outputs, so a binary composition can sit under the
+    driver's hash-exact oracle gate."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, mvt in zip(pdf["zoom"], pdf["tile_x"],
+                                      pdf["tile_y"], pdf["mvt"]):
+                layers = kmvt.decode_tile(bytes(mvt))
+                rows.append((int(z), int(tx), int(ty), len(layers),
+                             sum(len(v["features"]) for v in layers.values()),
+                             ",".join(sorted(layers))))
+            yield pd.DataFrame(rows, columns=[
+                "zoom", "tile_x", "tile_y", "n_layers", "feature_count",
+                "layer_names"])
+
+    return tiles.select("zoom", "tile_x", "tile_y", "mvt").mapInPandas(
+        stats, "zoom int, tile_x long, tile_y long, n_layers int, "
+               "feature_count long, layer_names string")

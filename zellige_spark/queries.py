@@ -917,6 +917,82 @@ def sql_mvt_tile_stats() -> str:
     """
 
 
+def q_tile_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer tile composition: the customer "images" layer and a
+    nation "sites" layer, encoded independently, merged per tile by
+    BINARY CONCATENATION (``encode.merge_tile_layers`` — MVT tiles are
+    repeated protobuf Layer records, so composition needs no decode),
+    then decoded BACK for audit.  The oracle recomputes both layers'
+    buffered memberships in SQL and full-outer-joins them — so the
+    wire-level merge is verified hash-exactly: layer count, total
+    features, and the sorted layer-name list per tile."""
+    pts = _customer_images(spark, sf_dir)
+    a1 = T.assign_tiles_buffered(pts, zoom=ENC_ZOOM, extent=ENC_EXTENT,
+                                 buffer=ENC_BUFFER)
+    images = E.assemble_point_tiles_streaming(a1, extent=ENC_EXTENT,
+                                              buffer=ENC_BUFFER)
+    nat = _nation_points(spark, sf_dir).select(
+        F.col("n_nationkey").cast("string").alias("image_id"), "lon", "lat")
+    a2 = T.assign_tiles_buffered(nat, zoom=ENC_ZOOM, extent=ENC_EXTENT,
+                                 buffer=ENC_BUFFER)
+    sites = E.assemble_point_tiles_streaming(a2, layer_name="sites",
+                                             extent=ENC_EXTENT,
+                                             buffer=ENC_BUFFER)
+    merged = E.merge_tile_layers(images, sites)
+    out = E.tile_layer_stats(merged)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y", "n_layers", "feature_count",
+                      "layer_names")
+
+
+def _sql_buffered_counts(key: str, table_cte: str) -> str:
+    """Fanned buffered-membership counts at ENC_ZOOM over a CTE named
+    ``table_cte`` with (key, lon, lat) — the sql_mvt_tile_stats body,
+    reusable per layer."""
+    pad = float(ENC_BUFFER) / float(ENC_EXTENT)
+    n = 2 ** ENC_ZOOM
+    res = 2.0 * MAX_EXTENTS / n
+    return f"""
+      SELECT tile_x, tile_y, COUNT(*) AS cnt FROM (
+        SELECT bx + s.dx AS tile_x, by + s.dy AS tile_y, fx, fy
+        FROM (
+          SELECT (x3857 + {MAX_EXTENTS}) / {res} AS fx,
+                 ({MAX_EXTENTS} - y3857) / {res} AS fy,
+                 least(cast(floor((x3857 + {MAX_EXTENTS}) / {res}) as bigint), {n - 1}) AS bx,
+                 least(cast(floor(({MAX_EXTENTS} - y3857) / {res}) as bigint), {n - 1}) AS by
+          FROM (SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM {table_cte})
+        ) CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS s(dx, dy)
+        WHERE bx + s.dx >= 0 AND by + s.dy >= 0 AND bx + s.dx < {n} AND by + s.dy < {n}
+          AND fx >= (bx + s.dx) - {pad} AND fx <= (bx + s.dx) + 1 + {pad}
+          AND fy >= (by + s.dy) - {pad} AND fy <= (by + s.dy) + 1 + {pad}
+      ) GROUP BY tile_x, tile_y
+    """
+
+
+def sql_tile_compose() -> str:
+    return f"""
+    WITH cpts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), npts AS (
+      SELECT {NAT_LON} AS lon, {NAT_LAT} AS lat FROM nation
+    ), imgs AS ({_sql_buffered_counts("c", "cpts")}
+    ), sites AS ({_sql_buffered_counts("n", "npts")})
+    SELECT CAST({ENC_ZOOM} AS INT) AS zoom,
+           COALESCE(i.tile_x, s.tile_x) AS tile_x,
+           COALESCE(i.tile_y, s.tile_y) AS tile_y,
+           CAST((CASE WHEN i.cnt IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s.cnt IS NULL THEN 0 ELSE 1 END) AS INT)
+             AS n_layers,
+           CAST(COALESCE(i.cnt, 0) + COALESCE(s.cnt, 0) AS BIGINT)
+             AS feature_count,
+           CASE WHEN i.cnt IS NULL THEN 'sites'
+                WHEN s.cnt IS NULL THEN 'images'
+                ELSE 'images,sites' END AS layer_names
+    FROM imgs i FULL OUTER JOIN sites s
+      ON i.tile_x = s.tile_x AND i.tile_y = s.tile_y
+    """
+
+
 OZ_PZOOM = 4  # parents at z4 / extent 8192 -> children at z5 / extent 4096
 
 
@@ -1922,6 +1998,8 @@ QUERIES = {
     # z5 tiles derived from z4 tile BYTES (map-only overzoom), decoded
     # back to stats under a full-chain hash-exact oracle
     "tile_overzoom": q_tile_overzoom,
+    # multi-layer composition by wire-level concat, decode-audited
+    "tile_compose": q_tile_compose,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -2025,6 +2103,7 @@ ORACLES = {
     "knn_hex": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
     "tile_overzoom": sql_tile_overzoom(),
+    "tile_compose": sql_tile_compose(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
