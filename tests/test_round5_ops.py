@@ -2007,3 +2007,60 @@ def test_merge_tile_layers_adds_no_python_stage(spark):
     mplan = _plan(merged)
     n_py = mplan.count("MapInPandas")
     assert n_py == _plan(images).count("MapInPandas") * 2
+
+
+# --- captioned point tiles ----------------------------------------------------
+
+def test_captioned_tiles_roundtrip_and_dictionary_law(spark):
+    """Captioned tiles decode back to exactly the input (id, caption)
+    pairs per tile (caption equality — the north-rule invariant), the
+    caption dictionary is per-tile FIRST-SEEN dedup (value table
+    length == features + distinct captions; indexes resolve), unicode
+    captions survive utf-8, and a forced-tiny-batch run (cross-batch
+    carry through the fold) is byte-identical to the one-batch run."""
+    from zellige_spark.kernel import mvt as kmvt
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import tiles as T
+
+    rows = [(f"id{i:03d}",
+             ("café %d" % (i % 3)) if i % 5 else "dup cap",
+             (i * 37 % 360) - 180.0, (i * 17 % 170) / 2.0 - 42.0)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, lon double, lat double")
+    a = T.assign_tiles_buffered(df, zoom=2, extent=4096, buffer=128)
+    tiles = E.assemble_captioned_tiles_streaming(a, extent=4096, buffer=128)
+    got = _tile_dict(tiles)
+    # expected membership from the assignment frame itself
+    from collections import defaultdict
+    want = defaultdict(list)
+    pxf = T.tile_local_px(a, 4096, 1).select(
+        "zoom", "tile_x", "tile_y", "image_id", "caption", "px", "py")
+    for r in pxf.collect():
+        if -128 <= r["px"] <= 4224 and -128 <= r["py"] <= 4224:
+            want[(r["zoom"], r["tile_x"], r["tile_y"])].append(
+                (r["image_id"], r["caption"]))
+    assert set(got) == set(want)
+    for key, buf in got.items():
+        layer = kmvt.decode_tile(buf)["images"]
+        pairs = [(f["metadata"]["image_id"][1], f["metadata"]["caption"][1])
+                 for f in layer["features"]]
+        assert pairs == sorted(want[key])  # fold sorts by image_id
+        caps = [c for _, c in pairs]
+        assert len(layer["values"]) == len(pairs) + len(dict.fromkeys(caps))
+        assert layer["keys"] == ["image_id", "caption"]
+        # fids are 1..n in order
+        assert [f["id"] for f in layer["features"]] == list(
+            range(1, len(pairs) + 1))
+
+    # cross-batch carry: 7-row Arrow batches must not change a byte
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = _tile_dict(E.assemble_captioned_tiles_streaming(
+            a.repartition(1), extent=4096, buffer=128,
+            num_partitions=1))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    one = _tile_dict(E.assemble_captioned_tiles_streaming(
+        a.repartition(1), extent=4096, buffer=128, num_partitions=1))
+    assert tiny == one

@@ -609,3 +609,229 @@ def tile_layer_stats(tiles: DataFrame) -> DataFrame:
     return tiles.select("zoom", "tile_x", "tile_y", "mvt").mapInPandas(
         stats, "zoom int, tile_x long, tile_y long, n_layers int, "
                "feature_count long, layer_names string")
+
+
+# ---------------------------------------------------------------------------
+# captioned point tiles: image_id + caption properties per feature
+# ---------------------------------------------------------------------------
+# The north-rule payload is (image, caption) pairs; these tiles carry
+# the caption through to the wire so a consumer never re-joins the
+# source table.  Kept SEPARATE from the byte-pinned single-property
+# path above (cross-strategy byte-identity tests pin that layout):
+# same vectorized helpers, second key/value stream, per-tile
+# first-seen caption dictionary (kernel/mvt.py DictStore semantics,
+# Types.hs:49-50 St values).
+
+_CAP_KEYS_BLOB = b"\x1a\x08image_id\x1a\x07caption"  # keys = [image_id, caption]
+
+
+def _captioned_feature_blobs(px: np.ndarray, py: np.ndarray,
+                             fids: np.ndarray, vidxs: np.ndarray,
+                             capidxs: np.ndarray) -> tuple:
+    """Feature messages with tags [0, vidx, 1, capidx] — the
+    two-property twin of ``_point_feature_blobs``."""
+    ix = np.rint(px).astype(np.int64)
+    iy = np.rint(py).astype(np.int64)
+    n = len(ix)
+    zx = _varint_field(kmvt.zig(ix))
+    zy = _varint_field(kmvt.zig(iy))
+    geo_len = 1 + zx[1] + zy[1]
+    fid = _varint_field(fids.astype(np.uint64))
+    vidx = _varint_field(vidxs.astype(np.uint64))
+    capv = _varint_field(capidxs.astype(np.uint64))
+    tags_len = 1 + vidx[1] + 1 + capv[1]      # 00 vidx 01 capidx
+    glen_v = _varint_field(geo_len.astype(np.uint64))
+    tlen_v = _varint_field(tags_len.astype(np.uint64))
+    feat_parts = [b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
+                  b"\x01", capv, b"\x18\x01\x22", glen_v, b"\x09", zx, zy]
+    feats, feat_lens = _assemble_records(n, feat_parts)
+    flen_v = _varint_field(feat_lens.astype(np.uint64))
+    return _assemble_records(n, [b"\x12", flen_v, (feats, feat_lens)])
+
+
+def _encode_captioned_tile_run(ids, caps, px: np.ndarray, py: np.ndarray,
+                               tile_starts: np.ndarray, metas,
+                               layer_name: str, extent: int):
+    """Captioned twin of ``_encode_tile_run``: per-tile value table is
+    the n ids followed by the tile's FIRST-SEEN-deduped captions
+    (``pd.factorize`` preserves first-seen order, matching the kernel
+    DictStore), caption tag indexes offset by the tile's id count."""
+    n = len(px)
+    k = len(metas)
+    if n == 0 or k == 0:
+        return []
+    sizes = np.diff(tile_starts)
+    within = np.arange(n, dtype=np.int64) - np.repeat(tile_starts[:-1], sizes)
+    capidx = np.empty(n, dtype=np.int64)
+    all_vals: List = []
+    v_counts = np.empty(k, dtype=np.int64)
+    caps_arr = np.asarray(caps, dtype=object)
+    for t in range(k):
+        lo, hi = int(tile_starts[t]), int(tile_starts[t + 1])
+        codes, uniques = pd.factorize(caps_arr[lo:hi])
+        capidx[lo:hi] = sizes[t] + codes
+        all_vals.extend(ids[lo:hi])
+        all_vals.extend(uniques.tolist())
+        v_counts[t] = sizes[t] + len(uniques)
+    feats_buf, wlens = _captioned_feature_blobs(px, py, within + 1,
+                                                within, capidx)
+    vals_buf, vlens = _string_values_blob(all_vals)
+    f_lens = np.add.reduceat(wlens, tile_starts[:-1])
+    v_starts = np.zeros(k, dtype=np.int64)
+    np.cumsum(v_counts[:-1], out=v_starts[1:])
+    v_lens = np.add.reduceat(vlens, v_starts)
+    name_b = layer_name.encode("utf-8")
+    prefix = b"\x78\x02\x0a" + kmvt.varint(len(name_b)) + name_b
+    suffix = b"\x28" + kmvt.varint(extent)
+    layer_lens = (len(prefix) + f_lens + len(_CAP_KEYS_BLOB)
+                  + v_lens + len(suffix)).astype(np.uint64)
+    llen_v = _varint_field(layer_lens)
+    tiles_buf, tile_lens = _assemble_records(k, [
+        b"\x1a", llen_v, prefix, (feats_buf, f_lens),
+        _CAP_KEYS_BLOB, (vals_buf, v_lens), suffix])
+    t_offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(tile_lens, out=t_offs[1:])
+    raw = tiles_buf.tobytes()
+    return [(metas[t][0], metas[t][1], metas[t][2],
+             raw[t_offs[t]:t_offs[t + 1]], int(sizes[t]), int(tile_lens[t]))
+            for t in range(k)]
+
+
+def assemble_captioned_tiles_streaming(assigned: DataFrame,
+                                       layer_name: str = "images",
+                                       extent: int = 4096, quantize: int = 1,
+                                       buffer: int = 128,
+                                       num_partitions: Optional[int] = None
+                                       ) -> DataFrame:
+    """Captioned twin of ``assemble_point_tiles_streaming``: same
+    sorted-partition fold shape (peak Python memory one Arrow batch +
+    the open tile), shuffle payload (tile_key, image_id, caption, px,
+    py)."""
+    df = T.tile_local_px(assigned, extent, quantize)
+    w = float(buffer)
+    df = df.filter((F.col("px") >= -w) & (F.col("px") <= extent + w)
+                   & (F.col("py") >= -w) & (F.col("py") <= extent + w))
+    df = df.select("tile_key", "image_id", "caption", "px", "py")
+    if num_partitions:
+        df = df.repartition(num_partitions, "tile_key")
+    else:
+        df = df.repartition("tile_key")
+    df = df.sortWithinPartitions("tile_key", "image_id")
+    return df.mapInPandas(captioned_tile_fold(layer_name, extent),
+                          TILE_SCHEMA)
+
+
+def captioned_tile_fold(layer_name: str, extent: int):
+    """Streaming fold for captioned tiles — mirrors ``point_tile_fold``
+    (same run-boundary/carry logic) with the caption column threaded
+    through; kept separate so the byte-pinned single-property fold
+    never changes shape."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_key = None
+        pend_meta = None
+        pend_ids: List = []
+        pend_caps: List = []
+        pend_px: List[np.ndarray] = []
+        pend_py: List[np.ndarray] = []
+
+        def flush_pending():
+            n = len(pend_ids)
+            rows = _encode_captioned_tile_run(
+                pend_ids, pend_caps, np.concatenate(pend_px),
+                np.concatenate(pend_py), np.array([0, n], dtype=np.int64),
+                [pend_meta], layer_name, extent)
+            return rows[0]
+
+        cols = ["zoom", "tile_x", "tile_y", "mvt", "feature_count",
+                "bytes_len"]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["tile_key"].to_numpy()
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            ids = pdf["image_id"].to_numpy()
+            caps = pdf["caption"].to_numpy()
+            zs = keys >> 56
+            txs = (keys >> 28) & ((1 << 28) - 1)
+            tys = keys & ((1 << 28) - 1)
+            rows: List[tuple] = []
+            change = np.nonzero(np.diff(keys))[0] + 1
+            bounds = np.concatenate([[0], change, [len(keys)]]).astype(np.int64)
+            n_runs = len(bounds) - 1
+            merged_first = pend_key is not None and keys[0] == pend_key
+
+            if merged_first:
+                e0 = int(bounds[1])
+                pend_ids.extend(ids[:e0].tolist())
+                pend_caps.extend(caps[:e0].tolist())
+                pend_px.append(px[:e0])
+                pend_py.append(py[:e0])
+                if n_runs > 1:
+                    rows.append(flush_pending())
+                    pend_key, pend_ids, pend_caps = None, [], []
+                    pend_px, pend_py = [], []
+            elif pend_key is not None:
+                rows.append(flush_pending())
+                pend_key, pend_ids, pend_caps = None, [], []
+                pend_px, pend_py = [], []
+
+            c_lo = 1 if merged_first else 0
+            c_hi = n_runs - 1
+            if c_hi > c_lo:
+                cs = bounds[c_lo:c_hi + 1]
+                lo, hi = int(cs[0]), int(cs[-1])
+                metas = list(zip(zs[cs[:-1]].tolist(), txs[cs[:-1]].tolist(),
+                                 tys[cs[:-1]].tolist()))
+                rows.extend(_encode_captioned_tile_run(
+                    ids[lo:hi].tolist(), caps[lo:hi].tolist(),
+                    px[lo:hi], py[lo:hi],
+                    (cs - cs[0]).astype(np.int64), metas,
+                    layer_name, extent))
+
+            # tail run opens (or keeps open) the pending tile
+            t0 = int(bounds[-2])
+            if not (merged_first and n_runs == 1):
+                pend_key = keys[t0]
+                pend_meta = (int(zs[t0]), int(txs[t0]), int(tys[t0]))
+                pend_ids = ids[t0:].tolist()
+                pend_caps = caps[t0:].tolist()
+                pend_px = [px[t0:]]
+                pend_py = [py[t0:]]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pend_key is not None and pend_ids:
+            yield pd.DataFrame([flush_pending()], columns=cols)
+
+    return fold
+
+
+def captioned_tile_stats(tiles: DataFrame,
+                         layer_name: str = "images") -> DataFrame:
+    """Decode-back audit for captioned tiles: per tile the feature
+    count, the value-table length (== features + first-seen-distinct
+    captions when the dictionary is correct), the distinct-caption
+    count, and the total utf-8 caption bytes summed over FEATURES
+    (resolved through the tag indexes, so a wrong dictionary index
+    breaks the sum) — all integers, oracle-able."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, mvt in zip(pdf["zoom"], pdf["tile_x"],
+                                      pdf["tile_y"], pdf["mvt"]):
+                layer = kmvt.decode_tile(bytes(mvt))[layer_name]
+                caps = [f["metadata"]["caption"][1]
+                        for f in layer["features"]]
+                rows.append((int(z), int(tx), int(ty),
+                             len(layer["features"]), len(layer["values"]),
+                             len(set(caps)),
+                             sum(len(c.encode("utf-8")) for c in caps)))
+            yield pd.DataFrame(rows, columns=[
+                "zoom", "tile_x", "tile_y", "feature_count", "n_values",
+                "distinct_caps", "caption_bytes"])
+
+    return tiles.select("zoom", "tile_x", "tile_y", "mvt").mapInPandas(
+        stats, "zoom int, tile_x long, tile_y long, feature_count long, "
+               "n_values long, distinct_caps long, caption_bytes long")

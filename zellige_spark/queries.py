@@ -993,6 +993,64 @@ def sql_tile_compose() -> str:
     """
 
 
+CAPTION_EXPR = "concat('cap ', CAST(c_custkey % 97 AS STRING))"
+
+
+def q_caption_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Captioned point tiles: the north-rule payload is (image,
+    caption) PAIRS, and these tiles carry both properties on the wire
+    — keys [image_id, caption], per-tile first-seen caption dictionary
+    (``encode.assemble_captioned_tiles_streaming``).  The query decodes
+    every tile back and emits integer dictionary/caption stats, which
+    the oracle recomputes relationally — so tag indexes, dictionary
+    dedup, and utf-8 caption round-trip are all hash-verified."""
+    pts = _customer_points(spark, sf_dir).select(
+        F.col("c_custkey").cast("string").alias("image_id"),
+        F.expr(CAPTION_EXPR).alias("caption"), "lon", "lat")
+    a = T.assign_tiles_buffered(pts, zoom=ENC_ZOOM, extent=ENC_EXTENT,
+                                buffer=ENC_BUFFER)
+    tiles = E.assemble_captioned_tiles_streaming(a, extent=ENC_EXTENT,
+                                                 buffer=ENC_BUFFER)
+    out = E.captioned_tile_stats(tiles)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y", "feature_count", "n_values",
+                      "distinct_caps", "caption_bytes")
+
+
+def sql_caption_tiles() -> str:
+    pad = float(ENC_BUFFER) / float(ENC_EXTENT)
+    n = 2 ** ENC_ZOOM
+    res = 2.0 * MAX_EXTENTS / n
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CAPTION_EXPR.replace("STRING", "VARCHAR")} AS caption,
+             {CUST_LON} AS lon, {CUST_LAT} AS lat
+      FROM customer
+    ), proj AS (
+      SELECT c_custkey, caption, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), frac AS (
+      SELECT c_custkey, caption,
+             (x3857 + {MAX_EXTENTS}) / {res} AS fx,
+             ({MAX_EXTENTS} - y3857) / {res} AS fy,
+             least(cast(floor((x3857 + {MAX_EXTENTS}) / {res}) as bigint), {n - 1}) AS bx,
+             least(cast(floor(({MAX_EXTENTS} - y3857) / {res}) as bigint), {n - 1}) AS by
+      FROM proj
+    ), fanned AS (
+      SELECT caption, bx + s.dx AS tile_x, by + s.dy AS tile_y
+      FROM frac CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS s(dx, dy)
+      WHERE bx + s.dx >= 0 AND by + s.dy >= 0 AND bx + s.dx < {n} AND by + s.dy < {n}
+        AND fx >= (bx + s.dx) - {pad} AND fx <= (bx + s.dx) + 1 + {pad}
+        AND fy >= (by + s.dy) - {pad} AND fy <= (by + s.dy) + 1 + {pad}
+    )
+    SELECT CAST({ENC_ZOOM} AS INT) AS zoom, tile_x, tile_y,
+           CAST(COUNT(*) AS BIGINT) AS feature_count,
+           CAST(COUNT(*) + COUNT(DISTINCT caption) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT caption) AS BIGINT) AS distinct_caps,
+           CAST(SUM(length(caption)) AS BIGINT) AS caption_bytes
+    FROM fanned GROUP BY tile_x, tile_y
+    """
+
+
 OZ_PZOOM = 4  # parents at z4 / extent 8192 -> children at z5 / extent 4096
 
 
@@ -2000,6 +2058,8 @@ QUERIES = {
     "tile_overzoom": q_tile_overzoom,
     # multi-layer composition by wire-level concat, decode-audited
     "tile_compose": q_tile_compose,
+    # caption-carrying tiles (north-rule image+caption pairs on the wire)
+    "caption_tiles": q_caption_tiles,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -2104,6 +2164,7 @@ ORACLES = {
     "mvt_tile_stats": sql_mvt_tile_stats(),
     "tile_overzoom": sql_tile_overzoom(),
     "tile_compose": sql_tile_compose(),
+    "caption_tiles": sql_caption_tiles(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
