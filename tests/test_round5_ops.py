@@ -2064,3 +2064,101 @@ def test_captioned_tiles_roundtrip_and_dictionary_law(spark):
     one = _tile_dict(E.assemble_captioned_tiles_streaming(
         a.repartition(1), extent=4096, buffer=128, num_partitions=1))
     assert tiny == one
+
+
+def test_overzoom_feature_tiles_matches_kernel_clip(spark):
+    """Generic-geometry overzoom: every child's decoded geometry equals
+    running the reference clip kernels directly on the transformed
+    parent geometry (QuickClip lines, Sutherland-Hodgman polygons,
+    window mask points), with fids and property Val types preserved."""
+    import numpy as np
+
+    from zellige_spark.kernel import clip as kclip
+    from zellige_spark.kernel import mvt as kmvt
+    from zellige_spark.kernel import pipeline as kpipe
+    from zellige_spark.operators import overzoom as OZ
+
+    feats = [
+        {"fid": 7, "geom_type": "MultiPoint", "props": {"name": "p1", "v": 3},
+         "parts": [[np.array([[1000.0, 1000.0], [5000.0, 6000.0]])]]},
+        {"fid": 8, "geom_type": "MultiLineString", "props": {"name": "road"},
+         "parts": [[np.array([[100.0, 100.0], [8000.0, 8100.0]])]]},
+        {"fid": 9, "geom_type": "MultiPolygon", "props": {"ok": True},
+         "parts": [[np.array([[3000.0, 3000.0], [6000.0, 3000.0],
+                              [6000.0, 6000.0], [3000.0, 6000.0],
+                              [3000.0, 3000.0]])]]},
+    ]
+    cfg = kpipe.TileConfig("features", 3, 3, 2, buffer=128, extent=8192,
+                           quantize=1, simplify="none")
+    parent = kpipe.encode_features_local(feats, cfg)
+    pdf = spark.createDataFrame(
+        [(3, 3, 2, bytearray(parent), 3, len(parent))],
+        "zoom int, tile_x long, tile_y long, mvt binary, "
+        "feature_count long, bytes_len long")
+    kids = OZ.overzoom_feature_tiles(pdf, layer_name="features",
+                                     child_extent=4096, buffer=128).collect()
+    assert sorted((r["zoom"], r["tile_x"], r["tile_y"], r["feature_count"])
+                  for r in kids) == [(4, 6, 4, 3), (4, 6, 5, 2),
+                                     (4, 7, 4, 2), (4, 7, 5, 3)]
+    window = kclip.buffered_bbox(128, 4096)
+    for r in kids:
+        qx, qy = r["tile_x"] & 1, r["tile_y"] & 1
+        off = np.array([qx * 4096.0, qy * 4096.0])
+        layer = kmvt.decode_tile(bytes(r["mvt"]))["features"]
+        by_id = {f["id"]: f for f in layer["features"]}
+        # point feature: window mask on transformed points
+        pts = np.array([[1000.0, 1000.0], [5000.0, 6000.0]]) - off
+        mask = kclip.point_in_extent_mask(window, pts[:, 0], pts[:, 1])
+        if mask.any():
+            got = by_id[7]
+            assert got["metadata"] == {"name": ("st", "p1"),
+                                       "v": ("do", 3.0)}
+            assert got["geometry"] == [tuple(map(int, p))
+                                       for p in pts[mask]]
+        else:
+            assert 7 not in by_id
+        # line: QuickClip + int conversion
+        line = np.array([[100.0, 100.0], [8000.0, 8100.0]]) - off
+        res = kclip.clip_line_qc(window, line)
+        if res is not None:
+            want = kmvt.convert_and_remove_dupes(res)
+            assert by_id[8]["geometry"] == [[tuple(map(int, p))
+                                             for p in want]]
+        # polygon: S-H + closing-point law (decode re-closes)
+        ring = np.array([[3000.0, 3000.0], [6000.0, 3000.0],
+                         [6000.0, 6000.0], [3000.0, 6000.0],
+                         [3000.0, 3000.0]]) - off
+        rings = kclip.clip_polygon_sh(window, [ring])
+        if rings:
+            want = kmvt.convert_and_remove_dupes(rings[0])
+            outer = by_id[9]["geometry"][0][0]
+            assert outer[:-1] == [tuple(map(int, p)) for p in want[:-1]]
+            assert outer[0] == outer[-1]
+            assert by_id[9]["metadata"] == {"ok": ("b", True)}
+
+
+def test_overzoom_feature_tiles_byte_parity_with_point_path(spark):
+    """For a pure-point layer with every feature inside one child
+    quadrant's interior, the generic kernel path emits BYTE-IDENTICAL
+    children to the vectorized point fast path — the two encoders'
+    layouts provably coincide."""
+    import numpy as np
+
+    from zellige_spark.operators import encode as E
+    from zellige_spark.operators import overzoom as OZ
+
+    ids = [f"a{i:02d}" for i in range(7)]
+    px = np.linspace(200.0, 3000.0, 7)
+    py = np.linspace(300.0, 3400.0, 7)
+    parent = E._finish_point_tile(ids, px, py, "images", 8192)
+    pdf = spark.createDataFrame(
+        [(4, 5, 6, bytearray(parent), 7, len(parent))],
+        "zoom int, tile_x long, tile_y long, mvt binary, "
+        "feature_count long, bytes_len long")
+    fast = _tile_dict(OZ.overzoom_point_tiles(pdf, child_extent=4096,
+                                              buffer=128))
+    gen = _tile_dict(OZ.overzoom_feature_tiles(pdf, layer_name="images",
+                                               child_extent=4096,
+                                               buffer=128))
+    assert set(fast) == set(gen) == {(5, 10, 12)}
+    assert fast == gen
