@@ -2162,3 +2162,36 @@ def test_overzoom_feature_tiles_byte_parity_with_point_path(spark):
                                                buffer=128))
     assert set(fast) == set(gen) == {(5, 10, 12)}
     assert fast == gen
+
+
+def test_repartition_by_geohash_locality_prefix_prune(spark, tmp_path):
+    """String member of the locality family: files hold disjoint sorted
+    geohash ranges, and a prefix (cell-containment) predicate reaches
+    the parquet scan as StringStartsWith."""
+    import glob
+
+    from zellige_spark.operators import geocodes as GC
+
+    df = _locality_corpus(spark, 13)
+    out = GC.repartition_by_geohash_locality(df, precision=7, partitions=8)
+    path = str(tmp_path / "ghlayout")
+    out.write.parquet(path)
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        c = pq.read_table(f, columns=["geohash"]).column("geohash").to_pylist()
+        if c:
+            ranges.append((min(c), max(c)))
+            assert c == sorted(c)
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+    back = spark.read.parquet(path)
+    # pick a 3-char prefix that exists
+    prefix = back.limit(1).collect()[0]["geohash"][:3]
+    pred = back.filter(F.col("geohash").startswith(prefix))
+    assert pred.count() > 0
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith" in plan and "PushedFilters" in plan

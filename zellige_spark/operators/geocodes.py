@@ -137,3 +137,22 @@ def geohash_py(lon: float, lat: float, precision: int) -> str:
             val = (val << 1) | bit
         out.append(GEOHASH_BASE32[val])
     return "".join(out)
+
+
+def repartition_by_geohash_locality(df: DataFrame, precision: int = 7,
+                                    partitions: int | None = None,
+                                    lon_col: str = "lon",
+                                    lat_col: str = "lat") -> DataFrame:
+    """Geohash-backend spatial file layout — the STRING member of the
+    CellIndex locality family (S2 Hilbert cid / XYZ Morton / hex
+    Morton): attach the precision-p code and route through the shared
+    ``knn.repartition_by_cell_locality`` range+sort helper.  Geohash
+    lexicographic order IS spatial order (prefix = containment), so
+    written files hold disjoint code ranges and parquet min/max STRING
+    stats prune both a code-range predicate and — the idiomatic form —
+    a ``LIKE 'u4pr%'`` / ``startswith`` cell-containment predicate
+    (StringStartsWith pushdown, test-asserted)."""
+    from .knn import repartition_by_cell_locality
+
+    df = with_geohash(df, precision, lon_col, lat_col)
+    return repartition_by_cell_locality(df, "geohash", partitions)
