@@ -2195,3 +2195,55 @@ def test_repartition_by_geohash_locality_prefix_prune(spark, tmp_path):
     assert pred.count() > 0
     plan = pred._jdf.queryExecution().executedPlan().toString()
     assert "StringStartsWith" in plan and "PushedFilters" in plan
+
+
+# --- WKB interop + tileset manifest ------------------------------------------
+
+def test_wkb_point_struct_pack_goldens_and_endianness():
+    """Encode matches struct.pack byte-for-byte (OGC layout); parse
+    accepts BOTH byte orders and rejects wrong type / length / marker."""
+    import struct
+
+    import numpy as np
+
+    from zellige_spark import io_wkb as WKB
+
+    lon, lat = np.array([2.5, -180.0, -0.0]), np.array([-3.25, 85.05, 0.0])
+    got = WKB.wkb_point_bytes(lon, lat)
+    for i in range(3):
+        want = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd",
+                                                            lon[i], lat[i])
+        assert got[i] == want
+    dlon, dlat = WKB.parse_wkb_point_bytes(got)
+    assert dlon.tobytes() == lon.astype("<f8").tobytes()  # bit-exact (-0.0)
+    assert dlat.tobytes() == lat.astype("<f8").tobytes()
+
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 7.5, -8.25)
+    blon, blat = WKB.parse_wkb_point_bytes([be, got[0]])
+    assert (blon.tolist(), blat.tolist()) == ([7.5, 2.5], [-8.25, -3.25])
+
+    with pytest.raises(ValueError, match="not Point"):
+        WKB.parse_wkb_point_bytes(
+            [b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 0, 0)])
+    with pytest.raises(ValueError, match="21 bytes"):
+        WKB.parse_wkb_point_bytes([got[0][:-1]])
+    with pytest.raises(ValueError, match="byte-order"):
+        WKB.parse_wkb_point_bytes([b"\x02" + got[0][1:]])
+
+
+def test_wkb_spark_roundtrip_bit_exact_and_map_only(spark):
+    """Spark encode -> parse returns the exact input doubles (bit-wise,
+    via the oracle-grade equality on collected values), and the chain
+    is map-only (zero Exchanges)."""
+    from zellige_spark import io_wkb as WKB
+
+    df = (spark.range(1000)
+          .selectExpr("id", "(id * 7919 % 360000) / 1000.0 - 180.0 AS lon",
+                      "((id * 104729 + 13) % 170000) / 1000.0 - 85.0 AS lat"))
+    dec = WKB.parse_wkb_points(
+        WKB.wkb_points(df).drop("lon", "lat"), lon_col="dlon", lat_col="dlat")
+    joined = df.join(dec.select("id", "dlon", "dlat"), "id")
+    bad = joined.filter("dlon <> lon OR dlat <> lat")
+    assert bad.count() == 0
+    assert "Exchange" not in _plan(
+        WKB.parse_wkb_points(WKB.wkb_points(df).drop("lon", "lat")))

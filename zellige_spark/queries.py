@@ -993,6 +993,87 @@ def sql_tile_compose() -> str:
     """
 
 
+# Double-typed twins of CUST_LON/CUST_LAT: float literals parse as
+# DECIMAL in BOTH engines (Spark DECIMAL(28,6) out of _customer_points,
+# DuckDB exact decimal division), and the two engines round
+# decimal->double DIFFERENTLY downstream — so a query whose OUTPUT is
+# the raw doubles must force every operand to DOUBLE so both engines
+# run the identical IEEE op sequence (1-ulp mismatches otherwise,
+# measured on ~45% of rows).
+CUST_LON_DBL = ("CAST(c_custkey * 7919 % 360000 AS DOUBLE)"
+                " / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)")
+CUST_LAT_DBL = ("CAST((c_custkey * 104729 + 13) % 170000 AS DOUBLE)"
+                " / CAST(1000.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)")
+
+
+def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB interop (GeoParquet's geometry encoding): encode customer
+    points to OGC WKB Point bytes, parse them back, and emit the
+    decoded doubles with byte-level metadata.  IEEE-754 doubles
+    round-trip bit-exactly through the 21-byte layout, so the decoded
+    lon/lat equal the shared-text originals and the whole chain sits
+    under the hash-exact oracle (float columns are safe here because
+    the expression TEXT keeps both engines in pure-double arithmetic
+    and WKB is a bit-copy).  Map-only: two Arrow passes, no shuffle."""
+    from . import io_wkb as WKB
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.expr(CUST_LON_DBL).alias("lon"),
+        F.expr(CUST_LAT_DBL).alias("lat"))
+    enc = WKB.wkb_points(pts)
+    dec = WKB.parse_wkb_points(enc.drop("lon", "lat"),
+                               lon_col="lon", lat_col="lat")
+    return dec.select(
+        "c_custkey", "lon", "lat",
+        F.length("wkb").cast("int").alias("wkb_len"),
+        F.expr("CAST(substr(wkb, 1, 1) = x'01' AS INT)").alias("is_le"))
+
+
+def sql_wkb_roundtrip() -> str:
+    return f"""
+    SELECT c_custkey, {CUST_LON_DBL} AS lon, {CUST_LAT_DBL} AS lat,
+           CAST(21 AS INT) AS wkb_len, CAST(1 AS INT) AS is_le
+    FROM customer
+    """
+
+
+def q_tileset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TileJSON-style tileset manifest: the per-zoom metadata a tile
+    SERVER publishes (bounds of the occupied tile range, tile count,
+    feature totals) for zooms 0/5/9/14 — one aggregation over the
+    buffered assignment per zoom, aggregates-of-raw-rows only (no
+    tile bytes touched)."""
+    pts = _customer_points(spark, sf_dir)
+    a = T.assign_tiles(pts, ZOOMS)
+    return (a.groupBy(F.col("zoom").cast("int").alias("zoom"))
+             .agg(F.countDistinct("tile_x", "tile_y").alias("n_tiles"),
+                  F.min("tile_x").alias("min_x"),
+                  F.max("tile_x").alias("max_x"),
+                  F.min("tile_y").alias("min_y"),
+                  F.max("tile_y").alias("max_y"),
+                  F.count(F.lit(1)).alias("n_features")))
+
+
+def sql_tileset_manifest() -> str:
+    tx, ty = _sql_tile("z.zoom")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiles AS (
+      SELECT CAST(z.zoom AS INT) AS zoom, {tx} AS tile_x, {ty} AS tile_y
+      FROM proj CROSS JOIN (VALUES (0),(5),(9),(14)) AS z(zoom)
+    )
+    SELECT zoom,
+           CAST(COUNT(DISTINCT (tile_x, tile_y)) AS BIGINT) AS n_tiles,
+           MIN(tile_x) AS min_x, MAX(tile_x) AS max_x,
+           MIN(tile_y) AS min_y, MAX(tile_y) AS max_y,
+           CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM tiles GROUP BY zoom
+    """
+
+
 CAPTION_EXPR = "concat('cap ', CAST(c_custkey % 97 AS STRING))"
 
 
@@ -2060,6 +2141,10 @@ QUERIES = {
     "tile_compose": q_tile_compose,
     # caption-carrying tiles (north-rule image+caption pairs on the wire)
     "caption_tiles": q_caption_tiles,
+    # OGC WKB point encode/parse round-trip (GeoParquet interop)
+    "wkb_roundtrip": q_wkb_roundtrip,
+    # per-zoom tileset metadata (TileJSON-style server manifest)
+    "tileset_manifest": q_tileset_manifest,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -2165,6 +2250,8 @@ ORACLES = {
     "tile_overzoom": sql_tile_overzoom(),
     "tile_compose": sql_tile_compose(),
     "caption_tiles": sql_caption_tiles(),
+    "wkb_roundtrip": sql_wkb_roundtrip(),
+    "tileset_manifest": sql_tileset_manifest(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
