@@ -2247,3 +2247,62 @@ def test_wkb_spark_roundtrip_bit_exact_and_map_only(spark):
     assert bad.count() == 0
     assert "Exchange" not in _plan(
         WKB.parse_wkb_points(WKB.wkb_points(df).drop("lon", "lat")))
+
+
+# --- as-of temporal join ----------------------------------------------------
+
+def test_asof_join_semantics_ties_and_nulls(spark):
+    """Inclusive match (ref at the exact probe ts wins), duplicate ref
+    timestamps resolve to the max ref id, probes before any ref get
+    nulls, keys never cross."""
+    from zellige_spark.operators.temporal import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 10, 205), (4, 20, 300)],
+        "pid long, k long, t long")
+    refs = spark.createDataFrame(
+        [(7, 10, 100), (8, 10, 200), (9, 10, 200), (11, 30, 1)],
+        "rid long, k long, t long")
+    out = asof_join(
+        probes, refs.select("k", F.col("t").alias("rt"),
+                            F.col("rid").alias("m_id"),
+                            F.col("t").alias("m_t")).withColumnRenamed("rt", "t"),
+        key="k", ts="t",
+        probe_cols=["pid", "k", "t"], ref_cols=["m_id", "m_t"])
+    got = {r.pid: (r.asof_m_id, r.asof_m_t) for r in out.collect()}
+    assert got[1] == (7, 100)        # inclusive: t==ref t matches
+    assert got[2] == (None, None)    # before any ref
+    assert got[3] == (9, 200)        # dup ref ts -> max rid
+    assert got[4] == (None, None)    # key 20 has no refs (key 30 unseen)
+
+
+def test_asof_join_single_exchange_plan(spark):
+    """The union+window plan shuffles ONCE (hash by key for the window
+    sort) — no range-join fan-out, no second Exchange."""
+    import re
+    from zellige_spark import queries as Q
+
+    plan = Q.q_asof_join(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("AdaptiveSparkPlan", 1)[-1].split("Initial Plan", 1)[0]
+    n = len(re.findall(r"Exchange hashpartitioning", body))
+    assert n == 1, plan
+    assert "CartesianProduct" not in body and "NestedLoopJoin" not in body
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Full-query equality with DuckDB's native ASOF LEFT JOIN at
+    sf0.001 (the independent-engine oracle the driver gate reruns at
+    sf0.01)."""
+    import duckdb
+    from zellige_spark import queries as Q
+
+    sdf = Q.q_asof_join(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    odf = con.execute(Q.sql_asof_join()).df()
+    assert len(sdf) == len(odf) > 0
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        sdf.sort_values("event_id").reset_index(drop=True),
+        odf.sort_values("event_id").reset_index(drop=True),
+        check_dtype=False)

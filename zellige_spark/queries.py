@@ -2041,6 +2041,61 @@ def sql_traj_stats() -> str:
     """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal join: every click enriched with the latest error
+    by the same user at or before the click (``operators/temporal.py``
+    union+window plan — ONE Exchange over clicks+errors, no interval
+    fan-out).  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a
+    genuinely independent engine implementation of the operator (data
+    has no (user, ts) ties at either gate scale, so both formulations
+    are deterministic; tie semantics are pinned separately in pytest).
+    Timestamps compare as ``unix_micros`` BIGINTs; the gap is an
+    integer difference (no float columns under the gate)."""
+    from .operators import temporal as TMP
+
+    # ts is TIMESTAMP_NTZ; the session tz is UTC, so NTZ->TZ cast +
+    # unix_micros == DuckDB's epoch_us on the naive value (exact BIGINT
+    # microseconds — second-level epochs could tie inside a second)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    probes = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_us"))
+    refs = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("ts_us").alias("rts"),
+                    F.col("event_id").alias("err_id"),
+                    F.col("ts_us").alias("err_ts")))
+    out = TMP.asof_join(probes, refs.withColumnRenamed("rts", "ts_us"),
+                        key="user_id", ts="ts_us",
+                        probe_cols=["event_id", "user_id", "ts_us"],
+                        ref_cols=["err_id", "err_ts"])
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_err_id").cast("long").alias("asof_err_id"),
+        F.col("asof_err_ts").cast("long").alias("asof_err_ts"),
+        (F.col("ts_us") - F.col("asof_err_ts")).cast("long").alias("gap_us"),
+    ).orderBy("event_id")
+
+
+def sql_asof_join() -> str:
+    return """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), errors AS (
+      SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           CAST(e.err_id AS BIGINT) AS asof_err_id,
+           CAST(e.err_ts AS BIGINT) AS asof_err_ts,
+           CAST(c.ts_us - e.err_ts AS BIGINT) AS gap_us
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts_us >= e.err_ts
+    ORDER BY c.event_id
+    """
+
+
 def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Douglas-Peucker over per-user tracks: the
     reference's simplification recursion (kernel/simplify.py,
@@ -2185,6 +2240,9 @@ QUERIES = {
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
     "event_sessions": SESS.q_event_sessions,
+    # as-of temporal join (latest error per user <= each click; DuckDB
+    # native ASOF LEFT JOIN is the independent oracle)
+    "asof_join": q_asof_join,
     # per-user track stats (meter-quantized haversine legs, one Exchange)
     "traj_stats": q_traj_stats,
     # distributed Douglas-Peucker per trajectory (rows-only with
@@ -2275,6 +2333,7 @@ ORACLES = {
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_sessions": SESS.sql_event_sessions(),
+    "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
