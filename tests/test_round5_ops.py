@@ -2306,3 +2306,88 @@ def test_asof_join_matches_duckdb_asof(spark):
         sdf.sort_values("event_id").reset_index(drop=True),
         odf.sort_values("event_id").reset_index(drop=True),
         check_dtype=False)
+
+
+# --- grid-density hotspot clustering ----------------------------------------
+
+def _brute_hotspots(cells: dict, side: int) -> dict:
+    """Union-find 8-connected CC over a dense-cell dict {(x,y): n_pts};
+    x wraps, y does not.  Root = min key (all keys start as roots and
+    unions always keep the smaller root)."""
+    keys = {c: c[0] * side + c[1] for c in cells}
+    parent = {k: k for k in keys.values()}
+
+    def find(a):
+        while parent[a] != a:
+            a = parent[a]
+        return a
+
+    for (x, y) in cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nb = ((x + dx + side) % side, y + dy)
+                if nb in cells:
+                    ra, rb = find(keys[(x, y)]), find(keys[nb])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    return {c: find(keys[c]) for c in cells}
+
+
+def test_hotspot_clusters_match_brute_force_cc(spark):
+    """300 deterministic pseudo-random points at z4: operator clusters
+    == union-find over the same dense-cell set (adjacency rule and
+    min-key labeling both pinned)."""
+    from zellige_spark.operators import hotspots as HOT
+
+    rows = [(i, (i * 7919 % 360000) / 1000.0 - 180.0,
+             ((i * 104729 + 13) % 170000) / 1000.0 - 85.0)
+            for i in range(300)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = {(r.tile_x, r.tile_y): (r.n_pts, r.cluster)
+           for r in HOT.hotspot_clusters(pts, 4, 2).collect()}
+    dense = {(r.tile_x, r.tile_y): r.n_pts
+             for r in HOT.dense_cells(pts, 4, 2).collect()}
+    assert len(got) == len(dense) > 5
+    brute = _brute_hotspots(dense, side=16)
+    for cell, (n, cluster) in got.items():
+        assert n == dense[cell]
+        assert cluster == brute[cell], cell
+
+
+def test_hotspot_antimeridian_wrap_and_min_count(spark):
+    """x=0 and x=side-1 cells at the same y merge across the
+    antimeridian; a lone point never makes a dense cell; a far-away
+    dense cell gets its own cluster; labels are min cell keys."""
+    from zellige_spark.operators import hotspots as HOT
+
+    side = 8  # zoom 3
+    rows = ([(-179.5, 0.5)] * 2 + [(179.5, 0.5)] * 3    # wrap pair
+            + [(0.5, 60.0)] * 4                          # far dense cell
+            + [(90.0, -60.0)])                           # singleton point
+    pts = spark.createDataFrame(rows, "lon double, lat double")
+    out = {(r.tile_x, r.tile_y): (r.n_pts, r.cluster)
+           for r in HOT.hotspot_clusters(pts, 3, 2).collect()}
+    assert len(out) == 3  # the lone point's cell is not dense
+    (xw, yw) = next(c for c in out if c[0] == 0)
+    (xe, ye) = next(c for c in out if c[0] == side - 1)
+    assert yw == ye and out[(xw, yw)][0] == 2 and out[(xe, ye)][0] == 3
+    # wrap-adjacent cells share a cluster labeled by the MIN key (x=0 side)
+    assert out[(xw, yw)][1] == out[(xe, ye)][1] == xw * side + yw
+    far = next(c for c in out if c not in ((xw, yw), (xe, ye)))
+    assert out[far][1] == far[0] * side + far[1] != out[(xw, yw)][1]
+
+
+def test_hotspot_dense_cells_single_exchange(spark):
+    """The only operation over raw rows is the per-cell count: exactly
+    one Exchange in the dense_cells plan (map-side partial agg)."""
+    from zellige_spark.operators import hotspots as HOT
+
+    pts = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "(c_custkey * 7919 % 360000) / 1000.0 - 180.0 AS lon",
+        "((c_custkey * 104729 + 13) % 170000) / 1000.0 - 85.0 AS lat")
+    plan = _plan(HOT.dense_cells(pts, 4, 2))
+    # tree lines read "Exchange (N)"; details repeat the node as "(N) Exchange"
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan  # map-side combine below the shuffle

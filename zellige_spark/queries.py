@@ -1037,6 +1037,67 @@ def sql_wkb_roundtrip() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q: hotspot_clusters — grid-density clustering (DBSCAN's grid cousin)
+# ---------------------------------------------------------------------------
+
+HOT_ZOOM = 4
+HOT_MIN = 2
+
+
+def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-region discovery: z4 cells holding >= 2 customers, merged
+    into 8-connected clusters labeled by the min cell key (antimeridian
+    x-wrap).  Raw rows are touched exactly once (the per-cell count);
+    adjacency + connected components run on the grid-bounded dense-cell
+    set — the web-scale DBSCAN approximation."""
+    from .operators import hotspots as HOT
+
+    pts = _customer_points(spark, sf_dir)
+    return (HOT.hotspot_clusters(pts, HOT_ZOOM, HOT_MIN)
+            .orderBy("tile_x", "tile_y"))
+
+
+def sql_hotspot_clusters() -> str:
+    tx, ty = _sql_tile(str(HOT_ZOOM))
+    side = 1 << HOT_ZOOM
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), cells AS (
+      SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n_pts
+      FROM proj GROUP BY 1, 2
+    ), dense AS (
+      SELECT tile_x, tile_y, n_pts, tile_x * {side} + tile_y AS key
+      FROM cells WHERE n_pts >= {HOT_MIN}
+    ), nbr AS (
+      SELECT d.key,
+             (d.tile_x + o.dx + {side}) % {side} AS nx,
+             d.tile_y + o.dy AS ny
+      FROM dense d CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                      (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+    ), pairs AS (
+      SELECT n.key AS a, d2.key AS b
+      FROM nbr n JOIN dense d2 ON d2.tile_x = n.nx AND d2.tile_y = n.ny
+      WHERE n.key < d2.key
+    ), edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), reach(node, r) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ), comp AS (
+      SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT d.tile_x, d.tile_y, d.n_pts,
+           CAST(COALESCE(c.component, d.key) AS BIGINT) AS cluster
+    FROM dense d LEFT JOIN comp c ON c.node = d.key
+    ORDER BY tile_x, tile_y
+    """
+
+
 def q_tileset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TileJSON-style tileset manifest: the per-zoom metadata a tile
     SERVER publishes (bounds of the occupied tile range, tile count,
@@ -2200,6 +2261,8 @@ QUERIES = {
     "wkb_roundtrip": q_wkb_roundtrip,
     # per-zoom tileset metadata (TileJSON-style server manifest)
     "tileset_manifest": q_tileset_manifest,
+    # grid-density hotspot clustering (8-connected dense z4 cells)
+    "hotspot_clusters": q_hotspot_clusters,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -2310,6 +2373,7 @@ ORACLES = {
     "caption_tiles": sql_caption_tiles(),
     "wkb_roundtrip": sql_wkb_roundtrip(),
     "tileset_manifest": sql_tileset_manifest(),
+    "hotspot_clusters": sql_hotspot_clusters(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
