@@ -2391,3 +2391,63 @@ def test_hotspot_dense_cells_single_exchange(spark):
     # tree lines read "Exchange (N)"; details repeat the node as "(N) Exchange"
     assert plan.count("Exchange (") == 1
     assert "partial_count" in plan  # map-side combine below the shuffle
+
+
+# --- origin-destination flows ------------------------------------------------
+
+def test_od_trips_order_ties_and_day_split(spark):
+    """First/last selection is (ts, event_id)-ordered (a timestamp tie
+    breaks on the id), and UTC midnight splits one user into two
+    trips."""
+    import datetime as dt
+    from zellige_spark.operators import flows as FLW
+
+    T0 = dt.datetime(2024, 1, 1, 23, 0, 0)
+    rows = [
+        # day 1: tie at 23:00 -> origin is event_id 1; last is 23:30
+        (1, 2, T0, 10.0, 10.0), (1, 1, T0, 20.0, 20.0),
+        (1, 3, T0 + dt.timedelta(minutes=30), 30.0, 30.0),
+        # day 2 (after midnight): single point -> o == d
+        (1, 4, T0 + dt.timedelta(hours=2), 40.0, 40.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz,"
+              " lon double, lat double")
+    out = {r.day: r for r in FLW.od_trips(pts).collect()}
+    assert len(out) == 2
+    d1, d2 = sorted(out)
+    assert d2 == d1 + 1
+    assert (out[d1].o.lon, out[d1].d.lon) == (20.0, 30.0)
+    assert (out[d2].o.lon, out[d2].d.lon) == (40.0, 40.0)
+
+
+def test_od_flows_counts_and_mapside_partial_agg(spark):
+    """Flow counts: n_trips counts (user, day) trips, n_users distinct
+    users; the raw-row aggregation has partial min_by/max_by BELOW its
+    Exchange (the combiner ships trip endpoints, not pings)."""
+    import datetime as dt
+    from zellige_spark.operators import flows as FLW
+
+    T0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    mk = []
+    eid = 0
+    # 3 users x 2 days, all traveling cell(-170..)->cell(+170..) at z1
+    for u in (1, 2, 3):
+        for d in (0, 1):
+            for (h, lon) in ((0, -170.0), (1, 170.0)):
+                mk.append((u, eid, T0 + dt.timedelta(days=d, hours=h),
+                           lon, 40.0))
+                eid += 1
+    pts = spark.createDataFrame(
+        mk, "user_id long, event_id long, ts timestamp_ntz,"
+            " lon double, lat double")
+    flows = FLW.od_flows(pts, zoom=1)
+    rows = flows.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.o_x, r.d_x) == (0, 1) and r.o_y == r.d_y
+    assert r.n_trips == 6 and r.n_users == 3
+    plan = _plan(flows)
+    # partial_min_by/max_by only appear in map-side partial-agg nodes:
+    # the combiner reduces pings to trip endpoints before the shuffle
+    assert "partial_min_by" in plan and "partial_max_by" in plan

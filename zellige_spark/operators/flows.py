@@ -1,0 +1,66 @@
+"""Origin-destination flow matrices over trajectories.
+
+"How many trips went from cell A to cell B?" — the flow-map / mobility
+matrix over a trillion geotagged events: per (entity, UTC day) take the
+first and last position in time order (one trip), assign both ends to
+tile cells at a coarse zoom, and count trips + distinct entities per
+directed (origin cell, destination cell) pair.
+
+Scale plan: two aggregations, both with map-side partial combine.
+(1) trips — groupBy (entity, day) with ``min_by``/``max_by`` keyed on
+(ts, id): the combiner reduces every partition to at most one row per
+local (entity, day) BEFORE the shuffle, so the Exchange ships trip
+endpoints, not raw pings (a window/row_number formulation would shuffle
+every raw row).  (2) flows — groupBy the four tile coordinates over the
+trip table, whose size is bounded by entities x days regardless of ping
+volume.  All tile math is the pure Column 3857 pipeline from
+``tiles.py`` (whole-stage codegen, no Python).
+
+Day boundaries use integer microsecond arithmetic
+(``unix_micros(ts) div 86400000000``) — identical truncation on Spark
+and DuckDB, no float epoch near-midnight hazard, no session-timezone
+dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import tiles as T
+
+__all__ = ["od_trips", "od_flows"]
+
+
+def od_trips(df: DataFrame, entity_col: str = "user_id",
+             ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """One row per (entity, UTC-day index): ``o``/``d`` structs holding
+    the (lon, lat) of the first/last event in ((ts, id)) order.  The
+    (ts, id) struct key makes the pick total-order deterministic even
+    under timestamp ties."""
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    pos = F.struct(F.col("lon"), F.col("lat"))
+    # ts arrives TIMESTAMP_NTZ; session tz is UTC, so NTZ->TZ cast +
+    # unix_micros == DuckDB's epoch_us on the naive value
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    return (df.groupBy(F.col(entity_col), day.alias("day"))
+            .agg(F.min_by(pos, key).alias("o"),
+                 F.max_by(pos, key).alias("d")))
+
+
+def od_flows(df: DataFrame, zoom: int, entity_col: str = "user_id",
+             ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Directed flow matrix at ``zoom``: (o_x, o_y, d_x, d_y, n_trips,
+    n_users).  Same-cell trips (o == d) are kept — they are the
+    stay-home diagonal a mobility analysis needs."""
+    t = od_trips(df, entity_col, ts_col, id_col)
+    z = F.lit(zoom)
+    ox, oy = T.tile_xy(T.x3857(F.col("o.lon")), T.y3857(F.col("o.lat")), z)
+    dx, dy = T.tile_xy(T.x3857(F.col("d.lon")), T.y3857(F.col("d.lat")), z)
+    return (t.select(F.col(entity_col),
+                     ox.alias("o_x"), oy.alias("o_y"),
+                     dx.alias("d_x"), dy.alias("d_y"))
+            .groupBy("o_x", "o_y", "d_x", "d_y")
+            .agg(F.count(F.lit(1)).alias("n_trips"),
+                 F.countDistinct(entity_col).alias("n_users")))

@@ -2102,6 +2102,79 @@ def sql_traj_stats() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q: od_flows — origin-destination mobility matrix at z2
+# ---------------------------------------------------------------------------
+
+OD_ZOOM = 2
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed z2 flow matrix over event trajectories: per (user,
+    UTC day) the first->last positions form one trip; trips and
+    distinct users are counted per (origin cell, destination cell).
+    ``operators/flows.py``: min_by/max_by partial aggs reduce raw pings
+    to trip endpoints map-side BEFORE the first shuffle — the oracle's
+    window formulation (rank every raw row) is the plan this avoids."""
+    from .operators import flows as FLW
+
+    return (FLW.od_flows(_event_points(spark, sf_dir), OD_ZOOM)
+            .orderBy("o_x", "o_y", "d_x", "d_y"))
+
+
+def sql_od_flows() -> str:
+    def tile(xc, yc):
+        z = OD_ZOOM
+        res = f"(2.0 * {MAX_EXTENTS} / pow(2.0, {z}))"
+        last = f"(cast(pow(2.0, {z}) as bigint) - 1)"
+        tx = (f"greatest(0, least(cast(floor(({xc} + {MAX_EXTENTS})"
+              f" / {res}) as bigint), {last}))")
+        ty = (f"greatest(0, least(cast(floor(({MAX_EXTENTS} - {yc})"
+              f" / {res}) as bigint), {last}))")
+        return tx, ty
+
+    def proj(lon, lat):
+        x = f"least({R} * radians({lon}), {MAX_EXTENTS})"
+        y = (f"greatest({R} * ln(tan(0.25 * pi() + 0.5 *"
+             f" radians({lat}))), -{MAX_EXTENTS})")
+        return x, y
+
+    oxm, oym = proj("olon", "olat")
+    dxm, dym = proj("dlon", "dlat")
+    otx, oty = tile("ox3857", "oy3857")
+    dtx, dty = tile("dx3857", "dy3857")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), ranked AS (
+      SELECT user_id, day, lon, lat,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id, day) AS n
+      FROM pts WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+    ), trips AS (
+      SELECT user_id, day,
+             MIN(CASE WHEN rn = 1 THEN lon END) AS olon,
+             MIN(CASE WHEN rn = 1 THEN lat END) AS olat,
+             MIN(CASE WHEN rn = n THEN lon END) AS dlon,
+             MIN(CASE WHEN rn = n THEN lat END) AS dlat
+      FROM ranked GROUP BY user_id, day
+    ), proj AS (
+      SELECT user_id, {oxm} AS ox3857, {oym} AS oy3857,
+             {dxm} AS dx3857, {dym} AS dy3857
+      FROM trips
+    ), cells AS (
+      SELECT user_id, {otx} AS o_x, {oty} AS o_y, {dtx} AS d_x, {dty} AS d_y
+      FROM proj
+    )
+    SELECT o_x, o_y, d_x, d_y, COUNT(*) AS n_trips,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM cells GROUP BY o_x, o_y, d_x, d_y
+    ORDER BY o_x, o_y, d_x, d_y
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of temporal join: every click enriched with the latest error
     by the same user at or before the click (``operators/temporal.py``
@@ -2308,6 +2381,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     # per-user track stats (meter-quantized haversine legs, one Exchange)
     "traj_stats": q_traj_stats,
+    # origin-destination mobility matrix (trips reduced map-side)
+    "od_flows": q_od_flows,
     # distributed Douglas-Peucker per trajectory (rows-only with
     # endpoints/within-eps integrity columns + kept-index checksum)
     "traj_simplify": q_traj_simplify,
@@ -2399,6 +2474,7 @@ ORACLES = {
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
+    "od_flows": sql_od_flows(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
 }
