@@ -2451,3 +2451,73 @@ def test_od_flows_counts_and_mapside_partial_agg(spark):
     # partial_min_by/max_by only appear in map-side partial-agg nodes:
     # the combiner reduces pings to trip endpoints before the shuffle
     assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+# --- distributed convex hull -------------------------------------------------
+
+def _brute_boundary(xy):
+    """O(n^3) closed-boundary pair test (the oracle's definition):
+    i kept iff some direction (i -> j) has ALL points on the closed
+    left."""
+    n = len(xy)
+    if n <= 1:
+        return set(range(n))
+    keep = set()
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            dx, dy = xy[j][0] - xy[i][0], xy[j][1] - xy[i][1]
+            if all(dx * (xy[r][1] - xy[i][1]) - dy * (xy[r][0] - xy[i][0]) >= 0
+                   for r in range(n) if r not in (i, j)):
+                keep.add(i)
+                break
+    return keep
+
+
+@pytest.mark.parametrize("case", ["grid", "line", "lattice", "random"])
+def test_boundary_indices_match_pair_test(case):
+    """Monotone chain (+ Akl-Toussaint prune) == the O(n^3) closed
+    half-plane definition on adversarial sets: a 5x5 grid (every
+    perimeter point incl. edge-interiors, no interior), an all-collinear
+    line, the custkey lattice, and seeded randoms."""
+    import numpy as np
+    from zellige_spark.operators.hulls import boundary_indices
+
+    if case == "grid":
+        xy = np.array([(x, y) for x in range(5) for y in range(5)], np.int64)
+    elif case == "line":
+        xy = np.array([(3 * i, 2 * i) for i in range(9)], np.int64)
+    elif case == "lattice":
+        ks = np.arange(1, 61, dtype=np.int64)
+        xy = np.stack([(ks * 7919 % 360000) * 1000 - 180000000,
+                       ((ks * 104729 + 13) % 170000) * 1000 - 85000000], 1)
+    else:
+        rng = np.random.default_rng(7)
+        xy = rng.integers(-10**8, 10**8, size=(40, 2), dtype=np.int64)
+    got = set(boundary_indices(xy).tolist())
+    want = _brute_boundary(xy.tolist())
+    assert got == want
+    if case == "grid":
+        assert len(got) == 16  # perimeter only
+
+
+def test_convex_hull_shard_invariance_and_plan(spark):
+    """hull(A ∪ B) == hull(hull(A) ∪ hull(B)): the two-level result is
+    identical across shard counts (1 vs 7), and the plan is two
+    FlatMapGroupsInPandas levels (local reduce before the group
+    shuffle)."""
+    from zellige_spark.operators import hulls as HUL
+
+    pts = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "CAST(c_nationkey AS LONG) AS nation", "c_custkey",
+        "(c_custkey * 7919 % 360000) * 1000 - 180000000 AS ux",
+        "((c_custkey * 104729 + 13) % 170000) * 1000 - 85000000 AS uy")
+    one = HUL.convex_hull(pts, "nation", "c_custkey", shards=1)
+    seven = HUL.convex_hull(pts, "nation", "c_custkey", shards=7)
+    # plan on the UN-executed frame (post-action AQE explain prints
+    # Final + Initial sections and node counts double)
+    assert _plan(seven).count("FlatMapGroupsInPandas (") == 2
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, seven.collect()))
+    assert a == b and len(a) > 0

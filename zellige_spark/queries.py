@@ -1038,6 +1038,67 @@ def sql_wkb_roundtrip() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: convex_hull — per-nation spatial footprint (exact integer geometry)
+# ---------------------------------------------------------------------------
+
+# microdegrees straight from the integer lattice: pure BIGINT on both
+# engines, so every orientation test is an exact int64 cross product
+CUST_UX = "(c_custkey * 7919 % 360000) * 1000 - 180000000"
+CUST_UY = "((c_custkey * 104729 + 13) % 170000) * 1000 - 85000000"
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation convex-hull footprint over customer sites: every
+    point ON the hull boundary (closed definition — edge-interior
+    collinear points included; the lattice is linear in the key, so
+    collinear runs are the norm, and the closed set is the one both
+    engines agree on exactly).  ``operators/hulls.py``: two-level
+    hull-of-hulls (Akl-Toussaint prune + monotone chain per shard,
+    then a merge over surviving candidates) — raw rows reduce to local
+    boundaries BEFORE the shuffle, the oracle's O(n^3) pair test being
+    exactly what a single-node engine cannot run at scale."""
+    from .operators import hulls as HUL
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_custkey").alias("c_custkey"),
+        F.expr(CUST_UX).alias("ux"), F.expr(CUST_UY).alias("uy"))
+    return (HUL.convex_hull(pts, "nation", "c_custkey")
+            .orderBy("nation", "c_custkey"))
+
+
+def sql_convex_hull() -> str:
+    # p is on the closed hull boundary iff some direction through p and
+    # another point q has the WHOLE group in its closed left half-plane
+    return f"""
+    WITH pts AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+             {CUST_UX} AS ux, {CUST_UY} AS uy
+      FROM customer
+    ), marked AS (
+      SELECT DISTINCT p.nation, p.c_custkey
+      FROM pts p JOIN pts q
+        ON q.nation = p.nation AND q.c_custkey <> p.c_custkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts r
+        WHERE r.nation = p.nation
+          AND r.c_custkey <> p.c_custkey AND r.c_custkey <> q.c_custkey
+          AND (q.ux - p.ux) * (r.uy - p.uy)
+              - (q.uy - p.uy) * (r.ux - p.ux) < 0)
+    ), singles AS (
+      SELECT nation, c_custkey FROM pts p
+      WHERE (SELECT COUNT(*) FROM pts s WHERE s.nation = p.nation) = 1
+    ), hull AS (
+      SELECT * FROM marked UNION SELECT * FROM singles
+    )
+    SELECT pts.nation, pts.c_custkey, pts.ux, pts.uy
+    FROM pts JOIN hull
+      ON hull.nation = pts.nation AND hull.c_custkey = pts.c_custkey
+    ORDER BY pts.nation, pts.c_custkey
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: hotspot_clusters — grid-density clustering (DBSCAN's grid cousin)
 # ---------------------------------------------------------------------------
 
@@ -2336,6 +2397,8 @@ QUERIES = {
     "tileset_manifest": q_tileset_manifest,
     # grid-density hotspot clustering (8-connected dense z4 cells)
     "hotspot_clusters": q_hotspot_clusters,
+    # per-nation convex-hull footprint (two-level hull-of-hulls)
+    "convex_hull": q_convex_hull,
     # text analysis
     "token_count": TXT.q_token_count,
     "text_quality": TXT.q_quality,
@@ -2449,6 +2512,7 @@ ORACLES = {
     "wkb_roundtrip": sql_wkb_roundtrip(),
     "tileset_manifest": sql_tileset_manifest(),
     "hotspot_clusters": sql_hotspot_clusters(),
+    "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
