@@ -2521,3 +2521,49 @@ def test_convex_hull_shard_invariance_and_plan(spark):
     a = sorted(map(tuple, one.collect()))
     b = sorted(map(tuple, seven.collect()))
     assert a == b and len(a) > 0
+
+
+# --- segment-intersection join -----------------------------------------------
+
+def test_segments_intersect_cases(spark):
+    """Exact predicate over the degenerate taxonomy: proper cross,
+    endpoint T-touch, shared endpoint, collinear overlap, collinear
+    disjoint, parallel, and a near-miss."""
+    from zellige_spark.operators.segments import segments_intersect
+
+    cases = [
+        # (seg a, seg b, expected)
+        ((0, 0, 10, 10), (0, 10, 10, 0), True),    # proper X cross
+        ((0, 0, 10, 0), (5, 0, 5, 7), True),       # T-touch on interior
+        ((0, 0, 10, 0), (10, 0, 15, 9), True),     # shared endpoint
+        ((0, 0, 10, 0), (5, 0, 15, 0), True),      # collinear overlap
+        ((0, 0, 4, 0), (5, 0, 9, 0), False),       # collinear disjoint
+        ((0, 0, 10, 0), (0, 1, 10, 1), False),     # parallel
+        ((0, 0, 10, 10), (6, 5, 20, 5), False),    # near miss
+    ]
+    rows = [a + b + (exp,) for a, b, exp in cases]
+    df = spark.createDataFrame(
+        rows, "x1 long, y1 long, x2 long, y2 long,"
+              " x3 long, y3 long, x4 long, y4 long, exp boolean")
+    from pyspark.sql import functions as FF
+    got = df.select("exp", segments_intersect(
+        FF.col("x1"), FF.col("y1"), FF.col("x2"), FF.col("y2"),
+        FF.col("x3"), FF.col("y3"), FF.col("x4"), FF.col("y4")).alias("got")
+    ).collect()
+    for r in got:
+        assert r.got == r.exp
+
+
+def test_crossing_pairs_grid_invariance(spark):
+    """The cell cover never loses a pair: results are identical across
+    grid resolutions, including the 1x1 grid (= literal all-pairs)."""
+    from zellige_spark.operators import segments as SEG
+    from zellige_spark.queries import _crossing_points
+
+    segs = SEG.track_segments(_crossing_points(spark, SF))
+    outs = []
+    for nx, ny in ((1, 1), (4, 2), (16, 8)):
+        outs.append(sorted(map(tuple,
+                    SEG.crossing_pairs(segs, nx=nx, ny=ny).collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0

@@ -1,0 +1,128 @@
+"""Exact segment-intersection join: trajectory crossing detection.
+
+"Which entities' tracks cross?" — route-conflict detection, contact
+tracing, shipping-lane analysis.  Tracks are polylines of integer-
+microdegree points (time-ordered per entity); two entities cross when
+any segment of one intersects any segment of the other.  All geometry
+is exact int64 orientation math (deltas < 2^29, cross products < 2^57)
+including the degenerate cases (endpoint touch, collinear overlap) —
+no float epsilon, engine-independent, oracle hash-exact.
+
+Scale plan: the naive all-pairs test is O(S^2) over segments — the
+DuckDB oracle runs it literally, and it is exactly what cannot run at
+10^12 segments.  The operator instead:
+
+1. builds segments with one window over (entity: ts, id) — a single
+   Exchange over the points;
+2. covers each segment's bbox with cells of a fixed coarse grid
+   (integer division over shifted non-negative microdegrees — exact
+   and identical everywhere) and explodes the cover;
+3. equi-joins candidates ON THE CELL KEY (entity_a < entity_b as a
+   post-filter), so only spatially co-located segments ever meet —
+   for real tracks with short legs the candidate set is ~linear in S;
+4. runs the exact intersection predicate as pure JVM Column math
+   (whole-stage codegen), dedups multi-cell hits on the segment-pair
+   id, and counts crossings per entity pair.
+
+Correctness of the cover: two intersecting segments both contain the
+intersection point, so both bbox covers contain its cell — every
+intersecting pair co-occurs in at least one cell.  (The synthetic
+event lattice produces world-spanning legs, so its candidate set
+approaches all-pairs; the plan's payoff is on real short-leg tracks,
+and the predicate cost is the same either way.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["track_segments", "segments_intersect", "crossing_pairs"]
+
+
+def track_segments(df: DataFrame, entity_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   x_col: str = "ux", y_col: str = "uy") -> DataFrame:
+    """Consecutive-point segments per entity in (ts, id) order:
+    (entity, seg_id = id of the LATER endpoint, x1, y1, x2, y2)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    return (df.select(F.col(entity_col),
+                      F.col(id_col).alias("seg_id"),
+                      F.lag(x_col).over(w).alias("x1"),
+                      F.lag(y_col).over(w).alias("y1"),
+                      F.col(x_col).alias("x2"),
+                      F.col(y_col).alias("y2"))
+            .filter(F.col("x1").isNotNull()))
+
+
+def _orient(ox: Column, oy: Column, ax: Column, ay: Column,
+            bx: Column, by: Column) -> Column:
+    """cross(a - o, b - o) — exact on int64 microdegrees."""
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _on_segment(px, py, qx, qy, rx, ry) -> Column:
+    """r (already known collinear with pq) lies within pq's bbox."""
+    return (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx)) & \
+           (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+
+
+def segments_intersect(x1, y1, x2, y2, x3, y3, x4, y4) -> Column:
+    """Closed intersection test for segments (p1,p2) and (p3,p4):
+    proper crossings plus endpoint touches and collinear overlaps."""
+    z = F.lit(0)
+    d1 = _orient(x3, y3, x4, y4, x1, y1)
+    d2 = _orient(x3, y3, x4, y4, x2, y2)
+    d3 = _orient(x1, y1, x2, y2, x3, y3)
+    d4 = _orient(x1, y1, x2, y2, x4, y4)
+    proper = (((d1 > z) & (d2 < z)) | ((d1 < z) & (d2 > z))) & \
+             (((d3 > z) & (d4 < z)) | ((d3 < z) & (d4 > z)))
+    return (proper
+            | ((d1 == z) & _on_segment(x3, y3, x4, y4, x1, y1))
+            | ((d2 == z) & _on_segment(x3, y3, x4, y4, x2, y2))
+            | ((d3 == z) & _on_segment(x1, y1, x2, y2, x3, y3))
+            | ((d4 == z) & _on_segment(x1, y1, x2, y2, x4, y4)))
+
+
+def _with_cells(segs: DataFrame, nx: int, ny: int,
+                x0: int, x1: int, y0: int, y1: int) -> DataFrame:
+    """Explode each segment to the grid cells covering its bbox.
+    Shifted coords are non-negative, so truncating `div` == floor."""
+    wx = (x1 - x0 + nx) // nx
+    wy = (y1 - y0 + ny) // ny
+    seg = (segs
+           .withColumn("_cx0", F.expr(f"(least(x1, x2) - ({x0})) div {wx}"))
+           .withColumn("_cx1", F.expr(f"(greatest(x1, x2) - ({x0})) div {wx}"))
+           .withColumn("_cy0", F.expr(f"(least(y1, y2) - ({y0})) div {wy}"))
+           .withColumn("_cy1", F.expr(f"(greatest(y1, y2) - ({y0})) div {wy}")))
+    return (seg
+            .withColumn("_cx", F.explode(F.sequence("_cx0", "_cx1")))
+            .withColumn("_cy", F.explode(F.sequence("_cy0", "_cy1")))
+            .drop("_cx0", "_cx1", "_cy0", "_cy1"))
+
+
+def crossing_pairs(segs: DataFrame, entity_col: str = "user_id",
+                   nx: int = 8, ny: int = 4,
+                   x0: int = -180_000_000, x1: int = 180_000_000,
+                   y0: int = -85_000_000, y1: int = 85_000_000) -> DataFrame:
+    """Entity pairs with crossing tracks: (entity_a, entity_b,
+    n_crossings) where n_crossings counts intersecting segment pairs;
+    entity_a < entity_b."""
+    cells = _with_cells(segs, nx, ny, x0, x1, y0, y1)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    ec = entity_col
+    cand = a.join(b, (F.col("a._cx") == F.col("b._cx"))
+                  & (F.col("a._cy") == F.col("b._cy"))
+                  & (F.col(f"a.{ec}") < F.col(f"b.{ec}")))
+    hit = cand.filter(segments_intersect(
+        F.col("a.x1"), F.col("a.y1"), F.col("a.x2"), F.col("a.y2"),
+        F.col("b.x1"), F.col("b.y1"), F.col("b.x2"), F.col("b.y2")))
+    pairs = (hit.select(F.col(f"a.{ec}").alias("entity_a"),
+                        F.col("a.seg_id").alias("seg_a"),
+                        F.col(f"b.{ec}").alias("entity_b"),
+                        F.col("b.seg_id").alias("seg_b"))
+             .distinct())  # a pair can co-occur in several cells
+    return (pairs.groupBy("entity_a", "entity_b")
+            .agg(F.count(F.lit(1)).alias("n_crossings")))

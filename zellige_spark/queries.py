@@ -2236,6 +2236,92 @@ def sql_od_flows() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q: track_crossings — exact segment-intersection join over trajectories
+# ---------------------------------------------------------------------------
+
+# microdegrees off the BIGINT lattice (exact int64 orientation math)
+EVT_UX = "(event_id * 3571 % 360000) * 1000 - 180000000"
+EVT_UY = "((event_id * 9973 + 7) % 170000) * 1000 - 85000000"
+
+
+def _crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter((F.col("event_type") == "purchase")
+                    & (F.col("value") < 50.0))
+            .select("user_id", "event_id", "ts",
+                    F.expr(EVT_UX).alias("ux"), F.expr(EVT_UY).alias("uy")))
+
+
+def q_track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs whose purchase-trip polylines intersect, with the
+    count of crossing segment pairs.  ``operators/segments.py``: grid
+    cell cover + equi-join on the cell key + exact int64 intersection
+    predicate in codegen (proper crossings AND endpoint/collinear
+    touches) — the oracle runs the literal O(S^2) all-pairs test this
+    plan avoids.  The synthetic lattice produces world-spanning legs,
+    so a coarse 4x2 grid bounds the fan-out here; real short-leg
+    tracks make the cover ~linear."""
+    from .operators import segments as SEG
+
+    segs = SEG.track_segments(_crossing_points(spark, sf_dir))
+    return (SEG.crossing_pairs(segs, nx=4, ny=2)
+            .orderBy("entity_a", "entity_b"))
+
+
+def _sql_seg_intersect(a: str, b: str) -> str:
+    """Closed segment-intersection predicate over integer columns
+    {a}.x1..{a}.y2 vs {b}.x1..{b}.y2 — same cases as
+    ``segments.segments_intersect`` (integer math: no ulp concerns)."""
+    def orient(ox, oy, ax, ay, bx, by):
+        return (f"(({ax} - {ox}) * ({by} - {oy})"
+                f" - ({ay} - {oy}) * ({bx} - {ox}))")
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (f"(least({px}, {qx}) <= {rx} AND {rx} <= greatest({px}, {qx})"
+                f" AND least({py}, {qy}) <= {ry}"
+                f" AND {ry} <= greatest({py}, {qy}))")
+
+    d1 = orient(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2", f"{a}.x1", f"{a}.y1")
+    d2 = orient(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2", f"{a}.x2", f"{a}.y2")
+    d3 = orient(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2", f"{b}.x1", f"{b}.y1")
+    d4 = orient(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2", f"{b}.x2", f"{b}.y2")
+    return f"""(
+      ((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))
+      AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))
+      OR (({d1}) = 0 AND {on_seg(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2",
+                                 f"{a}.x1", f"{a}.y1")})
+      OR (({d2}) = 0 AND {on_seg(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2",
+                                 f"{a}.x2", f"{a}.y2")})
+      OR (({d3}) = 0 AND {on_seg(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2",
+                                 f"{b}.x1", f"{b}.y1")})
+      OR (({d4}) = 0 AND {on_seg(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2",
+                                 f"{b}.x2", f"{b}.y2")})
+    )"""
+
+
+def sql_track_crossings() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_UX} AS ux, {EVT_UY} AS uy
+      FROM events WHERE event_type = 'purchase' AND value < 50.0
+    ), seg0 AS (
+      SELECT user_id, event_id AS seg_id,
+             lag(ux) OVER w AS x1, lag(uy) OVER w AS y1,
+             ux AS x2, uy AS y2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT * FROM seg0 WHERE x1 IS NOT NULL
+    ), hits AS (
+      SELECT a.user_id AS entity_a, b.user_id AS entity_b
+      FROM seg a JOIN seg b ON a.user_id < b.user_id
+      WHERE {_sql_seg_intersect('a', 'b')}
+    )
+    SELECT entity_a, entity_b, COUNT(*) AS n_crossings
+    FROM hits GROUP BY entity_a, entity_b ORDER BY entity_a, entity_b
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of temporal join: every click enriched with the latest error
     by the same user at or before the click (``operators/temporal.py``
@@ -2446,6 +2532,8 @@ QUERIES = {
     "traj_stats": q_traj_stats,
     # origin-destination mobility matrix (trips reduced map-side)
     "od_flows": q_od_flows,
+    # exact segment-intersection join (grid-blocked, int64 geometry)
+    "track_crossings": q_track_crossings,
     # distributed Douglas-Peucker per trajectory (rows-only with
     # endpoints/within-eps integrity columns + kept-index checksum)
     "traj_simplify": q_traj_simplify,
@@ -2539,6 +2627,7 @@ ORACLES = {
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
     "od_flows": sql_od_flows(),
+    "track_crossings": sql_track_crossings(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
 }
