@@ -2237,6 +2237,51 @@ def sql_od_flows() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: geofence_transitions — enter/exit alerts against the test polygon
+# ---------------------------------------------------------------------------
+
+def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enter/exit transition rows per user against the fixed coverage
+    polygon, in (ts, event_id) order.  ``operators/geofence.py``: the
+    inside flag is map-side shared-expression-text ray casting (both
+    engines run the identical float op sequence), and the only shuffle
+    is the per-user window — the batch twin of the cross-batch
+    stateful stream in ``streaming/geofence.py``."""
+    from .operators import geofence as GF
+
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select("user_id", "event_id", "ts",
+                   F.expr(EVT_LON).alias("lon"),
+                   F.expr(EVT_LAT).alias("lat")))
+    return (GF.geofence_transitions(pts, PIP_POLY)
+            .orderBy("user_id", "event_id"))
+
+
+def sql_geofence_transitions() -> str:
+    from .operators.geofence import inside_crossings
+
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             (({inside_crossings(PIP_POLY)}) % 2 = 1) AS ins
+      FROM pts
+    ), seq AS (
+      SELECT user_id, event_id, ts_us, ins,
+             lag(ins) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev
+      FROM flagged
+    )
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN ins THEN 'enter' ELSE 'exit' END AS kind
+    FROM seq WHERE prev IS NOT NULL AND prev <> ins
+    ORDER BY user_id, event_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: track_crossings — exact segment-intersection join over trajectories
 # ---------------------------------------------------------------------------
 
@@ -2534,6 +2579,8 @@ QUERIES = {
     "od_flows": q_od_flows,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
+    # geofence enter/exit alerts (batch twin of streaming/geofence.py)
+    "geofence_transitions": q_geofence_transitions,
     # distributed Douglas-Peucker per trajectory (rows-only with
     # endpoints/within-eps integrity columns + kept-index checksum)
     "traj_simplify": q_traj_simplify,
@@ -2628,6 +2675,7 @@ ORACLES = {
     "traj_stats": sql_traj_stats(),
     "od_flows": sql_od_flows(),
     "track_crossings": sql_track_crossings(),
+    "geofence_transitions": sql_geofence_transitions(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
 }
