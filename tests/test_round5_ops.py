@@ -2567,3 +2567,26 @@ def test_crossing_pairs_grid_invariance(spark):
                     SEG.crossing_pairs(segs, nx=nx, ny=ny).collect())))
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 0
+
+
+# --- negative distance filter ------------------------------------------------
+
+def test_beyond_distance_filter_complement_and_plan(spark):
+    """beyond == left minus within (exact complement on ids), and the
+    plan anti-joins without any cartesian/NestedLoop."""
+    from zellige_spark.operators import knn as KNN
+    from zellige_spark.queries import CUST_LON, CUST_LAT, NAT_LON, NAT_LAT
+
+    left = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "c_custkey AS left_id", f"{CUST_LON} AS lon", f"{CUST_LAT} AS lat")
+    right = spark.read.parquet(f"{SF}/nation.parquet").selectExpr(
+        "n_nationkey AS right_id", f"{NAT_LON} AS lon", f"{NAT_LAT} AS lat")
+    within = {r.left_id for r in KNN.within_distance_join(
+        left, right, radius_km=800.0).select("left_id").distinct().collect()}
+    beyond_df = KNN.beyond_distance_filter(left, right, radius_km=800.0)
+    beyond = {r.left_id for r in beyond_df.collect()}
+    allids = {r.left_id for r in left.collect()}
+    assert beyond == allids - within and within  # both sides non-empty
+    plan = _plan(beyond_df)
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

@@ -394,3 +394,29 @@ def within_distance_join(left: DataFrame, right: DataFrame,
                                 F.col("_dlon"), F.col("_dlat")))
     return (cand.filter(F.col("dist_km") <= F.lit(radius_km))
                 .select(F.col(left_id), F.col(right_id), "dist_km"))
+
+
+def beyond_distance_filter(left: DataFrame, right: DataFrame,
+                           radius_km: float, index_zoom: int | None = None,
+                           left_id: str = "left_id",
+                           right_id: str = "right_id",
+                           l_lon: str = "lon", l_lat: str = "lat",
+                           r_lon: str = "lon", r_lat: str = "lat",
+                           broadcast_left: bool = False) -> DataFrame:
+    """Negative distance-band filter: LEFT rows NOT within
+    ``radius_km`` of ANY right point — "images far from every known
+    POI" (diversity sampling), "sensors outside all coverage discs"
+    (gap detection).  The complement of ``within_distance_join``.
+
+    Plan: the SAME cell-blocked candidate join finds the covered left
+    ids (distinct — at most one row per left row survives toward the
+    anti join, however many sites cover it), then one hash anti-join
+    on the left id removes them.  No row ever pays more than its
+    bbox-cover fan-out; the anti join is an ordinary equi-join at
+    scale (broadcastable when the covered set is small)."""
+    covered = within_distance_join(
+        left, right, radius_km, index_zoom=index_zoom,
+        left_id=left_id, right_id=right_id, l_lon=l_lon, l_lat=l_lat,
+        r_lon=r_lon, r_lat=r_lat, broadcast_left=broadcast_left,
+    ).select(left_id).distinct()
+    return left.join(covered, left_id, "left_anti")

@@ -768,6 +768,41 @@ def sql_radius_join() -> str:
     """
 
 
+def q_radius_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative spatial filter: customers NOT within 800 km of ANY
+    nation site (coverage-gap detection / diversity sampling).
+    ``knn.beyond_distance_filter``: the cell-blocked candidate join
+    finds covered ids, one anti-join removes them — the oracle is the
+    literal NOT EXISTS cross join.  The 800 km threshold sits >= 550 m
+    from every (customer, nation) distance at sf0.01, so the float
+    comparison cannot flip membership."""
+    left = _customer_points(spark, sf_dir).withColumnRenamed(
+        "c_custkey", "left_id")
+    right = _nation_points(spark, sf_dir).withColumnRenamed(
+        "n_nationkey", "right_id")
+    out = KNN.beyond_distance_filter(left, right, radius_km=800.0)
+    return (out.select(F.col("left_id").cast("long").alias("c_custkey"))
+            .orderBy("c_custkey"))
+
+
+def sql_radius_anti_join() -> str:
+    hav = ("2.0 * 6371.0 * asin(sqrt("
+           "pow(sin((radians(d.lat) - radians(q.lat)) / 2), 2) + "
+           "cos(radians(q.lat)) * cos(radians(d.lat)) * "
+           "pow(sin((radians(d.lon) - radians(q.lon)) / 2), 2)))")
+    return f"""
+    WITH q AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), d AS (
+      SELECT n_nationkey, {NAT_LON} AS lon, {NAT_LAT} AS lat FROM nation
+    )
+    SELECT CAST(q.c_custkey AS BIGINT) AS c_custkey
+    FROM q WHERE NOT EXISTS (
+      SELECT 1 FROM d WHERE {hav} <= 800.0)
+    ORDER BY c_custkey
+    """
+
+
 GEO_DOC_LON = "({} * 48271 % 360000) / 1000.0 - 180.0"
 GEO_DOC_LAT = "(({} * 16807 + 19) % 170000) / 1000.0 - 85.0"
 GEO_NEAR_DUP_KM = 8000.0
@@ -2505,6 +2540,8 @@ QUERIES = {
     "knn_table": q_knn_table,
     # fixed-radius distance-band join (cap-bbox cell fan-out)
     "radius_join": q_radius_join,
+    # negative distance filter (rows beyond every site's disc)
+    "radius_anti_join": q_radius_anti_join,
     # S2 hierarchical sphere index (north rule "H3/S2 index"): pure
     # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
     "s2_cell_assign": S2C.q_s2_cell_assign,
@@ -2634,6 +2671,7 @@ ORACLES = {
     "knn_kring": sql_knn(),
     "knn_table": sql_knn_table(),
     "radius_join": sql_radius_join(),
+    "radius_anti_join": sql_radius_anti_join(),
     "s2_cell_assign": S2C.sql_s2_cell_assign(),
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
