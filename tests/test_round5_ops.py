@@ -2590,3 +2590,23 @@ def test_beyond_distance_filter_complement_and_plan(spark):
     plan = _plan(beyond_df)
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_hotspot_cluster_stats_brute(spark):
+    """cluster_stats == pandas groupby over hotspot_clusters, with the
+    centroid as exact integer floor division."""
+    from zellige_spark.operators import hotspots as HOT
+    from zellige_spark.queries import _customer_points
+
+    pts = _customer_points(spark, SF)
+    hc = HOT.hotspot_clusters(pts, 4, 2).toPandas()
+    got = (HOT.cluster_stats(pts, 4, 2).toPandas()
+           .sort_values("cluster").reset_index(drop=True))
+    assert len(got) == hc.cluster.nunique() > 1
+    for _, r in got.iterrows():
+        g = hc[hc.cluster == r.cluster]
+        assert r.n_cells == len(g) and r.n_pts == g.n_pts.sum()
+        assert (r.x_min, r.x_max) == (g.tile_x.min(), g.tile_x.max())
+        assert (r.y_min, r.y_max) == (g.tile_y.min(), g.tile_y.max())
+        assert r.cx == (g.tile_x * g.n_pts).sum() // g.n_pts.sum()
+        assert r.cy == (g.tile_y * g.n_pts).sum() // g.n_pts.sum()

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from . import tiles as T
 from .dedup import connected_components
 
-__all__ = ["dense_cells", "hotspot_clusters"]
+__all__ = ["dense_cells", "hotspot_clusters", "cluster_stats"]
 
 
 def dense_cells(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
@@ -77,3 +77,24 @@ def hotspot_clusters(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
             .join(comps.withColumnRenamed("node", "key"), "key", "left")
             .select("tile_x", "tile_y", "n_pts",
                     F.coalesce("component", F.col("key")).alias("cluster")))
+
+
+def cluster_stats(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
+    """Per-cluster summary over the labeled dense cells: cell count,
+    total points, bbox, and the point-weighted centroid cell.  The
+    centroid is integer floor division (sum(coord * n_pts) div
+    sum(n_pts)) — exact and engine-independent, no float mean.  Runs
+    entirely on the grid-bounded cluster table (one aggregation over
+    <= 4^zoom rows)."""
+    hc = hotspot_clusters(pts, zoom, min_count)
+    return (hc.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n_pts").alias("n_pts"),
+                 F.min("tile_x").alias("x_min"),
+                 F.max("tile_x").alias("x_max"),
+                 F.min("tile_y").alias("y_min"),
+                 F.max("tile_y").alias("y_max"),
+                 F.expr("sum(tile_x * n_pts) div sum(n_pts)")
+                 .alias("cx"),
+                 F.expr("sum(tile_y * n_pts) div sum(n_pts)")
+                 .alias("cy")))

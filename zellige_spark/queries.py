@@ -1154,7 +1154,22 @@ def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("tile_x", "tile_y"))
 
 
-def sql_hotspot_clusters() -> str:
+def q_hotspot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster footprint summary: cell count, point total, bbox,
+    and the point-weighted centroid cell as INTEGER floor division
+    (no float mean under the gate).  One aggregation over the
+    grid-bounded cluster table."""
+    from .operators import hotspots as HOT
+
+    pts = _customer_points(spark, sf_dir)
+    return (HOT.cluster_stats(pts, HOT_ZOOM, HOT_MIN)
+            .orderBy("cluster"))
+
+
+def _sql_hotspot_labeled() -> str:
+    """Shared CTE chain ending in ``labeled`` (tile_x, tile_y, n_pts,
+    cluster) — the recursive-closure oracle both hotspot queries
+    select from."""
     tx, ty = _sql_tile(str(HOT_ZOOM))
     side = 1 << HOT_ZOOM
     return f"""
@@ -1186,11 +1201,29 @@ def sql_hotspot_clusters() -> str:
       SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
     ), comp AS (
       SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node
-    )
-    SELECT d.tile_x, d.tile_y, d.n_pts,
-           CAST(COALESCE(c.component, d.key) AS BIGINT) AS cluster
-    FROM dense d LEFT JOIN comp c ON c.node = d.key
-    ORDER BY tile_x, tile_y
+    ), labeled AS (
+      SELECT d.tile_x, d.tile_y, d.n_pts,
+             CAST(COALESCE(c.component, d.key) AS BIGINT) AS cluster
+      FROM dense d LEFT JOIN comp c ON c.node = d.key
+    )"""
+
+
+def sql_hotspot_clusters() -> str:
+    return f"""{_sql_hotspot_labeled()}
+    SELECT tile_x, tile_y, n_pts, cluster
+    FROM labeled ORDER BY tile_x, tile_y
+    """
+
+
+def sql_hotspot_stats() -> str:
+    return f"""{_sql_hotspot_labeled()}
+    SELECT cluster, COUNT(*) AS n_cells,
+           CAST(SUM(n_pts) AS BIGINT) AS n_pts,
+           MIN(tile_x) AS x_min, MAX(tile_x) AS x_max,
+           MIN(tile_y) AS y_min, MAX(tile_y) AS y_max,
+           CAST(SUM(tile_x * n_pts) // SUM(n_pts) AS BIGINT) AS cx,
+           CAST(SUM(tile_y * n_pts) // SUM(n_pts) AS BIGINT) AS cy
+    FROM labeled GROUP BY cluster ORDER BY cluster
     """
 
 
@@ -2565,6 +2598,8 @@ QUERIES = {
     "tileset_manifest": q_tileset_manifest,
     # grid-density hotspot clustering (8-connected dense z4 cells)
     "hotspot_clusters": q_hotspot_clusters,
+    # per-cluster footprint stats (integer weighted centroid)
+    "hotspot_stats": q_hotspot_stats,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -2685,6 +2720,7 @@ ORACLES = {
     "wkb_roundtrip": sql_wkb_roundtrip(),
     "tileset_manifest": sql_tileset_manifest(),
     "hotspot_clusters": sql_hotspot_clusters(),
+    "hotspot_stats": sql_hotspot_stats(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
