@@ -2610,3 +2610,56 @@ def test_hotspot_cluster_stats_brute(spark):
         assert (r.y_min, r.y_max) == (g.tile_y.min(), g.tile_y.max())
         assert r.cx == (g.tile_x * g.n_pts).sum() // g.n_pts.sum()
         assert r.cy == (g.tile_y * g.n_pts).sum() // g.n_pts.sum()
+
+
+# --- image quality gate ------------------------------------------------------
+
+def test_image_quality_exact_integer_metrics(spark):
+    """Operator metrics == exact-Fraction recompute from raw pixels
+    (independent formulation), and the gate splits the corpus."""
+    from fractions import Fraction
+
+    import numpy as np
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    imgs = synth.images_df(spark, 24)
+    src = {r.image_id: r for r in imgs.collect()}
+    out = IMG.image_quality(imgs).collect()
+    assert len(out) == 24
+    for r in out:
+        s = src[r.image_id]
+        px = synth.decode_image(bytes(s.bytes), s.fmt, s.w, s.h).astype(np.int64)
+        lum = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+        n = lum.size
+        var = Fraction(int((lum * lum).sum()), n) - Fraction(int(lum.sum()), n) ** 2
+        assert r.contrast_q == var.numerator // var.denominator
+        assert r.brightness_mq == int(lum.sum()) // n
+        lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+               - lum[1:-1, :-2] - lum[1:-1, 2:])
+        m = lap.size
+        lv = Fraction(int((lap * lap).sum()), m) - Fraction(int(lap.sum()), m) ** 2
+        assert r.sharpness_q == lv.numerator // lv.denominator
+        assert r.luma_range == int(lum.max() - lum.min())
+
+
+def test_image_quality_blur_and_degenerate(spark):
+    """Block-mean blur strictly reduces sharpness; a constant image
+    scores 0 sharpness / 0 contrast and is dropped."""
+    import numpy as np
+    from zellige_spark.operators import images as IMG
+
+    rng = np.random.default_rng(3)
+    sharp_px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    blur = sharp_px.reshape(16, 2, 16, 2, 3).mean((1, 3)).astype(np.uint8)
+    blur_px = np.repeat(np.repeat(blur, 2, 0), 2, 1)
+    flat_px = np.full((32, 32, 3), 77, dtype=np.uint8)
+    rows = [("sharp", sharp_px.tobytes(), 32, 32, "raw"),
+            ("blur", blur_px.tobytes(), 32, 32, "raw"),
+            ("flat", flat_px.tobytes(), 32, 32, "raw")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r.image_id: r for r in IMG.image_quality(df).collect()}
+    assert out["sharp"].sharpness_q > out["blur"].sharpness_q > 0
+    assert out["flat"].sharpness_q == 0 and out["flat"].contrast_q == 0
+    assert out["flat"].keep == 0 and out["flat"].luma_range == 0

@@ -647,3 +647,70 @@ def q_mosaic_pyramid(spark, sf_dir: str) -> DataFrame:
                       F.col("cnt_uniform_ok").cast("int")
                        .alias("cnt_uniform_ok"),
                       F.col("pack_ok").cast("int").alias("pack_ok"))
+
+
+# --- image quality scoring (training-data curation gate) --------------------
+
+QUALITY_SCHEMA = ("image_id string, fmt string, w int, h int, "
+                  "brightness_mq long, contrast_q long, sharpness_q long, "
+                  "luma_range int, keep int")
+
+# gate thresholds in exact integer metric units (milli-luma variance /
+# Laplacian variance); tuned so the synthetic corpus splits non-trivially
+QUALITY_MIN_SHARP = 25_000_000_000
+QUALITY_MIN_CONTRAST = 2_400_000_000
+
+
+def image_quality(images: DataFrame,
+                  min_sharp: int = QUALITY_MIN_SHARP,
+                  min_contrast: int = QUALITY_MIN_CONTRAST) -> DataFrame:
+    """Per-image quality metrics for corpus curation — the image-side
+    twin of ``text.quality_scores``: brightness (mean milli-luma),
+    contrast (luma variance), sharpness (variance of the 4-neighbor
+    Laplacian — the standard blur detector), luma dynamic range, and
+    the keep/drop gate.
+
+    Every metric is EXACT integer math (variance as
+    ``(n*Σx² − (Σx)²) div n²`` over int64 sums of integer milli-luma),
+    so the output is bit-identical on any host/partitioning — the same
+    discipline the oracle-gated queries use, applied to a pixel
+    operator no SQL engine can express.  One Arrow-batched mapInPandas
+    pass; map-only (the gate prunes BEFORE any downstream shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_any(r.bytes, r.fmt, r.w, r.h).astype(np.int64)
+                lum = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                n = lum.size
+                s1, s2 = int(lum.sum()), int((lum * lum).sum())
+                brightness = s1 // n
+                contrast = (n * s2 - s1 * s1) // (n * n)
+                core = lum[1:-1, 1:-1]
+                lap = (4 * core - lum[:-2, 1:-1] - lum[2:, 1:-1]
+                       - lum[1:-1, :-2] - lum[1:-1, 2:])
+                m = lap.size
+                l1, l2 = int(lap.sum()), int((lap * lap).sum())
+                sharp = (m * l2 - l1 * l1) // (m * m) if m else 0
+                rng = int(lum.max() - lum.min())
+                keep = int(sharp >= min_sharp and contrast >= min_contrast)
+                rows.append((r.image_id, r.fmt, r.w, r.h, brightness,
+                             contrast, sharp, rng, keep))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "w", "h", "brightness_mq", "contrast_q",
+                "sharpness_q", "luma_range", "keep"])
+
+    return images.mapInPandas(run, QUALITY_SCHEMA)
+
+
+def q_image_quality(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; pixel math not SQL-expressible): exact
+    integer quality metrics + keep/drop gate over the synthetic
+    input_hint corpus.  Integer-sum exactness overflow headroom: luma
+    <= 255000, lum² <= 6.6e10, n*Σl² at 64x64 <= ~2e18 < 2^63."""
+    imgs = synth.images_df(spark, 300).unionByName(
+        synth.jpeg_images_df(spark, 100))
+    return image_quality(imgs).select(
+        "image_id", "fmt", "w", "h", "brightness_mq", "contrast_q",
+        "sharpness_q", "luma_range", "keep")

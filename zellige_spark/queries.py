@@ -2662,6 +2662,9 @@ QUERIES = {
     "neardup_verdicts": SND.q_near_dup_verdicts,
     # multimodal image pipeline (rows-only: pixels/protobuf not SQL)
     "image_pipeline": IMG.q_image_pipeline,
+    # image curation gate: exact-integer blur/brightness/contrast
+    # metrics (rows-only with deterministic bit-identical outputs)
+    "image_quality": IMG.q_image_quality,
     # deterministic geometric augmentation fan-out (rows-only with the
     # aug_ok dihedral-group integrity column)
     "image_augment": IMG.q_image_augment,
