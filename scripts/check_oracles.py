@@ -2,7 +2,8 @@
 Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
 schema (column names), and order-insensitive value hash.
 
-Usage: python scripts/check_oracles.py [sf_dir]
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+(trailing args restrict the run to the named queries)
 """
 
 from __future__ import annotations
@@ -39,6 +40,12 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        keep = set(sys.argv[2:])
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir).toPandas()

@@ -2663,3 +2663,88 @@ def test_image_quality_blur_and_degenerate(spark):
     assert out["sharp"].sharpness_q > out["blur"].sharpness_q > 0
     assert out["flat"].sharpness_q == 0 and out["flat"].contrast_q == 0
     assert out["flat"].keep == 0 and out["flat"].luma_range == 0
+
+
+# --- stay-point detection -----------------------------------------------------
+
+def test_stay_points_handcrafted(spark):
+    """Stop/move segmentation on a handcrafted track: a 3-fix cluster
+    (sub-radius hops), a long hop into a second 2-fix cluster, a
+    time-gap split despite near-zero distance, and a singleton segment
+    dropped by min_points.  Centroids are exact integer microdegrees:
+    floor(sum(lon*1e6)/n)."""
+    import datetime as dt
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # segment 1: three fixes ~111 m apart (0.001 deg on the equator)
+        (1, 10, s(0), 10.000, 0.0), (1, 11, s(60), 10.001, 0.0),
+        (1, 12, s(120), 10.002, 0.0),
+        # long hop (>= 5000 m) -> segment 2: two fixes
+        (1, 13, s(180), 10.100, 0.0), (1, 14, s(240), 10.101, 0.0),
+        # tiny hop but a 2-hour silence -> segment 3: singleton, dropped
+        (1, 15, s(240 + 7200), 10.102, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "lon double, lat double")
+    out = sorted(TRJ.stay_points(df, radius_m=5000, max_gap_s=3600,
+                                 min_points=2).collect(),
+                 key=lambda r: r.seg)
+    assert [r.seg for r in out] == [1, 2]
+    s1, s2 = out
+    assert (s1.n_points, s1.dwell_s) == (3, 120)
+    assert s1.start_es == int(t0.timestamp())
+    # floor((10000000+10001000+10002000)/3) == 10001000
+    assert (s1.c_lon_udeg, s1.c_lat_udeg) == (10001000, 0)
+    assert (s2.n_points, s2.dwell_s) == (2, 60)
+    assert s2.c_lon_udeg == (10100000 + 10101000) // 2
+
+
+def test_stay_points_order_ties_and_negative_centroid(spark):
+    """A ts tie is broken by event_id (swapping the tie partners moves
+    the break point), and floor-division centroids round toward -inf
+    for negative longitudes on both engines."""
+    import datetime as dt
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (7, 2, s(0), -10.0005, -5.0), (7, 1, s(0), -10.0, -5.0),
+        (7, 3, s(60), -10.001, -5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "lon double, lat double")
+    out = TRJ.stay_points(df, radius_m=10**7, max_gap_s=10**7,
+                          min_points=1).collect()
+    assert len(out) == 1 and out[0].n_points == 3
+    # sum is -30001500 -> floor(-10000500.0) stays exact
+    assert out[0].c_lon_udeg == -10000500
+    assert out[0].c_lat_udeg == -5000000
+
+
+def test_stay_points_single_exchange(spark):
+    """Lag, running segment sum, and the (entity, seg) aggregate all
+    reuse hashpartitioning(user_id): ONE Exchange in the whole plan
+    (the partition key is a subset of the grouping keys)."""
+    import re
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 0.0, 0.0)],
+        "user_id long, event_id long, ts timestamp, lon double, lat double")
+    plan = _plan(TRJ.stay_points(df, radius_m=1000, max_gap_s=600))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan

@@ -107,6 +107,61 @@ def track_stats(df: DataFrame, entity_col: str = "user_id",
                     net_m.alias("net_m"), "dur_s")
 
 
+def stay_points(df: DataFrame, radius_m: int, max_gap_s: int,
+                min_points: int = 2, entity_col: str = "user_id",
+                ts_col: str = "ts", tiebreak_col: str = "event_id",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Stay-point (stop) detection: segment each entity's ordered track
+    wherever the hop to the previous fix is >= ``radius_m`` meters OR
+    >= ``max_gap_s`` seconds, then keep segments with at least
+    ``min_points`` fixes — the classic stop/move decomposition of a
+    trajectory (NEW vs the reference, which has no temporal ops).
+
+    Scale shape: two window passes and the final aggregate all key on
+    the entity, so Spark plans ONE Exchange — hashpartitioning
+    (entity) satisfies the groupBy(entity, seg) clustering requirement
+    because the partition key is a subset of the grouping keys.  No
+    collects, no fan-out: state per row is one lag + one running sum.
+
+    Exactness contract (the repo's oracle rules): hop lengths are
+    ``floor(haversine_km * 1000)`` BIGINTs before any comparison, times
+    are BIGINT epoch seconds, and the segment centroid is computed in
+    integer microdegrees — the synthetic lon/lat are exact DECIMALs in
+    both engines, so ``CAST(lon * 1e6 AS BIGINT)`` is exact, the BIGINT
+    sum is order-independent, and ``floor(sum / n)`` divides two exact
+    integers under IEEE double (sums stay far below 2^53).
+
+    Output: (entity, seg, n_points, start_es, dwell_s,
+    c_lon_udeg, c_lat_udeg)."""
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    leg_km = haversine_km_clamped(F.lag(lon_col).over(w),
+                                  F.lag(lat_col).over(w),
+                                  F.col(lon_col), F.col(lat_col))
+    leg_m = F.floor(leg_km * F.lit(1000.0)).cast("long")
+    es = F.unix_timestamp(F.col(ts_col))
+    dt = es - F.lag(es).over(w)
+    brk = F.when(leg_m.isNull() | (leg_m >= F.lit(int(radius_m)))
+                 | (dt >= F.lit(int(max_gap_s))), F.lit(1)) \
+           .otherwise(F.lit(0))
+    e = (df.withColumn("_es", es)
+           .withColumn("_brk", brk)
+           .withColumn("_seg", F.sum("_brk").over(w))
+           .withColumn("_lon_u", (F.col(lon_col) * F.lit(1000000))
+                       .cast("long"))
+           .withColumn("_lat_u", (F.col(lat_col) * F.lit(1000000))
+                       .cast("long")))
+    g = (e.groupBy(entity_col, F.col("_seg").alias("seg"))
+          .agg(F.count(F.lit(1)).alias("n_points"),
+               F.min("_es").alias("start_es"),
+               (F.max("_es") - F.min("_es")).alias("dwell_s"),
+               F.floor(F.sum("_lon_u") / F.count(F.lit(1)))
+                .cast("long").alias("c_lon_udeg"),
+               F.floor(F.sum("_lat_u") / F.count(F.lit(1)))
+                .cast("long").alias("c_lat_udeg")))
+    return g.filter(F.col("n_points") >= F.lit(int(min_points)))
+
+
 def simplify_tracks(df: DataFrame, epsilon_m: float,
                     entity_col: str = "user_id",
                     order_cols: Iterable[str] = ("ts", "event_id"),

@@ -2232,6 +2232,79 @@ def sql_traj_stats() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: stay_points — stop/move trajectory segmentation
+# ---------------------------------------------------------------------------
+
+STAY_RADIUS_M = 1_500_000   # hop >= this many meters starts a new segment
+STAY_GAP_S = 6 * 3600       # ... or a silence >= 6 hours
+STAY_MIN_PTS = 2
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over per-user event tracks: split wherever
+    the hop exceeds STAY_RADIUS_M meters or STAY_GAP_S seconds, keep
+    segments with >= STAY_MIN_PTS fixes, report dwell time and the
+    integer-microdegree centroid.  Lag, running segment sum, and the
+    final aggregate all key on user_id, so the whole operator is ONE
+    Exchange (plan-asserted); centroids are exact BIGINT math — the
+    synthetic lon/lat are DECIMALs, so lon*1e6 is an exact integer on
+    both engines and the order-independent sum survives the hash gate."""
+    from .operators import trajectories as TRJ
+
+    out = TRJ.stay_points(_event_points(spark, sf_dir),
+                          radius_m=STAY_RADIUS_M, max_gap_s=STAY_GAP_S,
+                          min_points=STAY_MIN_PTS)
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("seg").cast("long").alias("seg"),
+                      F.col("n_points").cast("long").alias("n_points"),
+                      F.col("start_es").cast("long").alias("start_es"),
+                      F.col("dwell_s").cast("long").alias("dwell_s"),
+                      "c_lon_udeg", "c_lat_udeg")
+
+
+def sql_stay_points() -> str:
+    from .operators.trajectories import SQL_HAVERSINE_KM
+
+    leg = SQL_HAVERSINE_KM.format(lon1="plon", lat1="plat",
+                                  lon2="lon", lat2="lat")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), legs AS (
+      SELECT user_id, event_id, ts, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pes
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flags AS (
+      SELECT user_id, event_id, ts, es,
+             CAST(lon * 1000000 AS BIGINT) AS lon_u,
+             CAST(lat * 1000000 AS BIGINT) AS lat_u,
+             CASE WHEN plon IS NULL
+                  OR CAST(FLOOR({leg} * 1000.0) AS BIGINT)
+                     >= {STAY_RADIUS_M}
+                  OR es - pes >= {STAY_GAP_S} THEN 1 ELSE 0 END AS brk
+      FROM legs
+    ), segs AS (
+      SELECT user_id, es, lon_u, lat_u,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seg
+      FROM flags
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(seg AS BIGINT) AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(es) AS BIGINT) AS start_es,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS dwell_s,
+           CAST(FLOOR(SUM(lon_u) / COUNT(*)) AS BIGINT) AS c_lon_udeg,
+           CAST(FLOOR(SUM(lat_u) / COUNT(*)) AS BIGINT) AS c_lat_udeg
+    FROM segs GROUP BY user_id, seg
+    HAVING COUNT(*) >= {STAY_MIN_PTS}
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: od_flows — origin-destination mobility matrix at z2
 # ---------------------------------------------------------------------------
 
@@ -2647,6 +2720,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     # per-user track stats (meter-quantized haversine legs, one Exchange)
     "traj_stats": q_traj_stats,
+    # stay-point detection (stop/move segmentation, integer centroids)
+    "stay_points": q_stay_points,
     # origin-destination mobility matrix (trips reduced map-side)
     "od_flows": q_od_flows,
     # exact segment-intersection join (grid-blocked, int64 geometry)
@@ -2750,6 +2825,7 @@ ORACLES = {
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
+    "stay_points": sql_stay_points(),
     "od_flows": sql_od_flows(),
     "track_crossings": sql_track_crossings(),
     "geofence_transitions": sql_geofence_transitions(),
