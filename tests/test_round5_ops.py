@@ -2748,3 +2748,55 @@ def test_stay_points_single_exchange(spark):
         "user_id long, event_id long, ts timestamp, lon double, lat double")
     plan = _plan(TRJ.stay_points(df, radius_m=1000, max_gap_s=600))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+# --- per-tile temporal change detection ----------------------------------------
+
+def test_tile_change_handcrafted(spark):
+    """Two cells, a split at es=100: one cell grows 1->3 (delta 2,
+    score (2*2*1000)//4 == 1000), one declines 2->0 (delta -2, score
+    (4*1000)//2 == 2000), and a balanced cell scores 0/flat."""
+    import datetime as dt
+
+    from zellige_spark.operators import tiles as T
+
+    t0 = dt.datetime(1970, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    # z1 cells: lon sign splits tile_x, all lats at 0 -> tile_y = 1
+    rows = (
+        [(s(0), -90.0, 0.0)] + [(s(200), -90.0, 0.0)] * 3   # west: 1 -> 3
+        + [(s(0), 90.0, 40.0)] * 2                          # NE: 2 -> 0
+        + [(s(0), 90.0, -40.0), (s(200), 90.0, -40.0)]      # SE: 1 -> 1
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, lon double, lat double")
+    out = {(r.tile_x, r.tile_y): r
+           for r in T.tile_change(df, 1, 100).collect()}
+    assert len(out) == 3
+    west = out[(0, 1)]
+    assert (west.n_a, west.n_b, west.delta, west.score_q, west.trend) == \
+        (1, 3, 2, 1000, "grew")
+    ne = out[(1, 0)]
+    assert (ne.n_a, ne.n_b, ne.delta, ne.score_q, ne.trend) == \
+        (2, 0, -2, 2000, "declined")
+    se = out[(1, 1)]
+    assert (se.n_a, se.n_b, se.delta, se.score_q, se.trend) == \
+        (1, 1, 0, 0, "flat")
+
+
+def test_tile_change_single_exchange_partial_agg(spark):
+    """Both period counts come out of ONE tile-key aggregation: a
+    single Exchange, with a partial HashAggregate below it (map-side
+    combine) — never per-period scans or a self-join."""
+    import re
+
+    from zellige_spark.operators import tiles as T
+
+    df = spark.createDataFrame(
+        [(None, 0.0, 0.0)], "ts timestamp, lon double, lat double")
+    plan = _plan(T.tile_change(df, 4, 100))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+    assert "Join" not in plan

@@ -236,6 +236,49 @@ def tile_topk(df: DataFrame, zoom: int, k: int, order_by: Sequence,
              .filter(F.col("rank") <= k))
 
 
+def tile_change(df: DataFrame, zoom: int, split_es: int,
+                ts_col: str = "ts", score_scale: int = 1000,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-tile temporal change detection: count events before vs at/
+    after ``split_es`` (epoch seconds) in every tile at ``zoom``, and
+    score the shift — the hotspot-emergence / decay primitive (NEW vs
+    the reference, which has no temporal ops).
+
+    Scale shape: tile assignment and the period flag are map-side
+    Column math; ONE shuffle on the tile key with map-side partial
+    aggregation (two conditional counts), so a 100-TB fact table ships
+    one partial row per (map partition, occupied tile) — never a raw
+    ping.  Both periods aggregate in the SAME pass: no second scan, no
+    self-join of period slices.
+
+    Exactness: counts are BIGINTs; ``score_q`` is the chi-square-style
+    ``(n_b - n_a)^2 * score_scale DIV (n_a + n_b)`` — all-integer (the
+    numerator is non-negative, so Spark's ``DIV`` and DuckDB's ``//``
+    agree), exact while ``delta^2 * score_scale`` fits int64 (|delta|
+    <= ~3e6 at the default scale; beyond that, bucket to a finer zoom
+    or aggregate in DECIMAL).
+
+    Output: (tile_x, tile_y, n_a, n_b, delta, score_q, trend)."""
+    es = F.unix_timestamp(F.col(ts_col))
+    in_b = (es >= F.lit(int(split_es))).cast("long")
+    a = assign_tiles(df, [zoom], lon_col, lat_col)
+    g = (a.groupBy("tile_x", "tile_y")
+          .agg(F.sum(F.lit(1) - in_b).alias("n_a"),
+               F.sum(in_b).alias("n_b")))
+    delta = F.col("n_b") - F.col("n_a")
+    score = F.expr(
+        f"(n_b - n_a) * (n_b - n_a) * {int(score_scale)} DIV (n_a + n_b)")
+    trend = (F.when(delta > 0, F.lit("grew"))
+              .when(delta < 0, F.lit("declined"))
+              .otherwise(F.lit("flat")))
+    return g.select("tile_x", "tile_y",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    delta.cast("long").alias("delta"),
+                    score.cast("long").alias("score_q"),
+                    trend.alias("trend"))
+
+
 def spread_bits2(v: Column) -> Column:
     """Spread a (<=31-bit) non-negative long's bits to the even bit
     positions of a 64-bit word — the magic-mask half of a 2-D Morton

@@ -417,6 +417,55 @@ def sql_tile_time_rollup() -> str:
     """
 
 
+TC_ZOOM = 4                  # change-detection cell level
+TC_SPLIT_ES = 1_705_363_200  # 2024-01-16T00:00:00Z — events span Jan 1-30
+TC_SCALE = 1000              # chi-square score in milli-units
+
+
+def q_tile_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile temporal change detection over events at z4: counts
+    before vs after the Jan-16 split, integer chi-square-style shift
+    score, grew/declined/flat trend.  One shuffle, both periods
+    aggregated in the same pass (no per-period scans or self-join);
+    all-integer outputs keep it under the exact hash gate."""
+    df = _event_points(spark, sf_dir)
+    return T.tile_change(df, TC_ZOOM, TC_SPLIT_ES,
+                         score_scale=TC_SCALE).select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        "n_a", "n_b", "delta", "score_q", "trend")
+
+
+def sql_tile_change() -> str:
+    tx, ty = _sql_tile(str(TC_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), proj AS (
+      SELECT es, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t AS (
+      SELECT {tx} AS tile_x, {ty} AS tile_y,
+             CASE WHEN es >= {TC_SPLIT_ES} THEN 1 ELSE 0 END AS in_b
+      FROM proj
+    ), g AS (
+      SELECT tile_x, tile_y,
+             CAST(SUM(1 - in_b) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b
+      FROM t GROUP BY tile_x, tile_y
+    )
+    SELECT tile_x, tile_y, n_a, n_b,
+           CAST(n_b - n_a AS BIGINT) AS delta,
+           CAST((n_b - n_a) * (n_b - n_a) * {TC_SCALE} // (n_a + n_b)
+                AS BIGINT) AS score_q,
+           CASE WHEN n_b > n_a THEN 'grew'
+                WHEN n_b < n_a THEN 'declined'
+                ELSE 'flat' END AS trend
+    FROM g
+    """
+
+
 def sql_tile_counts() -> str:
     tx, ty = _sql_tile("zoom")
     return f"""
@@ -2602,6 +2651,9 @@ QUERIES = {
     "tile_rollup": q_tile_rollup,
     # spatiotemporal cube: (z5 tile, month|year) from one raw aggregation
     "tile_time_rollup": q_tile_time_rollup,
+    # per-tile temporal change detection (two-period delta + chi-square
+    # shift score in one aggregation pass)
+    "tile_change": q_tile_change,
     # geohash string cell codes (prefix = containment; shared-text oracle)
     "geohash_assign": q_geohash_assign,
     # Bing quadkey strings for z9 tiles (string twin of tile_key)
@@ -2761,6 +2813,7 @@ ORACLES = {
     "tile_counts": sql_tile_counts(),
     "tile_rollup": sql_tile_rollup(),
     "tile_time_rollup": sql_tile_time_rollup(),
+    "tile_change": sql_tile_change(),
     "geohash_assign": sql_geohash_assign(),
     "quadkey_assign": sql_quadkey_assign(),
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
