@@ -2800,3 +2800,71 @@ def test_tile_change_single_exchange_partial_agg(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
     assert "Join" not in plan
+
+
+# --- ViT-style patch tokenization ----------------------------------------------
+
+def test_patch_grid_matches_numpy_and_reassembles(spark):
+    """Patch rows must be exact slices of the decoded image: bytes,
+    integer stats, and crc pinned against a direct numpy recompute,
+    and the row-major grid must reassemble bit-for-bit into the
+    cropped source."""
+    import zlib
+
+    import numpy as np
+
+    from zellige_spark import synth
+    from zellige_spark.operators import images as IMG
+
+    imgs = synth.images_df(spark, 12)
+    src = {r.image_id: synth.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+           for r in imgs.collect()}
+    out = IMG.patch_grid(imgs, patch=8).collect()
+
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r.image_id, {})[(r.py, r.px)] = r
+    assert set(by_img) == set(src)
+    for image_id, patches in by_img.items():
+        px = src[image_id]
+        gh, gw = px.shape[0] // 8, px.shape[1] // 8
+        assert len(patches) == gh * gw
+        recon = np.zeros((gh * 8, gw * 8, 3), dtype=np.uint8)
+        for (gy, gx), r in patches.items():
+            blk = np.frombuffer(bytes(r.patch_bytes),
+                                dtype=np.uint8).reshape(8, 8, 3)
+            expect = px[gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8]
+            assert np.array_equal(blk, expect)
+            assert r.p_sum == int(expect.astype(np.int64).sum())
+            assert r.p_min == int(expect.min())
+            assert r.p_max == int(expect.max())
+            assert r.patch_crc32 == zlib.crc32(bytes(r.patch_bytes))
+            assert r.n_patches == gh * gw
+            assert r.count_ok and r.sum_ok
+            recon[gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8] = blk
+        assert np.array_equal(recon, px[: gh * 8, : gw * 8])
+
+
+def test_patch_grid_crops_non_multiple_dims(spark):
+    """A 20x13 image at patch 8 crops to a 1x2 grid over the top-left
+    16x8 region — the resize_block_mean truncation contract — and the
+    sum_ok decomposition is checked against the CROP, not the full
+    image."""
+    import numpy as np
+
+    from zellige_spark.operators import images as IMG
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 20, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("odd", px.tobytes(), 20, 13, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    out = sorted(IMG.patch_grid(df, patch=8).collect(),
+                 key=lambda r: (r.py, r.px))
+    assert [(r.py, r.px) for r in out] == [(0, 0), (0, 1)]
+    for r in out:
+        expect = px[:8, r.px * 8:(r.px + 1) * 8]
+        assert np.array_equal(
+            np.frombuffer(bytes(r.patch_bytes), dtype=np.uint8)
+              .reshape(8, 8, 3), expect)
+        assert r.n_patches == 2 and r.count_ok and r.sum_ok

@@ -113,6 +113,67 @@ def resize_block_mean(images: DataFrame, out_w: int = 8, out_h: int = 8) -> Data
     return images.mapInPandas(run, RESIZE_SCHEMA)
 
 
+PATCH_SCHEMA = ("image_id string, py int, px int, patch_bytes binary, "
+                "p_sum long, p_min int, p_max int, patch_crc32 long, "
+                "n_patches int, count_ok boolean, sum_ok boolean")
+
+
+def patch_grid(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch tokenization: split each decoded image into
+    non-overlapping ``patch x patch`` RGB tiles (row-major grid), one
+    output row per patch — the standard vision-transformer input prep
+    (NEW vs the reference; no image ops there).  Images whose dims are
+    not multiples of ``patch`` are cropped to the largest multiple,
+    exactly like ``resize_block_mean``.
+
+    Scale shape: a single Arrow-batched ``mapInPandas`` pass — decode
+    once, emit the whole grid; map-only (zero shuffles), so 1e12
+    images parallelize by input split.  The per-image fan-out is
+    bounded by (h//patch)·(w//patch) rows of patch-size bytes — peak
+    residency stays one Arrow batch.
+
+    Pixel logic is not SQL-expressible, so every row self-verifies
+    (the `raster_vector` pattern): ``count_ok`` — the grid emitted
+    exactly (h//p)·(w//p) patches; ``sum_ok`` — Σ p_sum over the
+    image's patches equals the whole cropped image's pixel sum
+    (exact-integer decomposition check); plus per-patch exact stats
+    (p_sum/p_min/p_max) and a crc32 over the patch bytes pinning
+    decode determinism."""
+    p = int(patch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_any(r.bytes, r.fmt, r.w, r.h)
+                gh, gw = r.h // p, r.w // p
+                crop = px[: gh * p, : gw * p]
+                total = int(crop.astype(np.int64).sum())
+                # (gh, p, gw, p, 3) -> (gh, gw, p, p, 3) patch tensor
+                t = (crop.reshape(gh, p, gw, p, 3)
+                         .transpose(0, 2, 1, 3, 4))
+                sums = t.astype(np.int64).sum(axis=(2, 3, 4))
+                count_ok = t.shape[0] * t.shape[1] == gh * gw
+                sum_ok = int(sums.sum()) == total
+                for gy in range(gh):
+                    for gx in range(gw):
+                        blk = np.ascontiguousarray(t[gy, gx])
+                        b = blk.tobytes()
+                        rows.append((r.image_id, gy, gx, b,
+                                     int(sums[gy, gx]),
+                                     int(blk.min()), int(blk.max()),
+                                     zlib.crc32(b), gh * gw,
+                                     count_ok, sum_ok))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "py", "px", "patch_bytes", "p_sum",
+                "p_min", "p_max", "patch_crc32", "n_patches",
+                "count_ok", "sum_ok"])
+
+    return images.mapInPandas(run, PATCH_SCHEMA)
+
+
 AUDIO_WINDOW_SCHEMA = ("audio_id string, window_idx int, pcm_bytes binary, "
                        "sample_rate int, n_samples int, rms double, "
                        "peak double")
@@ -455,6 +516,20 @@ def q_image_augment(spark, sf_dir: str) -> DataFrame:
     out = augment_images(imgs)
     return out.select("image_id", "aug", "w", "h", "phash",
                       F.col("aug_ok").cast("int").alias("aug_ok"))
+
+
+def q_image_patches(spark, sf_dir: str) -> DataFrame:
+    """Driver query (rows-only; pixel layouts not SQL-expressible):
+    ViT-style 8x8 patch tokenization of the synthetic image table,
+    self-verified per row by the ``count_ok`` grid-parity and
+    ``sum_ok`` exact-integer decomposition columns."""
+    imgs = synth.images_df(spark, 150).unionByName(
+        synth.jpeg_images_df(spark, 50))
+    out = patch_grid(imgs, patch=8)
+    return out.select("image_id", "py", "px", "p_sum", "p_min", "p_max",
+                      "patch_crc32", "n_patches",
+                      F.col("count_ok").cast("int").alias("count_ok"),
+                      F.col("sum_ok").cast("int").alias("sum_ok"))
 
 
 # --- per-tile image mosaics (geo x image cross-modal) ------------------------

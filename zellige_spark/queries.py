@@ -2795,6 +2795,9 @@ QUERIES = {
     # deterministic geometric augmentation fan-out (rows-only with the
     # aug_ok dihedral-group integrity column)
     "image_augment": IMG.q_image_augment,
+    # ViT-style 8x8 patch tokenization (rows-only with count_ok grid
+    # parity + sum_ok exact-integer decomposition columns)
+    "image_patches": IMG.q_image_patches,
     # per-tile image mosaics (geo x image: decomposable pixel-vector
     # aggregation; rows-only with cnt_uniform/pack_ok integrity)
     "tile_mosaic": IMG.q_tile_mosaic,
