@@ -2868,3 +2868,62 @@ def test_patch_grid_crops_non_multiple_dims(spark):
             np.frombuffer(bytes(r.patch_bytes), dtype=np.uint8)
               .reshape(8, 8, 3), expect)
         assert r.n_patches == 2 and r.count_ok and r.sum_ok
+
+
+# --- nearest-segment snap (map matching) ---------------------------------------
+
+def _py_snap_d2(px, py, ax, ay, bx, by):
+    """Exact clamped point-segment squared distance, floored — pure
+    Python bignum, the spec the DECIMAL(38)/HUGEINT paths must match."""
+    abx, aby = bx - ax, by - ay
+    ab2 = abx * abx + aby * aby
+    dot = (px - ax) * abx + (py - ay) * aby
+    if dot <= 0:
+        return (px - ax) ** 2 + (py - ay) ** 2
+    if dot >= ab2:
+        return (px - bx) ** 2 + (py - by) ** 2
+    ap2 = (px - ax) ** 2 + (py - ay) ** 2
+    return (ap2 * ab2 - dot * dot) // ab2
+
+
+def test_snap_to_segments_matches_bignum_brute_force(spark):
+    """Distributed snap == exact Python-int recompute over a point set
+    that hits all three projection regions (before A, past B,
+    perpendicular) of a deliberately awkward segment set."""
+    from zellige_spark.operators import segments as SEG
+
+    segs = [(1, 0, 0, 100000, 0),        # horizontal
+            (2, 50000, -90000, 50000, 90000),   # vertical
+            (3, -170000, -80000, 170000, 80000)]  # long diagonal
+    pts = [(i, x, y) for i, (x, y) in enumerate([
+        (-50000, 10), (150000, -10), (50000, 40000),   # the 3 regions of seg 1
+        (49999, 89999), (50001, -90001), (0, 1),
+        (170000, 80000), (-170000, -80001), (123457, 7),
+    ])]
+    df = spark.createDataFrame(pts, "event_id long, px long, py long")
+    out = {r.event_id: r
+           for r in SEG.snap_to_segments(df, segs).collect()}
+    assert len(out) == len(pts)
+    for eid, px, py in pts:
+        want = min(((_py_snap_d2(px, py, ax, ay, bx, by), sid)
+                    for sid, ax, ay, bx, by in segs))
+        assert (out[eid].snap_d2, out[eid].seg_id) == want, (eid, px, py)
+
+
+def test_snap_to_segments_exact_tie_and_plan(spark):
+    """A point equidistant from two segments snaps to the LOWER seg_id
+    (array_min struct order), and the whole operator is map-only:
+    zero Exchanges, no Join."""
+    import re
+
+    from zellige_spark.operators import segments as SEG
+
+    # two parallel horizontals at y=+10, y=-10: y=0 ties exactly
+    segs = [(7, 0, 10, 100, 10), (3, 0, -10, 100, -10)]
+    df = spark.createDataFrame([(1, 50, 0)], "event_id long, px long, py long")
+    out = SEG.snap_to_segments(df, segs).collect()[0]
+    assert (out.seg_id, out.snap_d2) == (3, 100)
+
+    plan = _plan(SEG.snap_to_segments(df, segs))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    assert "Join" not in plan

@@ -126,3 +126,58 @@ def crossing_pairs(segs: DataFrame, entity_col: str = "user_id",
              .distinct())  # a pair can co-occur in several cells
     return (pairs.groupBy("entity_a", "entity_b")
             .agg(F.count(F.lit(1)).alias("n_crossings")))
+
+
+def snap_to_segments(df: DataFrame, segments: list,
+                     x_col: str = "px", y_col: str = "py") -> DataFrame:
+    """Nearest-segment snap (the map-matching primitive): for every
+    point, the closest segment of a constant dim network and the
+    EXACT floored squared distance — all-integer geometry, no float
+    term anywhere (NEW vs the reference, which has no joins).
+
+    ``segments`` is a driver-side constant list of
+    ``(seg_id, ax, ay, bx, by)`` tuples in the same integer units as
+    the point columns (millidegrees in the driver query; any unit with
+    coordinate magnitudes <= ~1e6 keeps every product inside the
+    DECIMAL(38) headroom).  Point-to-segment distance uses the clamped
+    projection: ``dot <= 0`` -> distance to A, ``dot >= |AB|^2`` ->
+    distance to B, else the perpendicular case where
+    ``d2 = (|AP|^2 * |AB|^2 - dot^2) DIV |AB|^2`` runs in exact
+    DECIMAL(38,0) arithmetic (intermediates reach ~1e23, past int64)
+    and floors back to BIGINT.  The oracle twin computes the identical
+    integers in DuckDB HUGEINT — exactness needs equal INTEGERS, not a
+    shared float expression tree.
+
+    Scale shape: the network is a literal, so there is NO join and NO
+    shuffle — each segment's distance is one expression, the argmin is
+    ``array_min`` over an array<struct<d2, seg_id>> (lexicographic:
+    distance, then lowest seg_id for exact ties), and the whole
+    operator is a single map-only projection that parallelizes by
+    input split.  For networks too big for a literal (beyond a few
+    hundred segments), block both sides to grid cells and equi-join on
+    the cell key instead — the ``crossing_pairs`` pattern above.
+
+    Output: input columns + (seg_id, snap_d2)."""
+    x, y = x_col, y_col
+    structs = []
+    for sid, ax, ay, bx, by in segments:
+        ax, ay, bx, by = int(ax), int(ay), int(bx), int(by)
+        abx, aby = bx - ax, by - ay
+        ab2 = abx * abx + aby * aby
+        if ab2 == 0:
+            raise ValueError(f"degenerate segment {sid}")
+        dot = f"(({x} - ({ax})) * ({abx}) + ({y} - ({ay})) * ({aby}))"
+        ap2 = (f"(({x} - ({ax})) * ({x} - ({ax})) "
+               f"+ ({y} - ({ay})) * ({y} - ({ay})))")
+        bp2 = (f"(({x} - ({bx})) * ({x} - ({bx})) "
+               f"+ ({y} - ({by})) * ({y} - ({by})))")
+        num = (f"(CAST({ap2} AS DECIMAL(20,0)) * {ab2} "
+               f"- CAST({dot} AS DECIMAL(20,0)) * CAST({dot} AS DECIMAL(20,0)))")
+        d2 = (f"CASE WHEN {dot} <= 0 THEN {ap2} "
+              f"WHEN {dot} >= {ab2} THEN {bp2} "
+              f"ELSE CAST({num} DIV {ab2} AS BIGINT) END")
+        structs.append(F.struct(F.expr(d2).cast("long").alias("d2"),
+                                F.lit(int(sid)).alias("seg_id")))
+    best = F.array_min(F.array(*structs))
+    return df.withColumn("seg_id", best["seg_id"].cast("long")) \
+             .withColumn("snap_d2", best["d2"])

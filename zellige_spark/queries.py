@@ -2504,6 +2504,91 @@ def q_track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_a", "entity_b"))
 
 
+# ---------------------------------------------------------------------------
+# q: map_snap — nearest-segment snap (map matching), exact integer geometry
+# ---------------------------------------------------------------------------
+
+# millidegrees on the BIGINT lattice: coordinate magnitudes <= 180000
+# keep every snap intermediate inside DECIMAL(38) / HUGEINT headroom
+EVT_MX = "(event_id * 3571 % 360000) - 180000"
+EVT_MY = "((event_id * 9973 + 7) % 170000) - 85000"
+
+# constant "road network" dim: (seg_id, ax, ay, bx, by) in millidegrees
+SNAP_SEGS = [
+    (1, -120000, 35000, -75000, 41000),
+    (2, -3000, 51000, 13000, 52000),
+    (3, 139000, 35000, 116000, 40000),
+    (4, -46000, -23000, 18000, -33000),
+    (5, 77000, 13000, 100000, 14000),
+    (6, -99000, 19000, -58000, -34000),
+    (7, 151000, -33000, 174000, -41000),
+    (8, 31000, 30000, 3000, 6000),
+    (9, -18000, 64000, 10000, 59000),
+    (10, -70000, -15000, -57000, -25000),
+]
+
+
+def q_map_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap every event point to the nearest of 10 constant network
+    segments (map matching): clamped-projection squared distance in
+    EXACT integer arithmetic — DECIMAL(38,0) for the two >int64
+    products, floored back to BIGINT — with ties to the lowest seg_id.
+    No join, no shuffle: the network is a literal, the argmin is an
+    `array_min` over struct(d2, seg_id), and the whole query is one
+    map-only projection (plan-asserted zero Exchanges)."""
+    from .operators import segments as SEG
+
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select("event_id", F.expr(EVT_MX).alias("mx"),
+                   F.expr(EVT_MY).alias("my")))
+    out = SEG.snap_to_segments(pts, SNAP_SEGS, x_col="mx", y_col="my")
+    return out.select(F.col("event_id").cast("long").alias("event_id"),
+                      "mx", "my", "seg_id", "snap_d2")
+
+
+def sql_map_snap() -> str:
+    vals = ", ".join(f"({sid}, {ax}, {ay}, {bx}, {by})"
+                     for sid, ax, ay, bx, by in SNAP_SEGS)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {EVT_MX} AS mx, {EVT_MY} AS my FROM events
+    ), segs AS (
+      SELECT seg_id, CAST(ax AS BIGINT) AS ax, CAST(ay AS BIGINT) AS ay,
+             CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by
+      FROM (VALUES {vals}) t(seg_id, ax, ay, bx, by)
+    ), d AS (
+      SELECT p.event_id, p.mx, p.my, s.seg_id,
+             (p.mx - s.ax) * (s.bx - s.ax)
+               + (p.my - s.ay) * (s.by - s.ay) AS dot,
+             (s.bx - s.ax) * (s.bx - s.ax)
+               + (s.by - s.ay) * (s.by - s.ay) AS ab2,
+             (p.mx - s.ax) * (p.mx - s.ax)
+               + (p.my - s.ay) * (p.my - s.ay) AS ap2,
+             (p.mx - s.bx) * (p.mx - s.bx)
+               + (p.my - s.by) * (p.my - s.by) AS bp2
+      FROM pts p CROSS JOIN segs s
+    ), d2 AS (
+      SELECT event_id, mx, my, seg_id,
+             CASE WHEN dot <= 0 THEN ap2
+                  WHEN dot >= ab2 THEN bp2
+                  ELSE CAST((CAST(ap2 AS HUGEINT) * ab2
+                             - CAST(dot AS HUGEINT) * dot) // ab2
+                            AS BIGINT) END AS snap_d2
+      FROM d
+    ), r AS (
+      SELECT event_id, mx, my, seg_id, snap_d2,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY snap_d2, seg_id) AS rk
+      FROM d2
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(mx AS BIGINT) AS mx, CAST(my AS BIGINT) AS my,
+           CAST(seg_id AS BIGINT) AS seg_id,
+           CAST(snap_d2 AS BIGINT) AS snap_d2
+    FROM r WHERE rk = 1
+    """
+
+
 def _sql_seg_intersect(a: str, b: str) -> str:
     """Closed segment-intersection predicate over integer columns
     {a}.x1..{a}.y2 vs {b}.x1..{b}.y2 — same cases as
@@ -2778,6 +2863,9 @@ QUERIES = {
     "od_flows": q_od_flows,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
+    # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
+    # zero shuffles — the network dim is a literal)
+    "map_snap": q_map_snap,
     # geofence enter/exit alerts (batch twin of streaming/geofence.py)
     "geofence_transitions": q_geofence_transitions,
     # distributed Douglas-Peucker per trajectory (rows-only with
@@ -2884,6 +2972,7 @@ ORACLES = {
     "stay_points": sql_stay_points(),
     "od_flows": sql_od_flows(),
     "track_crossings": sql_track_crossings(),
+    "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
     "dedup_verdicts": SDD.sql_dedup_verdicts(),
     "neardup_verdicts": SND.sql_near_dup_verdicts(),
