@@ -2927,3 +2927,58 @@ def test_snap_to_segments_exact_tie_and_plan(spark):
     plan = _plan(SEG.snap_to_segments(df, segs))
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
     assert "Join" not in plan
+
+
+# --- time-grid trajectory resampling -------------------------------------------
+
+def test_resample_tracks_exact_lerp_and_boundaries(spark):
+    """Handcrafted legs on a 10-second grid: exact midpoint lerp with
+    truncation toward zero, a fix landing exactly ON a grid mark is
+    owned by the leg that ENDS there (never duplicated by the next
+    leg), a zero-duration tie leg emits nothing, and pre-first-fix
+    marks don't exist."""
+    import datetime as dt
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    t0 = dt.datetime(1970, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # leg 5 -> 25: marks at 10 (t=5s in, lerp 1/4... exact ints) and 20
+        (1, 1, s(5), 0, 100), (1, 2, s(25), 100, -100),
+        # leg 25 -> 30: mark at 30 exactly (owned by this leg)
+        (1, 3, s(30), 40, 40),
+        # tie leg at 30 (same ts, higher event_id): lo>hi -> no marks
+        (1, 4, s(30), 99, 99),
+        # leg 30 -> 41: mark at 40 only (30 already owned above)
+        (1, 5, s(41), 110, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, ux long, uy long")
+    out = sorted(TRJ.resample_tracks(df, step_s=10).collect(),
+                 key=lambda r: r.grid_es)
+    got = [(r.grid_es, r.x, r.y) for r in out]
+    # t=10: 5s into a 20s leg: x = 0 + 100*5//20 = 25, y = 100 + (-200)*5//20 = 50
+    # t=20: 15s in: x = 75, y = 100 - 150 = -50
+    # t=30: endpoint of leg 2->3: exactly (40, 40)
+    # t=40: 10s into the 11s leg from (99,99) at es=30: x = 99 + 11*10//11
+    assert got == [(10, 25, 50), (20, 75, -50), (30, 40, 40),
+                   (40, 99 + (110 - 99) * 10 // 11,
+                    99 + (0 - 99) * 10 // 11)]
+
+
+def test_resample_tracks_single_exchange(spark):
+    """The entity window is the only Exchange; the mark explode and
+    lerp are map-side."""
+    import re
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 0, 0)],
+        "user_id long, event_id long, ts timestamp, ux long, uy long")
+    plan = _plan(TRJ.resample_tracks(df))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan

@@ -162,6 +162,52 @@ def stay_points(df: DataFrame, radius_m: int, max_gap_s: int,
     return g.filter(F.col("n_points") >= F.lit(int(min_points)))
 
 
+def resample_tracks(df: DataFrame, step_s: int = 3600,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    tiebreak_col: str = "event_id",
+                    x_col: str = "ux", y_col: str = "uy") -> DataFrame:
+    """Time-grid trajectory resampling (gap-fill interpolation, the
+    hypertable ``time_bucket_gapfill + interpolate`` analog): emit the
+    linearly interpolated integer position at every multiple of
+    ``step_s`` seconds covered by each entity's track.
+
+    Each leg (prev fix, fix] owns the grid marks strictly after its
+    start and up to its end — half-open intervals make marks unique
+    across legs AND guarantee ``T - t1 >= 1 <= dt`` so there is no
+    division by zero even on (ts, tiebreak) ties.  The lerp
+    ``x1 + (x2-x1)*(T-t1) DIV dt`` is exact integer math; both engines
+    truncate integer division toward zero, so the oracle hash-matches
+    with no float term anywhere (microdegree deltas * month-scale
+    second offsets stay ~1e15, inside int64).
+
+    Scale shape: one Exchange (the entity window), then a map-only
+    explode whose fan-out is bounded by track-duration/step_s; marks
+    inside a leg never ship a raw ping twice.
+
+    Output: (entity, grid_es, x, y) — one row per covered grid mark."""
+    step = int(step_s)
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    es = F.unix_timestamp(F.col(ts_col))
+    e = (df.withColumn("_es", es)
+           .withColumn("_pes", F.lag(es).over(w))
+           .withColumn("_px", F.lag(x_col).over(w))
+           .withColumn("_py", F.lag(y_col).over(w)))
+    lo = F.expr(f"_pes DIV {step} + 1")
+    hi = F.expr(f"_es DIV {step}")
+    marks = (F.when(F.col("_pes").isNotNull() & (lo <= hi),
+                    F.sequence(lo, hi))
+              .otherwise(F.array().cast("array<bigint>")))
+    e = e.withColumn("_k", F.explode(marks))
+    t = (F.col("_k") * F.lit(step)).alias("grid_es")
+    lerp_x = F.expr(
+        f"_px + (({x_col} - _px) * (_k * {step} - _pes)) DIV (_es - _pes)")
+    lerp_y = F.expr(
+        f"_py + (({y_col} - _py) * (_k * {step} - _pes)) DIV (_es - _pes)")
+    return e.select(F.col(entity_col), t.cast("long"),
+                    lerp_x.cast("long").alias("x"),
+                    lerp_y.cast("long").alias("y"))
+
+
 def simplify_tracks(df: DataFrame, epsilon_m: float,
                     entity_col: str = "user_id",
                     order_cols: Iterable[str] = ("ts", "event_id"),

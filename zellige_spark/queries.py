@@ -2505,6 +2505,58 @@ def q_track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q: traj_interp — time-grid trajectory resampling (gap-fill interpolation)
+# ---------------------------------------------------------------------------
+
+INTERP_STEP_S = 6 * 3600  # 6-hour grid
+
+
+def q_traj_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample every user's track onto the 6-hour epoch grid by exact
+    integer linear interpolation between the bracketing fixes — the
+    hypertable gapfill+interpolate analog.  Half-open leg intervals
+    make each grid mark unique and rule out division by zero; both
+    engines truncate integer division toward zero, so the lerp is
+    hash-exact with no float term.  One Exchange (the user window),
+    then a map-only explode."""
+    from .operators import trajectories as TRJ
+
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select("user_id", "event_id", "ts",
+                   F.expr(EVT_UX).alias("ux"), F.expr(EVT_UY).alias("uy")))
+    out = TRJ.resample_tracks(pts, step_s=INTERP_STEP_S)
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      "grid_es", "x", "y")
+
+
+def sql_traj_interp() -> str:
+    s = INTERP_STEP_S
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_UX} AS ux, {EVT_UY} AS uy
+      FROM events
+    ), legs AS (
+      SELECT user_id, ux, uy,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS pes,
+             lag(ux) OVER w AS px, lag(uy) OVER w AS py
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marks AS (
+      SELECT user_id, ux, uy, es, pes, px, py,
+             unnest(generate_series(pes // {s} + 1, es // {s})) AS k
+      FROM legs WHERE pes IS NOT NULL
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(k * {s} AS BIGINT) AS grid_es,
+           CAST(px + ((ux - px) * (k * {s} - pes)) // (es - pes)
+                AS BIGINT) AS x,
+           CAST(py + ((uy - py) * (k * {s} - pes)) // (es - pes)
+                AS BIGINT) AS y
+    FROM marks
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: map_snap — nearest-segment snap (map matching), exact integer geometry
 # ---------------------------------------------------------------------------
 
@@ -2859,6 +2911,8 @@ QUERIES = {
     "traj_stats": q_traj_stats,
     # stay-point detection (stop/move segmentation, integer centroids)
     "stay_points": q_stay_points,
+    # time-grid resampling: exact integer gap-fill interpolation
+    "traj_interp": q_traj_interp,
     # origin-destination mobility matrix (trips reduced map-side)
     "od_flows": q_od_flows,
     # exact segment-intersection join (grid-blocked, int64 geometry)
@@ -2970,6 +3024,7 @@ ORACLES = {
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
     "stay_points": sql_stay_points(),
+    "traj_interp": sql_traj_interp(),
     "od_flows": sql_od_flows(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
