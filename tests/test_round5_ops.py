@@ -2982,3 +2982,42 @@ def test_resample_tracks_single_exchange(spark):
         "user_id long, event_id long, ts timestamp, ux long, uy long")
     plan = _plan(TRJ.resample_tracks(df))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+# --- compass-rose heading mix ---------------------------------------------------
+
+def test_heading_mix_cardinal_sectors_and_plan(spark):
+    """Due-N/E/S/W legs land in sectors 0/2/4/6 (sector k covers
+    [45k, 45k+45) degrees clockwise from north), per-user counts
+    aggregate correctly, and the plan is ONE Exchange."""
+    import datetime as dt
+    import re
+
+    from zellige_spark.operators import trajectories as TRJ
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1 walks N: sector 0 (exact bearing 0)
+        (1, 1, s(0), 0.0, 0.0), (1, 2, s(60), 0.0, 10.0),
+        # user 2 walks S then W along the equator: sectors {4:1, 6:1}
+        # (E/W legs are exactly 90/270 ONLY on the equator — off it,
+        # the great circle arcs poleward and the bearing shifts)
+        (2, 1, s(0), 0.0, 10.0), (2, 2, s(60), 0.0, 0.0),
+        (2, 3, s(120), -10.0, 0.0),
+        # user 3 walks E twice along the equator: sector {2:2}
+        (3, 1, s(0), 0.0, 0.0), (3, 2, s(60), 10.0, 0.0),
+        (3, 3, s(120), 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "lon double, lat double")
+    out = {(r.user_id, r.sector): r.n_legs
+           for r in TRJ.heading_mix(df).collect()}
+    assert out == {(1, 0): 1, (2, 4): 1, (2, 6): 1, (3, 2): 2}
+
+    plan = _plan(TRJ.heading_mix(df))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan

@@ -162,6 +162,47 @@ def stay_points(df: DataFrame, radius_m: int, max_gap_s: int,
     return g.filter(F.col("n_points") >= F.lit(int(min_points)))
 
 
+SQL_BEARING_DEG = (
+    "degrees(atan2("
+    "sin(radians({lon2}) - radians({lon1})) * cos(radians({lat2})), "
+    "cos(radians({lat1})) * sin(radians({lat2})) "
+    "- sin(radians({lat1})) * cos(radians({lat2})) "
+    "* cos(radians({lon2}) - radians({lon1}))))")
+
+
+def heading_mix(df: DataFrame, sectors: int = 8,
+                entity_col: str = "user_id", ts_col: str = "ts",
+                tiebreak_col: str = "event_id", lon_col: str = "lon",
+                lat_col: str = "lat") -> DataFrame:
+    """Per-entity compass-rose heading distribution: the initial
+    great-circle bearing of every leg, bucketed into ``sectors`` equal
+    arcs (8 = the classic N/NE/E/... rose), counted per entity — the
+    movement-direction profile of a track.
+
+    The bearing is the standard ``atan2`` form; the expression TREE is
+    shared verbatim with the oracle SQL (``SQL_BEARING_DEG``), so both
+    engines evaluate identical doubles, and only the floor-bucketed
+    sector integer is output (atan2 in (-180, 180] -> +360 -> DIV 45
+    -> mod, all exact integer steps after the one floor).  Window and
+    aggregate key on the entity: ONE Exchange.
+
+    Output: (entity, sector, n_legs)."""
+    arc = 360.0 / int(sectors)
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    plon, plat = F.lag(lon_col).over(w), F.lag(lat_col).over(w)
+    r1, r2 = F.radians(plat), F.radians(F.col(lat_col))
+    dlon = F.radians(F.col(lon_col)) - F.radians(plon)
+    brg = F.degrees(F.atan2(
+        F.sin(dlon) * F.cos(r2),
+        F.cos(r1) * F.sin(r2) - F.sin(r1) * F.cos(r2) * F.cos(dlon)))
+    sector = (F.floor((brg + F.lit(360.0)) / F.lit(arc)).cast("long")
+              % F.lit(int(sectors)))
+    e = df.withColumn("_sector", F.when(plon.isNotNull(), sector))
+    return (e.filter(F.col("_sector").isNotNull())
+             .groupBy(F.col(entity_col), F.col("_sector").alias("sector"))
+             .agg(F.count(F.lit(1)).alias("n_legs")))
+
+
 def resample_tracks(df: DataFrame, step_s: int = 3600,
                     entity_col: str = "user_id", ts_col: str = "ts",
                     tiebreak_col: str = "event_id",

@@ -2505,6 +2505,47 @@ def q_track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q: heading_mix — per-user compass-rose bearing distribution
+# ---------------------------------------------------------------------------
+
+
+def q_heading_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial great-circle bearing of every leg, bucketed into the
+    8-sector compass rose, counted per user.  The atan2 expression
+    tree is shared verbatim with the oracle; only the floor-bucketed
+    integer sector is output.  Window + aggregate share the user key:
+    ONE Exchange."""
+    from .operators import trajectories as TRJ
+
+    out = TRJ.heading_mix(_event_points(spark, sf_dir))
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("sector").cast("long").alias("sector"),
+                      F.col("n_legs").cast("long").alias("n_legs"))
+
+
+def sql_heading_mix() -> str:
+    from .operators.trajectories import SQL_BEARING_DEG
+
+    brg = SQL_BEARING_DEG.format(lon1="plon", lat1="plat",
+                                 lon2="lon", lat2="lat")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), legs AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(FLOOR(({brg} + 360.0) / 45.0) AS BIGINT) % 8 AS sector,
+           CAST(COUNT(*) AS BIGINT) AS n_legs
+    FROM legs WHERE plon IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: traj_interp — time-grid trajectory resampling (gap-fill interpolation)
 # ---------------------------------------------------------------------------
 
@@ -2913,6 +2954,8 @@ QUERIES = {
     "stay_points": q_stay_points,
     # time-grid resampling: exact integer gap-fill interpolation
     "traj_interp": q_traj_interp,
+    # compass-rose heading distribution (shared atan2 tree, int sectors)
+    "heading_mix": q_heading_mix,
     # origin-destination mobility matrix (trips reduced map-side)
     "od_flows": q_od_flows,
     # exact segment-intersection join (grid-blocked, int64 geometry)
@@ -3025,6 +3068,7 @@ ORACLES = {
     "traj_stats": sql_traj_stats(),
     "stay_points": sql_stay_points(),
     "traj_interp": sql_traj_interp(),
+    "heading_mix": sql_heading_mix(),
     "od_flows": sql_od_flows(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
