@@ -3021,3 +3021,36 @@ def test_heading_mix_cardinal_sectors_and_plan(spark):
 
     plan = _plan(TRJ.heading_mix(df))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+# --- benchmark decontamination (round 5) ------------------------------------
+
+def test_decontaminate_handcrafted(spark, tmp_path):
+    """n-gram decontamination semantics on handcrafted docs: overlapping
+    occurrences each count, distinct hits dedup, eval docs excluded,
+    too-short docs report zero grams, and the eval-shingle join is
+    broadcast (no shuffle of the corpus-side grams on the gram key)."""
+    from zellige_spark.operators import text as TXT
+
+    docs = [
+        "w2 w3 w4 w5 x w2 w3 w4 w5",   # doc 0: one eval gram, twice
+        "a b c d e",                    # doc 1: clean
+        "a b",                          # doc 2: too short for any 4-gram
+        "w1 w2 w3 w4 w5",               # doc 3: THE EVAL DOC (3 % 97 == 3)
+        "q w1 w2 w3 w4 w5 r",           # doc 4: both eval grams, once each
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = TXT.q_decontaminate(spark, sf)
+    got = {r.doc_id: r for r in out.collect()}
+    assert sorted(got) == [0, 1, 2, 4]  # eval doc never in the output
+    r0 = got[0]
+    assert (r0.n_grams, r0.hit_grams, r0.distinct_hits,
+            r0.contaminated) == (6, 2, 1, 1)
+    assert (got[1].hit_grams, got[1].contaminated) == (0, 0)
+    assert (got[2].n_grams, got[2].hit_grams, got[2].contaminated) == (0, 0, 0)
+    r4 = got[4]
+    assert (r4.n_grams, r4.hit_grams, r4.distinct_hits,
+            r4.contaminated) == (4, 2, 2, 1)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

@@ -659,3 +659,105 @@ def sql_sequence_pack() -> str:
     SELECT doc_id, bucket, n_tokens, seq_idx
     FROM step ORDER BY doc_id
     """
+
+
+# --- benchmark decontamination ------------------------------------------
+#
+# The GPT-3 / Llama training-data step: drop (or at least flag) training
+# documents that share an n-gram with the evaluation benchmarks, so test
+# answers are not memorized from the corpus.  Public pipelines use word
+# 13-grams; the synthetic corpus draws from a ~30-word vocabulary whose
+# 13-grams (and even 6-grams) never collide, so the driver query uses
+# DECON_N = 4 to exercise the hit path — the operator takes n as a
+# parameter and nothing in the plan shape changes with it.
+
+DECON_N = 4        # words per shingle (13 in GPT-3; tiny synthetic vocab)
+DECON_EVAL_MOD = 97  # doc_id % MOD == RES selects the "benchmark" docs
+DECON_EVAL_RES = 3
+
+
+def _gram_array(arr: str, n: int) -> str:
+    """SQL: array<string> of word ``n``-grams of array column ``arr``
+    (words joined by one space) — arrays_zip of n slices, same
+    constant-references-per-row shape as `_gram_structs`."""
+    ln = f"greatest(size({arr}) - {n - 1}, 0)"
+    slices = ", ".join(f"slice({arr}, {i + 1}, {ln})" for i in range(n))
+    joined = ", ' ', ".join(f"s['{i}']" for i in range(n))
+    return f"transform(arrays_zip({slices}), s -> concat({joined}))"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing any word DECON_N-gram with the
+    benchmark subset (doc_id % DECON_EVAL_MOD == DECON_EVAL_RES).
+
+    Output per NON-benchmark document: total shingles, hit occurrences
+    (every overlapping occurrence counts), distinct hit shingles, and
+    the contaminated 0/1 verdict — all integers, hash-exact.
+
+    Scale shape: the benchmark side is a FIXED eval suite (thousands of
+    documents however big the corpus grows), so its distinct-shingle
+    set is broadcast; the corpus side is tokenize -> explode -> one
+    broadcast-hash semi-ish join, all map-side, then ONE partial-agg'd
+    groupBy(doc_id) shuffle of hit counters and a doc_id-keyed left
+    join back onto the (id, n_grams) skeleton.  Raw text never
+    shuffles; per-row fan-out is bounded by the token count."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_RES
+    # token array behind a collapse barrier (see q_doc_repetition)
+    toks = df.select(
+        "doc_id",
+        F.split(F.expr(_SQUASHED), " ").alias("t"),
+        F.monotonically_increasing_id().alias("_barrier"))
+    grams = toks.select(
+        "doc_id", F.explode(F.expr(_gram_array("t", DECON_N))).alias("gram"))
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (grams.filter(~is_eval)
+                 .join(F.broadcast(eval_grams), "gram")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("hit_grams"),
+                      F.countDistinct("gram").alias("distinct_hits")))
+    skeleton = toks.filter(~is_eval).select(
+        "doc_id",
+        F.greatest(F.size("t") - (DECON_N - 1), F.lit(0))
+         .cast("long").alias("n_grams"))
+    return (skeleton.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("hit_grams", F.lit(0)).cast("long")
+                     .alias("hit_grams"),
+                    F.coalesce("distinct_hits", F.lit(0)).cast("long")
+                     .alias("distinct_hits"),
+                    F.when(F.coalesce("hit_grams", F.lit(0)) > 0, 1)
+                     .otherwise(0).cast("int").alias("contaminated")))
+
+
+def sql_decontaminate() -> str:
+    n = DECON_N
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQUASHED}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+    ),
+    eval_g AS (
+      SELECT DISTINCT gram FROM grams
+      WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_RES}
+    ),
+    hits AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS hit_grams,
+             CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS distinct_hits
+      FROM grams g JOIN eval_g e USING (gram)
+      WHERE g.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(GREATEST(len(t.t) - {n - 1}, 0) AS BIGINT) AS n_grams,
+           COALESCE(h.hit_grams, 0) AS hit_grams,
+           COALESCE(h.distinct_hits, 0) AS distinct_hits,
+           CAST(CASE WHEN COALESCE(h.hit_grams, 0) > 0
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}
+    """

@@ -2922,6 +2922,8 @@ QUERIES = {
     "salient_terms": TXT.q_salient_terms,
     # overlapping context-window chunking (map-only, zero shuffles)
     "doc_chunks": TXT.q_doc_chunks,
+    # benchmark n-gram decontamination (broadcast eval-shingle join)
+    "decontaminate": TXT.q_decontaminate,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -3051,6 +3053,7 @@ ORACLES = {
     "domain_cap": TXT.sql_domain_cap(),
     "salient_terms": TXT.sql_salient_terms(),
     "doc_chunks": TXT.sql_doc_chunks(),
+    "decontaminate": TXT.sql_decontaminate(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
