@@ -3054,3 +3054,48 @@ def test_decontaminate_handcrafted(spark, tmp_path):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+# --- co-location pattern mining (round 5) ------------------------------------
+
+def test_colocation_brute_equality_and_plan(spark):
+    """Participation-index table equals the literal O(n^2) definition on
+    a boundary-straddling lattice; the plan has no cartesian product;
+    cell < radius is rejected (the halo would miss disc pairs)."""
+    import itertools
+
+    from zellige_spark.operators.colocation import colocation_patterns
+
+    pts = [(i, (i * 937) % 2000, (i * 761 + 3) % 1500, i % 3)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x long, y long, cat long")
+    out = colocation_patterns(df, radius=200)
+    got = {(r.cat_a, r.cat_b): r for r in out.collect()}
+
+    r2 = 200 * 200
+    n_pairs, parts = {}, {}
+    for p, q in itertools.combinations(pts, 2):
+        if (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2 > r2:
+            continue
+        a, b = sorted((p[3], q[3]))
+        n_pairs[(a, b)] = n_pairs.get((a, b), 0) + 1
+        sa, sb = parts.setdefault((a, b), (set(), set()))
+        for inst in (p, q):
+            if inst[3] == a:
+                sa.add(inst[0])
+            if inst[3] == b:
+                sb.add(inst[0])
+    totals = {c: sum(1 for p in pts if p[3] == c) for c in range(3)}
+    assert n_pairs, "lattice produced no neighbor pairs — bad test data"
+    assert set(got) == set(n_pairs)
+    for key, np_exp in n_pairs.items():
+        r = got[key]
+        sa, sb = parts[key]
+        assert (r.n_pairs, r.part_a, r.part_b) == (np_exp, len(sa), len(sb))
+        assert (r.total_a, r.total_b) == (totals[key[0]], totals[key[1]])
+        assert r.pi == min(len(sa) / totals[key[0]], len(sb) / totals[key[1]])
+
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    with pytest.raises(ValueError):
+        colocation_patterns(df, radius=200, cell=100)

@@ -852,6 +852,73 @@ def sql_radius_anti_join() -> str:
     """
 
 
+COLOC_RADIUS = 15000  # millidegrees — ~10 avg neighbors at sf0.01
+COLOC_CATS = 5
+
+
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location pattern mining over customers (category =
+    c_custkey % COLOC_CATS, integer-millidegree planar coordinates):
+    for every category pair, neighbor-pair count, distinct
+    participating instances per side, and the participation index
+    min(part_a/total_a, part_b/total_b).  The oracle is the literal
+    O(n^2) cross-join definition; the operator's 3x3-halo cell join
+    never materializes non-neighbor pairs (`colocation_patterns`)."""
+    from .operators.colocation import colocation_patterns
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"),
+        (F.col("c_custkey") % COLOC_CATS).alias("cat"))
+    return colocation_patterns(pts, radius=COLOC_RADIUS).orderBy(
+        "cat_a", "cat_b")
+
+
+def sql_colocation() -> str:
+    r2 = COLOC_RADIUS * COLOC_RADIUS
+    return f"""
+    WITH p AS (
+      SELECT c_custkey AS id, c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y,
+             c_custkey % {COLOC_CATS} AS cat
+      FROM customer
+    ),
+    pairs AS (
+      SELECT LEAST(a.cat, b.cat) AS ca, GREATEST(a.cat, b.cat) AS cb,
+             a.id AS ia, a.cat AS cata, b.id AS ib, b.cat AS catb
+      FROM p a JOIN p b
+        ON a.id < b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {r2}
+    ),
+    roles AS (
+      SELECT ca, cb, cata AS c, ia AS i FROM pairs
+      UNION ALL
+      SELECT ca, cb, catb AS c, ib AS i FROM pairs
+    ),
+    agg AS (
+      SELECT ca, cb, COUNT(*) // 2 AS n_pairs,
+             CAST(COUNT(DISTINCT CASE WHEN c = ca THEN i END) AS BIGINT)
+                 AS part_a,
+             CAST(COUNT(DISTINCT CASE WHEN c = cb THEN i END) AS BIGINT)
+                 AS part_b
+      FROM roles GROUP BY ca, cb
+    ),
+    totals AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS total
+               FROM p GROUP BY cat)
+    SELECT agg.ca AS cat_a, agg.cb AS cat_b, agg.n_pairs,
+           agg.part_a, agg.part_b,
+           ta.total AS total_a, tb.total AS total_b,
+           LEAST(CAST(agg.part_a AS DOUBLE) / CAST(ta.total AS DOUBLE),
+                 CAST(agg.part_b AS DOUBLE) / CAST(tb.total AS DOUBLE))
+               AS pi
+    FROM agg JOIN totals ta ON agg.ca = ta.cat
+             JOIN totals tb ON agg.cb = tb.cat
+    ORDER BY cat_a, cat_b
+    """
+
+
 GEO_DOC_LON = "({} * 48271 % 360000) / 1000.0 - 180.0"
 GEO_DOC_LAT = "(({} * 16807 + 19) % 170000) / 1000.0 - 85.0"
 GEO_NEAR_DUP_KM = 8000.0
@@ -2878,6 +2945,8 @@ QUERIES = {
     "radius_join": q_radius_join,
     # negative distance filter (rows beyond every site's disc)
     "radius_anti_join": q_radius_anti_join,
+    # co-location pattern mining (participation index, 3x3-halo join)
+    "colocation": q_colocation,
     # S2 hierarchical sphere index (north rule "H3/S2 index"): pure
     # Column-math cell assignment at 3 levels + S2-ring adaptive kNN
     "s2_cell_assign": S2C.q_s2_cell_assign,
@@ -3028,6 +3097,7 @@ ORACLES = {
     "knn_table": sql_knn_table(),
     "radius_join": sql_radius_join(),
     "radius_anti_join": sql_radius_anti_join(),
+    "colocation": sql_colocation(),
     "s2_cell_assign": S2C.sql_s2_cell_assign(),
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
