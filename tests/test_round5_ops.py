@@ -3099,3 +3099,42 @@ def test_colocation_brute_equality_and_plan(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     with pytest.raises(ValueError):
         colocation_patterns(df, radius=200, cell=100)
+
+
+# --- Local Moran's I / LISA (round 5) ----------------------------------------
+
+def test_local_moran_brute_equality(spark):
+    """LISA num/den/local_i equal a pure-Python recompute on a small
+    wrapped grid: full-grid rows (empty cells included), queen
+    adjacency with x-wrap and y-clamp, exact integer core, and the
+    single-division double."""
+    from zellige_spark.operators.hotspots import local_moran
+
+    g, period = 4, 400
+    pts = [((i * 37) % 400, (i * 53 + 7) % 400) for i in range(60)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = local_moran(df, g, x_period=period, y_period=period)
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert len(got) == g * g  # every cell present, empty ones included
+
+    counts = {}
+    for x, y in pts:
+        counts[(x // 100, y // 100)] = counts.get((x // 100, y // 100), 0) + 1
+    n = g * g
+    xs = {(cx, cy): counts.get((cx, cy), 0)
+          for cx in range(g) for cy in range(g)}
+    s = sum(xs.values())
+    den = n * sum(v * v for v in xs.values()) - s * s
+    d = {c: n * v - s for c, v in xs.items()}
+    for (cx, cy), r in got.items():
+        lag = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ny = cy + dy
+                if 0 <= ny < g:
+                    lag += d[((cx + dx) % g, ny)]
+        num = d[(cx, cy)] * lag
+        assert (r.n_pts, r.num, r.den) == (xs[(cx, cy)], num, den)
+        assert r.local_i == num / den

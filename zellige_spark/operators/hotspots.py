@@ -98,3 +98,84 @@ def cluster_stats(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
                  .alias("cx"),
                  F.expr("sum(tile_y * n_pts) div sum(n_pts)")
                  .alias("cy")))
+
+
+# --- local spatial autocorrelation (LISA) --------------------------------
+#
+# Anselin's Local Moran's I ("LISA", Geographical Analysis 1995 —
+# public literature; no reference-repo counterpart): per grid cell,
+# does its value cluster with its neighbors' (high-high / low-low,
+# I_i > 0) or repel them (high-low outlier, I_i < 0)?  The classic
+# follow-up to hotspot_clusters: clusters say WHERE density is, LISA
+# says whether the pattern is statistically structured.
+#
+# With integer cell counts x_i over the FULL N-cell grid and binary
+# queen weights w_ij, scale the mean away: D_i = N*x_i - S (exact
+# int), L_i = sum of neighbor D_j, and
+#
+#   I_i = (x_i - xbar) * sum_j w_ij (x_j - xbar) / (sum_k (x_k - xbar)^2 / N)
+#       = D_i * L_i / (N * sum(x^2) - S^2)
+#
+# so the numerator and denominator are EXACT integers and the only
+# float is one final long->double division — hash-exact under the
+# oracle gate.  int64 bounds: |D| <= N*max(x), |num| <= 8*N^2*max(x)^2
+# (fine through ~1e5 cells x 1e6 counts; the web-scale upgrade is the
+# map_snap DECIMAL(38) pattern).
+
+def local_moran(pts: DataFrame, grid: int,
+                x_col: str = "x", y_col: str = "y",
+                x_period: int = 360000, y_period: int = 170000) -> DataFrame:
+    """Local Moran's I over per-cell point counts on a ``grid`` x
+    ``grid`` integer lattice (x wraps, y clamps — hotspot conventions).
+
+    Output one row per grid cell (including empty cells — LISA is
+    defined over the study area, not the occupied cells): cell_x,
+    cell_y, n_pts, exact-integer num/den, and ``local_i`` (double).
+
+    Scale shape: raw rows are touched ONCE by the per-cell count (one
+    partial-agg'd Exchange); everything else — the full-grid skeleton,
+    the three global scalars, the 8-neighbor lag join — runs on the
+    grid-bounded cell set (N = grid^2 rows however big the input)."""
+    spark = pts.sparkSession
+    cw = x_period // grid
+    ch = y_period // grid
+    n_cells = grid * grid
+    counts = (pts.select(
+                  F.expr(f"({x_col} div {cw})").alias("cell_x"),
+                  F.expr(f"({y_col} div {ch})").alias("cell_y"))
+              .groupBy("cell_x", "cell_y")
+              .agg(F.count(F.lit(1)).alias("n_pts")))
+    skeleton = spark.range(n_cells).select(
+        (F.col("id") % grid).alias("cell_x"),
+        F.expr(f"id div {grid}").alias("cell_y"))
+    cells = (skeleton.join(counts, ["cell_x", "cell_y"], "left")
+             .select("cell_x", "cell_y",
+                     F.coalesce("n_pts", F.lit(0)).alias("n_pts")))
+    glob = cells.agg(
+        F.sum("n_pts").alias("s"),
+        F.sum(F.col("n_pts") * F.col("n_pts")).alias("sq")).select(
+        "s", (F.lit(n_cells) * F.col("sq") - F.col("s") * F.col("s"))
+             .alias("den"))
+    dev = (cells.join(F.broadcast(glob))
+           .select("cell_x", "cell_y", "n_pts", "den",
+                   (F.lit(n_cells) * F.col("n_pts") - F.col("s"))
+                   .alias("d")))
+    # each cell sends its deviation to its 8 queen neighbors
+    sent = dev.select(
+        F.col("d").alias("d_j"),
+        F.explode(F.expr(
+            f"filter(transform(sequence(0, 8), o -> struct("
+            f"(cell_x + (o div 3) - 1 + {grid}) % {grid} AS nx, "
+            f"cell_y + (o % 3) - 1 AS ny)), "
+            f"p -> p.ny >= 0 AND p.ny < {grid} AND NOT (p.nx = cell_x "
+            f"AND p.ny = cell_y))")).alias("nb"))
+    lag = (sent.groupBy(F.col("nb.nx").alias("cell_x"),
+                        F.col("nb.ny").alias("cell_y"))
+               .agg(F.sum("d_j").alias("lag")))
+    return (dev.join(lag, ["cell_x", "cell_y"], "left")
+            .withColumn("num", F.col("d") * F.coalesce("lag", F.lit(0)))
+            .select("cell_x", "cell_y", "n_pts", "num", "den",
+                    # ONE correctly-rounded division of exact int64s —
+                    # the only float in the operator
+                    (F.col("num").cast("double")
+                     / F.col("den").cast("double")).alias("local_i")))

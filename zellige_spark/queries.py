@@ -1282,6 +1282,74 @@ def q_hotspot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+MORAN_GRID = 16  # LISA lattice: 16x16 cells over the millidegree space
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin LISA) over per-cell customer counts on
+    a 16x16 integer-millidegree lattice: num/den exact integers, one
+    final long->double division (`hotspots.local_moran`)."""
+    from .operators import hotspots as HOT
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    return HOT.local_moran(pts, MORAN_GRID).orderBy("cell_x", "cell_y")
+
+
+def sql_local_moran() -> str:
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    counts AS (
+      SELECT x // {cw} AS cell_x, y // {ch} AS cell_y, COUNT(*) AS n_pts
+      FROM p GROUP BY 1, 2
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    cells AS (
+      SELECT s.cell_x, s.cell_y, COALESCE(c.n_pts, 0) AS n_pts
+      FROM skel s LEFT JOIN counts c USING (cell_x, cell_y)
+    ),
+    gtot AS (
+      SELECT SUM(n_pts) AS s,
+             {n} * SUM(n_pts * n_pts) - SUM(n_pts) * SUM(n_pts) AS den
+      FROM cells
+    ),
+    dev AS (
+      SELECT cell_x, cell_y, n_pts, den, {n} * n_pts - s AS d
+      FROM cells, gtot
+    ),
+    lg AS (
+      SELECT (d.cell_x + o.dx + {g}) % {g} AS cell_x,
+             d.cell_y + o.dy AS cell_y, SUM(d.d) AS lag
+      FROM dev d CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                    (1,-1),(1,0),(1,1)) AS o(dx, dy)
+      WHERE d.cell_y + o.dy BETWEEN 0 AND {g - 1}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dev.cell_x AS BIGINT) AS cell_x,
+           CAST(dev.cell_y AS BIGINT) AS cell_y,
+           CAST(dev.n_pts AS BIGINT) AS n_pts,
+           CAST(dev.d * COALESCE(lg.lag, 0) AS BIGINT) AS num,
+           CAST(dev.den AS BIGINT) AS den,
+           CAST(CAST(dev.d * COALESCE(lg.lag, 0) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(dev.den AS BIGINT) AS DOUBLE) AS local_i
+    FROM dev LEFT JOIN lg USING (cell_x, cell_y)
+    ORDER BY cell_x, cell_y
+    """
+
+
 def _sql_hotspot_labeled() -> str:
     """Shared CTE chain ending in ``labeled`` (tile_x, tile_y, n_pts,
     cluster) — the recursive-closure oracle both hotspot queries
@@ -2972,6 +3040,8 @@ QUERIES = {
     "hotspot_clusters": q_hotspot_clusters,
     # per-cluster footprint stats (integer weighted centroid)
     "hotspot_stats": q_hotspot_stats,
+    # local spatial autocorrelation (Anselin LISA, exact-integer core)
+    "local_moran": q_local_moran,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3112,6 +3182,7 @@ ORACLES = {
     "tileset_manifest": sql_tileset_manifest(),
     "hotspot_clusters": sql_hotspot_clusters(),
     "hotspot_stats": sql_hotspot_stats(),
+    "local_moran": sql_local_moran(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
