@@ -3138,3 +3138,37 @@ def test_local_moran_brute_equality(spark):
         num = d[(cx, cy)] * lag
         assert (r.n_pts, r.num, r.den) == (xs[(cx, cy)], num, den)
         assert r.local_i == num / den
+
+
+# --- Ripley's K function (round 5) --------------------------------------------
+
+def test_ripley_k_brute_equality(spark):
+    """K-function ladder equals the literal O(n^2) pair count per
+    radius; k_hat is the single-division double; the ladder is
+    monotone; a non-ascending ladder is rejected."""
+    from zellige_spark.operators.colocation import ripley_k
+
+    period = 2000
+    pts = [(i, (i * 937) % period, (i * 761 + 3) % period)
+           for i in range(100)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    radii = [100, 250, 500]
+    out = ripley_k(df, radii, x_period=period, y_period=period)
+    got = {r.r: r for r in out.collect()}
+    assert sorted(got) == radii
+
+    n = len(pts)
+    area = period * period
+    prev = -1
+    for rr in radii:
+        cnt = sum(1 for i in range(n) for j in range(i + 1, n)
+                  if (pts[i][1] - pts[j][1]) ** 2
+                  + (pts[i][2] - pts[j][2]) ** 2 <= rr * rr)
+        assert got[rr].n_pairs == cnt
+        assert got[rr].k_hat == (2 * area * cnt) / (n * n)
+        assert cnt >= prev  # monotone ladder
+        prev = cnt
+    assert prev > 0, "largest radius found no pairs — bad test data"
+
+    with pytest.raises(ValueError):
+        ripley_k(df, [500, 100])

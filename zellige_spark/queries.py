@@ -1282,6 +1282,56 @@ def q_hotspot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+RIPLEY_RADII = [5000, 10000, 15000, 20000]  # millidegree K-function ladder
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K function over customer points (integer-millidegree
+    planar, naive/no edge correction): per ladder radius, the exact
+    pair count within r and k_hat = area*2*n_pairs/n^2 (one
+    long->double division).  One halo join at cell = max radius
+    serves the whole ladder (`colocation.ripley_k`); the oracle is
+    the literal O(n^2) definition."""
+    from .operators.colocation import ripley_k
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    return ripley_k(pts, RIPLEY_RADII).orderBy("r")
+
+
+def sql_ripley_k() -> str:
+    area2 = 2 * 360000 * 170000
+    values = ", ".join(f"({r})" for r in RIPLEY_RADII)
+    max_r2 = RIPLEY_RADII[-1] ** 2
+    return f"""
+    WITH p AS (
+      SELECT c_custkey AS id, c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    pr AS (
+      SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM p a JOIN p b ON a.id < b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {max_r2}
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM p)
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(COALESCE(SUM(CASE WHEN pr.d2 <= r.r * r.r THEN 1 END), 0)
+                AS BIGINT) AS n_pairs,
+           CAST(CAST({area2} AS BIGINT)
+                * COALESCE(SUM(CASE WHEN pr.d2 <= r.r * r.r THEN 1 END), 0)
+                AS DOUBLE)
+             / CAST((SELECT n * n FROM nn) AS DOUBLE) AS k_hat
+    FROM (VALUES {values}) AS r(r) LEFT JOIN pr ON TRUE
+    GROUP BY r.r
+    ORDER BY r
+    """
+
+
 MORAN_GRID = 16  # LISA lattice: 16x16 cells over the millidegree space
 
 
@@ -3042,6 +3092,8 @@ QUERIES = {
     "hotspot_stats": q_hotspot_stats,
     # local spatial autocorrelation (Anselin LISA, exact-integer core)
     "local_moran": q_local_moran,
+    # Ripley's K point-pattern ladder (one halo join serves all radii)
+    "ripley_k": q_ripley_k,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3183,6 +3235,7 @@ ORACLES = {
     "hotspot_clusters": sql_hotspot_clusters(),
     "hotspot_stats": sql_hotspot_stats(),
     "local_moran": sql_local_moran(),
+    "ripley_k": sql_ripley_k(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
