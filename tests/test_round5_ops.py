@@ -3172,3 +3172,36 @@ def test_ripley_k_brute_equality(spark):
 
     with pytest.raises(ValueError):
         ripley_k(df, [500, 100])
+
+
+# --- G function / NN distance CDF (round 5) ----------------------------------
+
+def test_g_function_brute_equality(spark):
+    """G-function ladder equals the literal per-point brute NN minimum,
+    including right-censoring at the ladder top (points whose NN lies
+    beyond max(radii) count in no rung but stay in the denominator)."""
+    from zellige_spark.operators.colocation import g_function
+
+    period = 2000
+    # one far-isolated point (id 99 placed in a corner) exercises the
+    # censoring branch
+    pts = [(i, (i * 937) % 1000, (i * 761 + 3) % 1000) for i in range(99)]
+    pts.append((99, 1990, 1990))
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    radii = [60, 120, 240]
+    out = g_function(df, radii)
+    got = {r.r: r for r in out.collect()}
+    assert sorted(got) == radii
+
+    n = len(pts)
+    nn = {}
+    for i, x, y in pts:
+        nn[i] = min((x - bx) ** 2 + (y - by) ** 2
+                    for j, bx, by in pts if j != i)
+    assert nn[99] > 240 * 240  # the isolated point IS censored
+    for rr in radii:
+        n_le = sum(1 for v in nn.values() if v <= rr * rr)
+        r = got[rr]
+        assert (r.n_le, r.n) == (n_le, n)
+        assert r.g_hat == n_le / n
+    assert got[240].n_le < n  # censoring visible in the top rung

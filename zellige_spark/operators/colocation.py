@@ -179,3 +179,70 @@ def ripley_k(pts: DataFrame, radii: list[int],
         # exact-int numerator / denominator, ONE rounded division
         ((F.lit(2 * area) * F.col("e.n_pairs")).cast("double")
          / (F.col("n") * F.col("n")).cast("double")).alias("k_hat"))
+
+
+# --- G function (nearest-neighbor distance distribution) ------------------
+#
+# The empirical CDF of each point's nearest-neighbor distance
+# (Diggle's G, point-pattern analysis; public literature).  Clustered
+# patterns rise faster than the CSR curve 1 - exp(-lambda*pi*r^2),
+# dispersed/inhibited patterns rise slower.  Complements ripley_k:
+# K sees all pairs at scale r, G sees only the closest — an
+# inhibition pattern can look CSR to K but not to G.
+
+def g_function(pts: DataFrame, radii: list[int],
+               x_col: str = "x", y_col: str = "y",
+               id_col: str = "id") -> DataFrame:
+    """Per-rung ``n_le`` = exact count of points whose nearest
+    neighbor lies within r, and ``g_hat = n_le / n`` (one division).
+
+    Points whose nearest neighbor is beyond max(radii) count in no
+    rung (right-censoring at the ladder top — the standard bounded
+    estimate; they are still in the ``n`` denominator).  Same
+    halo-join scale shape as `ripley_k`, but DIRECTED: every point
+    keeps its own min d^2 (one partial-agg'd groupBy(point)), then
+    one global wide aggregation builds the whole ladder."""
+    if not radii or sorted(radii) != radii:
+        raise ValueError("radii must be a non-empty ascending ladder")
+    cell = radii[-1]
+    max_r2 = cell * cell
+    base = pts.select(F.col(id_col).alias("id"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+    center = base.select(
+        "id", "x", "y",
+        F.expr(f"((x div {cell}) + {_OFF}) * {_SHIFT}"
+               f" + ((y div {cell}) + {_OFF})").alias("ck"))
+    halo = base.select(
+        "id", "x", "y",
+        F.explode(F.expr(
+            f"transform(sequence(0, 8), d -> "
+            f"((x div {cell}) + (d div 3) - 1 + {_OFF}) * {_SHIFT}"
+            f" + ((y div {cell}) + (d % 3) - 1 + {_OFF}))")).alias("ck"))
+    l = halo.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"), "ck")
+    r = center.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                      F.col("y").alias("yb"), "ck")
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    # directed: ia's halo meets ib's center exactly once per (ia, ib)
+    nn = (l.join(r, "ck")
+           .filter((F.col("ia") != F.col("ib")) & (d2 <= F.lit(max_r2)))
+           .groupBy("ia")
+           .agg(F.min(d2).alias("nn_d2")))
+    counts = nn.agg(*[
+        F.sum(F.when(F.col("nn_d2") <= F.lit(rr * rr), 1).otherwise(0))
+         .alias(f"c_{rr}") for rr in radii])
+    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    ladder = counts.join(F.broadcast(n_row)).select(
+        "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(rr).cast("long").alias("r"),
+                     F.coalesce(F.col(f"c_{rr}"), F.lit(0))
+                      .cast("long").alias("n_le"))
+            for rr in radii])).alias("e"))
+    return ladder.select(
+        F.col("e.r").alias("r"), F.col("e.n_le").alias("n_le"),
+        F.col("n").alias("n"),
+        (F.col("e.n_le").cast("double")
+         / F.col("n").cast("double")).alias("g_hat"))

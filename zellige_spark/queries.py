@@ -1332,6 +1332,51 @@ def sql_ripley_k() -> str:
     """
 
 
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor distance distribution (Diggle's G) over
+    customer points, same ladder as ripley_k: per rung the exact
+    count of points whose NN lies within r, and g_hat = n_le/n
+    (`colocation.g_function`).  Oracle: literal per-point brute
+    minimum."""
+    from .operators.colocation import g_function
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    return g_function(pts, RIPLEY_RADII).orderBy("r")
+
+
+def sql_g_function() -> str:
+    values = ", ".join(f"({r})" for r in RIPLEY_RADII)
+    return f"""
+    WITH p AS (
+      SELECT c_custkey AS id, c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    nn AS (
+      SELECT a.id,
+             MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                 AS nn_d2
+      FROM p a JOIN p b ON a.id <> b.id
+      GROUP BY a.id
+    ),
+    cnt AS (SELECT COUNT(*) AS n FROM p)
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= r.r * r.r THEN 1 END), 0)
+                AS BIGINT) AS n_le,
+           (SELECT CAST(n AS BIGINT) FROM cnt) AS n,
+           CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= r.r * r.r THEN 1 END), 0)
+                AS DOUBLE)
+             / CAST((SELECT n FROM cnt) AS DOUBLE) AS g_hat
+    FROM (VALUES {values}) AS r(r) LEFT JOIN nn ON TRUE
+    GROUP BY r.r
+    ORDER BY r
+    """
+
+
 MORAN_GRID = 16  # LISA lattice: 16x16 cells over the millidegree space
 
 
@@ -3094,6 +3139,8 @@ QUERIES = {
     "local_moran": q_local_moran,
     # Ripley's K point-pattern ladder (one halo join serves all radii)
     "ripley_k": q_ripley_k,
+    # nearest-neighbor distance CDF (Diggle's G, right-censored ladder)
+    "g_function": q_g_function,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3236,6 +3283,7 @@ ORACLES = {
     "hotspot_stats": sql_hotspot_stats(),
     "local_moran": sql_local_moran(),
     "ripley_k": sql_ripley_k(),
+    "g_function": sql_g_function(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
