@@ -3205,3 +3205,32 @@ def test_g_function_brute_equality(spark):
         assert (r.n_le, r.n) == (n_le, n)
         assert r.g_hat == n_le / n
     assert got[240].n_le < n  # censoring visible in the top rung
+
+
+# --- F function / empty-space CDF (round 5) ----------------------------------
+
+def test_f_function_brute_equality(spark):
+    """F-function ladder equals the brute probe-to-nearest-data
+    minimum over the deterministic cell-center probe lattice,
+    including censoring of probes in empty space beyond the ladder."""
+    from zellige_spark.operators.colocation import f_function
+
+    xp = yp = 1600
+    g = 8
+    pts = [((i * 937) % 800, (i * 761 + 3) % 800) for i in range(40)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    radii = [50, 150, 400]
+    out = f_function(df, radii, grid=g, x_period=xp, y_period=yp)
+    got = {r.r: r for r in out.collect()}
+    assert sorted(got) == radii
+
+    probes = [((i % g) * xp // g + xp // (2 * g),
+               (i // g) * yp // g + yp // (2 * g)) for i in range(g * g)]
+    nn = {p: min((p[0] - x) ** 2 + (p[1] - y) ** 2 for x, y in pts)
+          for p in probes}
+    assert any(v > 400 * 400 for v in nn.values())  # censored probes exist
+    for rr in radii:
+        n_le = sum(1 for v in nn.values() if v <= rr * rr)
+        r = got[rr]
+        assert (r.n_le, r.n_probes) == (n_le, g * g)
+        assert r.f_hat == n_le / (g * g)

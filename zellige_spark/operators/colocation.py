@@ -246,3 +246,66 @@ def g_function(pts: DataFrame, radii: list[int],
         F.col("n").alias("n"),
         (F.col("e.n_le").cast("double")
          / F.col("n").cast("double")).alias("g_hat"))
+
+
+# --- F function (empty-space function) ------------------------------------
+#
+# The third of the classic point-pattern trio (K / G / F): the CDF of
+# the distance from a REFERENCE probe lattice to the nearest data
+# point — "how far is typical empty space from the pattern".
+# Clustered patterns leave big holes (F below CSR), regular patterns
+# fill space (F above).  Probes are the deterministic grid x grid
+# cell-center lattice over the period box, so both engines enumerate
+# the identical probe set.
+
+def f_function(pts: DataFrame, radii: list[int], grid: int = 32,
+               x_period: int = 360000, y_period: int = 170000,
+               x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per rung: ``n_le`` = exact count of probe points whose nearest
+    data point lies within r, ``n_probes = grid^2``, and
+    ``f_hat = n_le / n_probes`` (one division).  Right-censored at the
+    ladder top like `g_function`.  Same directed halo-join shape; the
+    probe side is generated (`spark.range`), never shuffled raw."""
+    if not radii or sorted(radii) != radii:
+        raise ValueError("radii must be a non-empty ascending ladder")
+    spark = pts.sparkSession
+    cell = radii[-1]
+    max_r2 = cell * cell
+    n_probes = grid * grid
+    probes = spark.range(n_probes).select(
+        F.col("id").alias("pid"),
+        F.expr(f"(id % {grid}) * {x_period} div {grid}"
+               f" + {x_period // (2 * grid)}").alias("x"),
+        F.expr(f"(id div {grid}) * {y_period} div {grid}"
+               f" + {y_period // (2 * grid)}").alias("y"))
+    halo = probes.select(
+        "pid", "x", "y",
+        F.explode(F.expr(
+            f"transform(sequence(0, 8), d -> "
+            f"((x div {cell}) + (d div 3) - 1 + {_OFF}) * {_SHIFT}"
+            f" + ((y div {cell}) + (d % 3) - 1 + {_OFF}))")).alias("ck"))
+    data = pts.select(
+        F.col(x_col).cast("long").alias("dx"),
+        F.col(y_col).cast("long").alias("dy")).select(
+        "dx", "dy",
+        F.expr(f"((dx div {cell}) + {_OFF}) * {_SHIFT}"
+               f" + ((dy div {cell}) + {_OFF})").alias("ck"))
+    d2 = ((F.col("x") - F.col("dx")) * (F.col("x") - F.col("dx"))
+          + (F.col("y") - F.col("dy")) * (F.col("y") - F.col("dy")))
+    nn = (halo.join(data, "ck")
+              .filter(d2 <= F.lit(max_r2))
+              .groupBy("pid")
+              .agg(F.min(d2).alias("nn_d2")))
+    counts = nn.agg(*[
+        F.sum(F.when(F.col("nn_d2") <= F.lit(rr * rr), 1).otherwise(0))
+         .alias(f"c_{rr}") for rr in radii])
+    ladder = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(rr).cast("long").alias("r"),
+                 F.coalesce(F.col(f"c_{rr}"), F.lit(0))
+                  .cast("long").alias("n_le"))
+        for rr in radii])).alias("e"))
+    return ladder.select(
+        F.col("e.r").alias("r"), F.col("e.n_le").alias("n_le"),
+        F.lit(n_probes).cast("long").alias("n_probes"),
+        (F.col("e.n_le").cast("double")
+         / F.lit(float(n_probes))).alias("f_hat"))

@@ -1377,6 +1377,57 @@ def sql_g_function() -> str:
     """
 
 
+F_GRID = 32  # empty-space probe lattice: 32x32 cell centers
+
+
+def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-space function (Diggle's F) over customer points: per
+    ladder rung, the exact count of 32x32 probe-lattice points whose
+    nearest data point lies within r (`colocation.f_function`)."""
+    from .operators.colocation import f_function
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    return f_function(pts, RIPLEY_RADII, grid=F_GRID).orderBy("r")
+
+
+def sql_f_function() -> str:
+    g = F_GRID
+    values = ", ".join(f"({r})" for r in RIPLEY_RADII)
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    probes AS (
+      SELECT i AS pid,
+             (i % {g}) * 360000 // {g} + {360000 // (2 * g)} AS px,
+             (i // {g}) * 170000 // {g} + {170000 // (2 * g)} AS py
+      FROM (SELECT UNNEST(range(0, {g * g})) AS i)
+    ),
+    nn AS (
+      SELECT pr.pid,
+             MIN((pr.px - p.x) * (pr.px - p.x)
+                 + (pr.py - p.y) * (pr.py - p.y)) AS nn_d2
+      FROM probes pr CROSS JOIN p
+      GROUP BY pr.pid
+    )
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= r.r * r.r THEN 1 END), 0)
+                AS BIGINT) AS n_le,
+           CAST({g * g} AS BIGINT) AS n_probes,
+           CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= r.r * r.r THEN 1 END), 0)
+                AS DOUBLE)
+             / CAST({g * g} AS DOUBLE) AS f_hat
+    FROM (VALUES {values}) AS r(r) LEFT JOIN nn ON TRUE
+    GROUP BY r.r
+    ORDER BY r
+    """
+
+
 MORAN_GRID = 16  # LISA lattice: 16x16 cells over the millidegree space
 
 
@@ -3141,6 +3192,8 @@ QUERIES = {
     "ripley_k": q_ripley_k,
     # nearest-neighbor distance CDF (Diggle's G, right-censored ladder)
     "g_function": q_g_function,
+    # empty-space function (probe-lattice NN distances)
+    "f_function": q_f_function,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3284,6 +3337,7 @@ ORACLES = {
     "local_moran": sql_local_moran(),
     "ripley_k": sql_ripley_k(),
     "g_function": sql_g_function(),
+    "f_function": sql_f_function(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
