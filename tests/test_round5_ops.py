@@ -3234,3 +3234,33 @@ def test_f_function_brute_equality(spark):
         r = got[rr]
         assert (r.n_le, r.n_probes) == (n_le, g * g)
         assert r.f_hat == n_le / (g * g)
+
+
+# --- vocabulary growth / Heaps' law (round 5) --------------------------------
+
+def test_vocab_growth_handcrafted(spark, tmp_path):
+    """Exact prefix vocab/token/doc counts on handcrafted docs: new
+    terms count only at their first document, empty docs contribute
+    zero tokens and no terms, ttr is the single-division double, and
+    the vocabulary ladder is monotone."""
+    from zellige_spark.operators import text as TXT
+
+    docs = ["a b c", "a b", "", "c d a"]  # doc_ids 0..3
+    sf = _write_docs(spark, tmp_path, docs)
+    old = TXT.VOCAB_LADDER
+    TXT.VOCAB_LADDER = [1, 2, 3, 4]
+    try:
+        got = {r.k: r for r in TXT.q_vocab_growth(spark, sf).collect()}
+    finally:
+        TXT.VOCAB_LADDER = old
+    # k=1: doc 0 only -> 3 tokens, vocab {a,b,c}
+    assert (got[1].n_docs, got[1].n_tokens, got[1].vocab) == (1, 3, 3)
+    # k=2: +doc 1 "a b" -> 5 tokens, no new terms
+    assert (got[2].n_docs, got[2].n_tokens, got[2].vocab) == (2, 5, 3)
+    # k=3: +empty doc -> same tokens, same vocab
+    assert (got[3].n_docs, got[3].n_tokens, got[3].vocab) == (3, 5, 3)
+    # k=4: +"c d a" -> 8 tokens, new term d
+    assert (got[4].n_docs, got[4].n_tokens, got[4].vocab) == (4, 8, 4)
+    assert got[4].ttr == 4 / 8
+    vs = [got[k].vocab for k in (1, 2, 3, 4)]
+    assert vs == sorted(vs)

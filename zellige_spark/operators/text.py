@@ -761,3 +761,87 @@ def sql_decontaminate() -> str:
     FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
     WHERE t.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}
     """
+
+
+# --- vocabulary growth (Heaps' law) --------------------------------------
+
+VOCAB_LADDER = [50, 100, 200, 500]  # corpus-prefix sizes (doc_id < k)
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: for each corpus prefix
+    (documents with ``doc_id < k``), the exact document count, token
+    total, distinct-term vocabulary size, and type-token ratio — the
+    corpus-health statistic that says whether a crawl is still adding
+    novel language or re-crawling the same material (vocabulary should
+    grow ~ tokens^beta, beta ~ 0.5).
+
+    Scale shape: one explode + ONE partial-agg'd groupBy(term) reduces
+    the corpus to (term, first_doc) — min combines map-side, the
+    shuffle ships one row per distinct term; the whole ladder is then
+    a single wide conditional-SUM aggregation (one row), joined to the
+    token-side ladder (also one row) and unpivoted map-only.  Adding
+    rungs widens a row; it never re-reads the corpus."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select("doc_id", F.expr(_TOKENS).cast("long").alias("nt"))
+    first = (df.select("doc_id",
+                       F.explode(F.split(F.expr(_SQUASHED), " "))
+                        .alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("term").agg(F.min("doc_id").alias("fd")))
+    vocab = first.agg(*[
+        F.sum(F.when(F.col("fd") < k, 1).otherwise(0)).alias(f"v_{k}")
+        for k in VOCAB_LADDER])
+    tok = toks.agg(*[c for k in VOCAB_LADDER for c in (
+        F.sum(F.when(F.col("doc_id") < k, 1).otherwise(0)).alias(f"d_{k}"),
+        F.sum(F.when(F.col("doc_id") < k, F.col("nt"))
+               .otherwise(F.lit(0))).alias(f"t_{k}"))])
+    ladder = vocab.join(F.broadcast(tok)).select(F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("k"),
+                 F.coalesce(F.col(f"d_{k}"), F.lit(0))
+                  .cast("long").alias("n_docs"),
+                 F.coalesce(F.col(f"t_{k}"), F.lit(0))
+                  .cast("long").alias("n_tokens"),
+                 F.coalesce(F.col(f"v_{k}"), F.lit(0))
+                  .cast("long").alias("vocab"))
+        for k in VOCAB_LADDER])).alias("e"))
+    return ladder.select(
+        F.col("e.k").alias("k"), F.col("e.n_docs").alias("n_docs"),
+        F.col("e.n_tokens").alias("n_tokens"),
+        F.col("e.vocab").alias("vocab"),
+        F.expr("CASE WHEN e.n_tokens = 0 THEN CAST(0 AS DOUBLE) "
+               "ELSE CAST(e.vocab AS DOUBLE) / CAST(e.n_tokens AS DOUBLE) "
+               "END").alias("ttr"))
+
+
+def sql_vocab_growth() -> str:
+    values = ", ".join(f"({k})" for k in VOCAB_LADDER)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({_TOKENS} AS BIGINT) AS nt FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, unnest(string_split({_SQUASHED}, ' ')) AS term
+      FROM documents
+    ),
+    firsts AS (
+      SELECT term, MIN(doc_id) AS fd FROM terms
+      WHERE term <> '' GROUP BY term
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+            WHERE doc_id < k.k) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM toks
+            WHERE doc_id < k.k) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE fd < k.k) AS vocab,
+           CASE WHEN (SELECT COALESCE(SUM(nt), 0) FROM toks
+                      WHERE doc_id < k.k) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST((SELECT COUNT(*) FROM firsts WHERE fd < k.k)
+                          AS DOUBLE)
+                   / CAST((SELECT COALESCE(SUM(nt), 0) FROM toks
+                           WHERE doc_id < k.k) AS DOUBLE)
+           END AS ttr
+    FROM (VALUES {values}) AS k(k)
+    ORDER BY k
+    """

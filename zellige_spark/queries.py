@@ -3215,6 +3215,8 @@ QUERIES = {
     "doc_chunks": TXT.q_doc_chunks,
     # benchmark n-gram decontamination (broadcast eval-shingle join)
     "decontaminate": TXT.q_decontaminate,
+    # Heaps-law vocabulary growth ladder (term->first-doc, wide sums)
+    "vocab_growth": TXT.q_vocab_growth,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -3350,6 +3352,7 @@ ORACLES = {
     "salient_terms": TXT.sql_salient_terms(),
     "doc_chunks": TXT.sql_doc_chunks(),
     "decontaminate": TXT.sql_decontaminate(),
+    "vocab_growth": TXT.sql_vocab_growth(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
