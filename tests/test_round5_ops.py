@@ -3264,3 +3264,53 @@ def test_vocab_growth_handcrafted(spark, tmp_path):
     assert got[4].ttr == 4 / 8
     vs = [got[k].vocab for k in (1, 2, 3, 4)]
     assert vs == sorted(vs)
+
+
+# --- cross-K and quadrat chi-square (round 5) --------------------------------
+
+def test_cross_k_brute_equality(spark):
+    """Cross-K ladder equals the literal ordered cross-pair count; no
+    self-pair/double-count semantics because the sides are distinct."""
+    from zellige_spark.operators.colocation import cross_k
+
+    period = 2000
+    a = [((i * 937) % period, (i * 761 + 3) % period) for i in range(80)]
+    b = [((i * 541 + 11) % period, (i * 389 + 7) % period) for i in range(30)]
+    da = spark.createDataFrame(a, "x long, y long")
+    db = spark.createDataFrame(b, "x long, y long")
+    radii = [100, 300, 600]
+    out = cross_k(da, db, radii, x_period=period, y_period=period)
+    got = {r.r: r for r in out.collect()}
+    area = period * period
+    prev = -1
+    for rr in radii:
+        cnt = sum(1 for ax, ay in a for bx, by in b
+                  if (ax - bx) ** 2 + (ay - by) ** 2 <= rr * rr)
+        r = got[rr]
+        assert (r.n_pairs, r.n_a, r.n_b) == (cnt, 80, 30)
+        assert r.k_ab == (area * cnt) / (80 * 30)
+        assert cnt >= prev
+        prev = cnt
+    assert prev > 0
+
+
+def test_quadrat_chi2_brute_equality(spark):
+    """Quadrat chi-square equals the exact-fraction recompute: chi2 =
+    sum(D_i^2)/(N*S) with D_i = N*x_i - S over the FULL grid."""
+    from zellige_spark.operators.hotspots import quadrat_chi2
+
+    g, period = 4, 400
+    pts = [((i * 37) % 400, (i * 53 + 7) % 400) for i in range(60)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = quadrat_chi2(df, g, x_period=period, y_period=period).collect()[0]
+
+    counts = {}
+    for x, y in pts:
+        counts[(x // 100, y // 100)] = counts.get((x // 100, y // 100), 0) + 1
+    n = g * g
+    xs = [counts.get((cx, cy), 0) for cx in range(g) for cy in range(g)]
+    s = sum(xs)
+    num = sum((n * v - s) ** 2 for v in xs)
+    assert (r.n_cells, r.n_points, r.chi2_num, r.chi2_den, r.dof) == (
+        n, s, num, n * s, n - 1)
+    assert r.chi2 == num / (n * s)

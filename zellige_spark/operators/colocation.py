@@ -309,3 +309,61 @@ def f_function(pts: DataFrame, radii: list[int], grid: int = 32,
         F.lit(n_probes).cast("long").alias("n_probes"),
         (F.col("e.n_le").cast("double")
          / F.lit(float(n_probes))).alias("f_hat"))
+
+
+# --- bivariate cross-K function -------------------------------------------
+#
+# Ripley's K between TWO point types (cross-K, a.k.a. K_ab): are B
+# points clustered around A points at scale r?  The distance-profile
+# companion to the categorical participation index above — CSR
+# independence gives K_ab(r) = pi*r^2; above = attraction, below =
+# repulsion.
+
+def cross_k(left: DataFrame, right: DataFrame, radii: list[int],
+            x_period: int = 360000, y_period: int = 170000) -> DataFrame:
+    """Cross-K ladder between ``left`` (columns x, y) and ``right``
+    (columns x, y) integer planar point sets: per rung the exact
+    ordered (a, b) pair count within r and
+    ``k_ab = area * n_pairs / (n_a * n_b)`` (one division).  Same
+    one-halo-join-serves-the-ladder shape as `ripley_k`; no self-pair
+    or double-count concern because the sides are distinct tables."""
+    if not radii or sorted(radii) != radii:
+        raise ValueError("radii must be a non-empty ascending ladder")
+    cell = radii[-1]
+    max_r2 = cell * cell
+    a = left.select(F.col("x").cast("long").alias("xa"),
+                    F.col("y").cast("long").alias("ya"))
+    b = right.select(F.col("x").cast("long").alias("xb"),
+                     F.col("y").cast("long").alias("yb"))
+    halo = a.select(
+        "xa", "ya",
+        F.explode(F.expr(
+            f"transform(sequence(0, 8), d -> "
+            f"((xa div {cell}) + (d div 3) - 1 + {_OFF}) * {_SHIFT}"
+            f" + ((ya div {cell}) + (d % 3) - 1 + {_OFF}))")).alias("ck"))
+    center = b.select(
+        "xb", "yb",
+        F.expr(f"((xb div {cell}) + {_OFF}) * {_SHIFT}"
+               f" + ((yb div {cell}) + {_OFF})").alias("ck"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    pairs = (halo.join(center, "ck")
+                 .filter(d2 <= F.lit(max_r2))
+                 .select(d2.alias("d2")))
+    counts = pairs.agg(*[
+        F.sum(F.when(F.col("d2") <= F.lit(rr * rr), 1).otherwise(0))
+         .alias(f"c_{rr}") for rr in radii])
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    area = x_period * y_period
+    ladder = (counts.join(F.broadcast(na)).join(F.broadcast(nb))
+              .select("n_a", "n_b", F.explode(F.array(*[
+                  F.struct(F.lit(rr).cast("long").alias("r"),
+                           F.coalesce(F.col(f"c_{rr}"), F.lit(0))
+                            .cast("long").alias("n_pairs"))
+                  for rr in radii])).alias("e")))
+    return ladder.select(
+        F.col("e.r").alias("r"), F.col("e.n_pairs").alias("n_pairs"),
+        "n_a", "n_b",
+        ((F.lit(area) * F.col("e.n_pairs")).cast("double")
+         / (F.col("n_a") * F.col("n_b")).cast("double")).alias("k_ab"))

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from . import tiles as T
 from .dedup import connected_components
 
-__all__ = ["dense_cells", "hotspot_clusters", "cluster_stats"]
+__all__ = ["dense_cells", "hotspot_clusters", "cluster_stats",
+           "local_moran", "quadrat_chi2"]
 
 
 def dense_cells(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
@@ -179,3 +180,46 @@ def local_moran(pts: DataFrame, grid: int,
                     # the only float in the operator
                     (F.col("num").cast("double")
                      / F.col("den").cast("double")).alias("local_i")))
+
+
+def quadrat_chi2(pts: DataFrame, grid: int,
+                 x_col: str = "x", y_col: str = "y",
+                 x_period: int = 360000, y_period: int = 170000) -> DataFrame:
+    """Quadrat-count chi-square CSR test (the oldest point-pattern
+    test): bucket points into a grid x grid lattice and compare cell
+    counts to the uniform expectation.  With D_i = N*x_i - S the
+    statistic chi2 = sum((x_i - S/N)^2 / (S/N)) = sum(D_i^2) / (N*S)
+    — numerator and denominator EXACT integers, one final division.
+    One-row output: n_cells, n_points, exact chi2_num/chi2_den, the
+    chi2 double, and dof = N - 1.  Same touch-raw-rows-once shape as
+    `local_moran` (one partial-agg'd count Exchange; everything else
+    is grid-bounded)."""
+    spark = pts.sparkSession
+    cw = x_period // grid
+    ch = y_period // grid
+    n_cells = grid * grid
+    counts = (pts.select(
+                  F.expr(f"({x_col} div {cw})").alias("cell_x"),
+                  F.expr(f"({y_col} div {ch})").alias("cell_y"))
+              .groupBy("cell_x", "cell_y")
+              .agg(F.count(F.lit(1)).alias("n_pts")))
+    skeleton = spark.range(n_cells).select(
+        (F.col("id") % grid).alias("cell_x"),
+        F.expr(f"id div {grid}").alias("cell_y"))
+    cells = (skeleton.join(counts, ["cell_x", "cell_y"], "left")
+             .select(F.coalesce("n_pts", F.lit(0)).alias("n_pts")))
+    tot = cells.agg(F.sum("n_pts").alias("s"))
+    return (cells.join(F.broadcast(tot))
+            .select("n_pts", "s",
+                    ((F.lit(n_cells) * F.col("n_pts") - F.col("s"))
+                     * (F.lit(n_cells) * F.col("n_pts") - F.col("s")))
+                    .alias("dsq"))
+            .agg(F.max("s").alias("s"), F.sum("dsq").alias("chi2_num"))
+            .select(F.lit(n_cells).cast("long").alias("n_cells"),
+                    F.col("s").alias("n_points"),
+                    "chi2_num",
+                    (F.lit(n_cells) * F.col("s")).alias("chi2_den"),
+                    (F.col("chi2_num").cast("double")
+                     / (F.lit(n_cells) * F.col("s")).cast("double"))
+                    .alias("chi2"),
+                    F.lit(n_cells - 1).cast("long").alias("dof")))

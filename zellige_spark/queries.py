@@ -1428,6 +1428,112 @@ def sql_f_function() -> str:
     """
 
 
+SUPP_XI = "s_suppkey * 48271 % 360000"       # integer millidegrees
+SUPP_YI = "(s_suppkey * 16807 + 19) % 170000"
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K between customer points (A) and supplier
+    points (B) on the integer-millidegree plane: per ladder rung the
+    exact ordered (a, b) pair count within r and
+    k_ab = area*n_pairs/(n_a*n_b) (`colocation.cross_k`)."""
+    from .operators.colocation import cross_k
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.expr(SUPP_XI).alias("x"), F.expr(SUPP_YI).alias("y"))
+    return cross_k(cust, supp, RIPLEY_RADII).orderBy("r")
+
+
+def sql_cross_k() -> str:
+    area = 360000 * 170000
+    values = ", ".join(f"({r})" for r in RIPLEY_RADII)
+    return f"""
+    WITH a AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    b AS (
+      SELECT {SUPP_XI} AS x, {SUPP_YI} AS y FROM supplier
+    ),
+    pr AS (
+      SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM a CROSS JOIN b
+    ),
+    na AS (SELECT COUNT(*) AS n_a FROM a),
+    nb AS (SELECT COUNT(*) AS n_b FROM b)
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(COALESCE(SUM(CASE WHEN pr.d2 <= r.r * r.r THEN 1 END), 0)
+                AS BIGINT) AS n_pairs,
+           (SELECT CAST(n_a AS BIGINT) FROM na) AS n_a,
+           (SELECT CAST(n_b AS BIGINT) FROM nb) AS n_b,
+           CAST(CAST({area} AS BIGINT)
+                * COALESCE(SUM(CASE WHEN pr.d2 <= r.r * r.r THEN 1 END), 0)
+                AS DOUBLE)
+             / CAST((SELECT n_a FROM na) * (SELECT n_b FROM nb) AS DOUBLE)
+               AS k_ab
+    FROM (VALUES {values}) AS r(r) LEFT JOIN pr ON TRUE
+    GROUP BY r.r
+    ORDER BY r
+    """
+
+
+def q_quadrat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count chi-square CSR test over customer points on the
+    16x16 millidegree lattice: exact integer chi2_num/chi2_den, the
+    chi2 double, dof (`hotspots.quadrat_chi2`)."""
+    from .operators import hotspots as HOT
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = df.select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    return HOT.quadrat_chi2(pts, MORAN_GRID)
+
+
+def sql_quadrat_chi2() -> str:
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    counts AS (
+      SELECT x // {cw} AS cell_x, y // {ch} AS cell_y, COUNT(*) AS n_pts
+      FROM p GROUP BY 1, 2
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    cells AS (
+      SELECT COALESCE(c.n_pts, 0) AS n_pts
+      FROM skel s LEFT JOIN counts c USING (cell_x, cell_y)
+    ),
+    tot AS (SELECT SUM(n_pts) AS s FROM cells)
+    SELECT CAST({n} AS BIGINT) AS n_cells,
+           CAST((SELECT s FROM tot) AS BIGINT) AS n_points,
+           CAST(SUM(({n} * n_pts - (SELECT s FROM tot))
+                    * ({n} * n_pts - (SELECT s FROM tot))) AS BIGINT)
+               AS chi2_num,
+           CAST({n} * (SELECT s FROM tot) AS BIGINT) AS chi2_den,
+           CAST(CAST(SUM(({n} * n_pts - (SELECT s FROM tot))
+                         * ({n} * n_pts - (SELECT s FROM tot)))
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST({n} * (SELECT s FROM tot) AS BIGINT) AS DOUBLE)
+               AS chi2,
+           CAST({n - 1} AS BIGINT) AS dof
+    FROM cells
+    """
+
+
 MORAN_GRID = 16  # LISA lattice: 16x16 cells over the millidegree space
 
 
@@ -3194,6 +3300,10 @@ QUERIES = {
     "g_function": q_g_function,
     # empty-space function (probe-lattice NN distances)
     "f_function": q_f_function,
+    # bivariate cross-K (customers vs suppliers)
+    "cross_k": q_cross_k,
+    # quadrat-count chi-square CSR test (one-row exact statistic)
+    "quadrat_chi2": q_quadrat_chi2,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3340,6 +3450,8 @@ ORACLES = {
     "ripley_k": sql_ripley_k(),
     "g_function": sql_g_function(),
     "f_function": sql_f_function(),
+    "cross_k": sql_cross_k(),
+    "quadrat_chi2": sql_quadrat_chi2(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
