@@ -3314,3 +3314,48 @@ def test_quadrat_chi2_brute_equality(spark):
     assert (r.n_cells, r.n_points, r.chi2_num, r.chi2_den, r.dof) == (
         n, s, num, n * s, n - 1)
     assert r.chi2 == num / (n * s)
+
+
+# --- image near-dup clustering (round 5) -------------------------------------
+
+def test_image_dup_clusters_brute_equality(spark):
+    """phash clustering equals a brute-force union-find over Hamming
+    <= 3 pairs: chain transitivity (a~b~c clusters together even when
+    hamming(a, c) > 3), singleton self-labels, canonical = min id."""
+    from zellige_spark.operators.images import image_dup_clusters
+
+    rows = [
+        (1, 0b1111),          # chain: 1~2 (ham 1), 2~3 (ham 2)
+        (2, 0b1110),
+        (3, 0b1000),          # hamming(1,3) = 3 -> still direct, but
+        (4, 0b1 << 40),       # isolated singleton
+        (5, (0b1 << 40) ^ 0b111),  # ham(4,5)=3 -> pair cluster
+        (6, ~0b0 & ((1 << 63) - 1)),  # far-away singleton
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    got = {r.image_id: r for r in image_dup_clusters(df).collect()}
+    assert len(got) == 6
+
+    # brute union-find
+    parent = {i: i for i, _ in rows}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, pi in rows:
+        for j, pj in rows:
+            if i < j and bin(pi ^ pj).count("1") <= 3:
+                parent[find(j)] = min(find(i), find(j))
+    comp = {}
+    for i, _ in rows:
+        comp.setdefault(find(i), []).append(i)
+    for root, members in comp.items():
+        label = min(members)
+        for m in members:
+            r = got[m]
+            assert r.cluster == label
+            assert r.cluster_size == len(members)
+            assert r.is_canonical == (1 if m == label else 0)

@@ -789,3 +789,39 @@ def q_image_quality(spark, sf_dir: str) -> DataFrame:
     return image_quality(imgs).select(
         "image_id", "fmt", "w", "h", "brightness_mq", "contrast_q",
         "sharpness_q", "luma_range", "keep")
+
+
+def image_dup_clusters(images, max_hamming: int = 3,
+                       id_col: str = "image_id",
+                       phash_col: str = "phash"):
+    """End-to-end image near-dup clustering: phash banded pairs ->
+    connected components -> canonical selection.  Output one row per
+    image: cluster (= min image_id reachable through <=max_hamming
+    phash edges; singletons label themselves), cluster_size, and
+    is_canonical (1 on the kept representative — the training-data
+    dedup verdict).
+
+    Scale shape: `phash_near_dup` is the guarded banded-pairs join
+    (one band shuffle, capped bucket cells); `connected_components`
+    runs O(|E| log n) on the PAIR set only — the full corpus joins in
+    once at the end (left join on image_id + a broadcast-sized
+    cluster_size table when dup clusters are rare, the normal case)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+
+    pairs = phash_near_dup(images, max_hamming=max_hamming,
+                           id_col=id_col, phash_col=phash_col)
+    comps = connected_components(pairs, a="id_a", b="id_b")
+    labeled = (images.select(F.col(id_col).alias("image_id"), phash_col)
+               .join(comps.withColumnRenamed("node", "image_id"),
+                     "image_id", "left")
+               .select("image_id", phash_col,
+                       F.coalesce("component", F.col("image_id"))
+                        .alias("cluster")))
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labeled.join(sizes, "cluster")
+            .select("image_id", phash_col, "cluster", "cluster_size",
+                    F.when(F.col("image_id") == F.col("cluster"), 1)
+                     .otherwise(0).cast("int").alias("is_canonical")))

@@ -1428,6 +1428,84 @@ def sql_f_function() -> str:
     """
 
 
+# deterministic 61-bit phash synthesis: every 3 consecutive ids form a
+# near-dup group (member 0 = base, members 1/2 flip one distinct bit
+# each -> pairwise hamming <= 2); mirrored exactly in the DuckDB oracle
+PHASH_G = "(c_custkey div 3)"
+_PHASH_BASE = f"(({PHASH_G} * 2654435761) % 2305843009213693951)"
+_PHASH_FLIP_SPARK = (
+    f"CASE WHEN c_custkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+    f"WHEN c_custkey % 3 = 1 THEN "
+    f"shiftleft(CAST(1 AS BIGINT), CAST({PHASH_G} % 60 AS INT)) "
+    f"ELSE shiftleft(CAST(1 AS BIGINT), "
+    f"CAST(({PHASH_G} + 17) % 60 AS INT)) END")
+
+
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clustering end-to-end: deterministic 64-bit
+    phashes (synthesized per the input-table contract: phash is a
+    materialized int64 column) -> banded Hamming pairs -> connected
+    components -> canonical per cluster
+    (`images.image_dup_clusters`).  Oracle: brute-force Hamming pairs
+    + a recursive-CTE closure."""
+    from .operators.images import image_dup_clusters
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    images = df.select(
+        F.col("c_custkey").alias("image_id"),
+        F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
+    return (image_dup_clusters(images)
+            .orderBy("image_id"))
+
+
+def sql_image_dup_clusters() -> str:
+    g = "(c_custkey // 3)"
+    base = f"(({g} * 2654435761) % 2305843009213693951)"
+    flip = (f"CASE WHEN c_custkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN c_custkey % 3 = 1 THEN "
+            f"(CAST(1 AS BIGINT) << CAST({g} % 60 AS INT)) "
+            f"ELSE (CAST(1 AS BIGINT) << CAST(({g} + 17) % 60 AS INT)) END")
+    return f"""
+    WITH RECURSIVE imgs AS (
+      SELECT c_custkey AS image_id, xor({base}, {flip}) AS phash
+      FROM customer
+    ),
+    prs AS (
+      SELECT a.image_id AS ia, b.image_id AS ib
+      FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       AND bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    edges AS (
+      SELECT ia AS s, ib AS d FROM prs
+      UNION ALL SELECT ib, ia FROM prs
+    ),
+    reach(node, r) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT imgs.image_id, imgs.phash,
+             COALESCE(comp.component, imgs.image_id) AS cluster
+      FROM imgs LEFT JOIN comp ON comp.node = imgs.image_id
+    ),
+    sizes AS (
+      SELECT cluster, COUNT(*) AS cluster_size FROM labeled GROUP BY cluster
+    )
+    SELECT CAST(l.image_id AS BIGINT) AS image_id,
+           CAST(l.phash AS BIGINT) AS phash,
+           CAST(l.cluster AS BIGINT) AS cluster,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN l.image_id = l.cluster THEN 1 ELSE 0 END AS INT)
+               AS is_canonical
+    FROM labeled l JOIN sizes s USING (cluster)
+    ORDER BY image_id
+    """
+
+
 SUPP_XI = "s_suppkey * 48271 % 360000"       # integer millidegrees
 SUPP_YI = "(s_suppkey * 16807 + 19) % 170000"
 
@@ -3304,6 +3382,8 @@ QUERIES = {
     "cross_k": q_cross_k,
     # quadrat-count chi-square CSR test (one-row exact statistic)
     "quadrat_chi2": q_quadrat_chi2,
+    # image near-dup clustering (phash bands -> CC -> canonical)
+    "image_dup_clusters": q_image_dup_clusters,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3452,6 +3532,7 @@ ORACLES = {
     "f_function": sql_f_function(),
     "cross_k": sql_cross_k(),
     "quadrat_chi2": sql_quadrat_chi2(),
+    "image_dup_clusters": sql_image_dup_clusters(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
