@@ -1506,6 +1506,68 @@ def sql_image_dup_clusters() -> str:
     """
 
 
+def q_imagedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming cross-batch image near-dup
+    (`streaming/imagedup.py`): per image, is_dup = any phash band
+    bucket whose representative (lowest image_id) is within MAX_HAM
+    Hamming bits, dup_of = lowest such representative.  Same
+    deterministic phash synthesis as `image_dup_clusters`; fully
+    oracle-checked (phash is an int64 column)."""
+    from .streaming.imagedup import image_dup_verdicts_batch
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    images = df.select(
+        F.col("c_custkey").alias("image_id"),
+        F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
+    return image_dup_verdicts_batch(images).orderBy("image_id")
+
+
+def sql_imagedup_verdicts() -> str:
+    g = "(c_custkey // 3)"
+    base = f"(({g} * 2654435761) % 2305843009213693951)"
+    flip = (f"CASE WHEN c_custkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN c_custkey % 3 = 1 THEN "
+            f"(CAST(1 AS BIGINT) << CAST({g} % 60 AS INT)) "
+            f"ELSE (CAST(1 AS BIGINT) << CAST(({g} + 17) % 60 AS INT)) END")
+    return f"""
+    WITH imgs AS (
+      SELECT c_custkey AS image_id, xor({base}, {flip}) AS phash
+      FROM customer
+    ),
+    b AS (
+      SELECT image_id, phash, bb.band,
+             (phash >> (16 * bb.band)) & 65535 AS chunk
+      FROM imgs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+    ),
+    rep AS (
+      SELECT band, chunk, MIN(image_id) AS rep_id
+      FROM b GROUP BY band, chunk
+    ),
+    reps AS (
+      SELECT b.band, b.chunk, b.image_id AS rep_id, b.phash AS rep_phash
+      FROM b JOIN rep ON b.band = rep.band AND b.chunk = rep.chunk
+                     AND b.image_id = rep.rep_id
+    ),
+    hits AS (
+      SELECT b.image_id, r.rep_id,
+             bit_count(xor(b.phash, r.rep_phash)) AS ham
+      FROM b JOIN reps r ON b.band = r.band AND b.chunk = r.chunk
+      WHERE b.image_id <> r.rep_id
+    ),
+    per AS (
+      SELECT image_id,
+             MAX(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS is_dup,
+             MIN(CASE WHEN ham <= 3 THEN rep_id END) AS dup_of
+      FROM hits GROUP BY image_id
+    )
+    SELECT CAST(i.image_id AS BIGINT) AS image_id,
+           CAST(COALESCE(p.is_dup, 0) AS INT) AS is_dup,
+           CAST(COALESCE(p.dup_of, -1) AS BIGINT) AS dup_of
+    FROM imgs i LEFT JOIN per p USING (image_id)
+    ORDER BY image_id
+    """
+
+
 SUPP_XI = "s_suppkey * 48271 % 360000"       # integer millidegrees
 SUPP_YI = "(s_suppkey * 16807 + 19) % 170000"
 
@@ -3384,6 +3446,8 @@ QUERIES = {
     "quadrat_chi2": q_quadrat_chi2,
     # image near-dup clustering (phash bands -> CC -> canonical)
     "image_dup_clusters": q_image_dup_clusters,
+    # streaming cross-batch image near-dup (batch twin, full oracle)
+    "imagedup_verdicts": q_imagedup_verdicts,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
     "convex_hull": q_convex_hull,
     # text analysis
@@ -3533,6 +3597,7 @@ ORACLES = {
     "cross_k": sql_cross_k(),
     "quadrat_chi2": sql_quadrat_chi2(),
     "image_dup_clusters": sql_image_dup_clusters(),
+    "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
     "text_quality": TXT.sql_quality(),
