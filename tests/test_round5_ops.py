@@ -3359,3 +3359,42 @@ def test_image_dup_clusters_brute_equality(spark):
             assert r.cluster == label
             assert r.cluster_size == len(members)
             assert r.is_canonical == (1 if m == label else 0)
+
+
+# --- mergeable histogram quantiles (round 5) ---------------------------------
+
+def test_hist_quantiles_merge_equals_direct_and_rule(spark):
+    """Histogram sketch state merged to a coarse key equals the
+    directly-built coarse histogram bin-for-bin; the quantile CASE
+    implements cum >= ceil(q*n/100) exactly; over-range values clamp
+    into the top bin."""
+    from zellige_spark.operators import sketch as SK
+
+    rows = [(k, i, (i * 97 + k * 13) % 1100)  # some values past 1023 -> clamp
+            for k in range(4) for i in range(50)]
+    df = spark.createDataFrame(rows, "fine long, i long, v long")
+    reg_fine = SK.hist_registers(df, ["fine"], "v")
+    merged = SK.hist_merge(reg_fine, {"coarse": F.expr("fine div 2")})
+    direct = SK.hist_registers(
+        df.withColumn("coarse", F.expr("fine div 2")), ["coarse"], "v")
+    m = {r.coarse: r for r in merged.collect()}
+    d = {r.coarse: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in m:
+        for i in range(SK.HIST_BINS):
+            assert m[k][f"b{i}"] == d[k][f"b{i}"], (k, i)
+
+    out = {r.coarse: r for r in
+           SK.hist_quantiles(merged, ["coarse"], qs=(50, 90)).collect()}
+    import math
+    for k, vals in [(k, [(i * 97 + kk * 13) % 1100
+                         for kk in (2 * k, 2 * k + 1) for i in range(50)])
+                    for k in (0, 1)]:
+        bins = sorted(min(v // SK.HIST_WIDTH, SK.HIST_BINS - 1)
+                      for v in vals)
+        n = len(bins)
+        for q in (50, 90):
+            rank = math.ceil(q * n / 100)
+            expect = bins[rank - 1] * SK.HIST_WIDTH
+            assert out[k][f"p{q}"] == expect, (k, q)
+        assert out[k].n_rows == n

@@ -333,3 +333,70 @@ def kmv_overlap_x(bk: DataFrame, k: int = KMV_K) -> DataFrame:
                      .alias("union_kth"),
                     est.alias("est_inter"),
                     jac.alias("est_jaccard"))
+
+
+# --- mergeable fixed-bin histogram quantiles ------------------------------
+#
+# The quantile member of the mergeable-summary family (HLL distinct /
+# KMV set ops above): per-key fixed-bin histograms are sketch state
+# that merges by bin-wise SUM — coarse-zoom quantiles come from
+# merged fine-zoom state without re-reading raw rows (the
+# continuous-aggregate cascade, same shape as hll_merge).  The
+# quantile rule is the exact classical one over a binned domain:
+# q-th percentile = lower bound of the first bin whose cumulative
+# count reaches ceil(q/100 * total) — ALL integer arithmetic, so the
+# approximate operator sits under the exact value-hash gate (the bin
+# width is the documented resolution).
+
+HIST_BINS = 16
+HIST_WIDTH = 64   # value domain [0, HIST_BINS * HIST_WIDTH)
+
+
+def hist_registers(df: DataFrame, key_cols: list, value_col: str) -> DataFrame:
+    """(key_cols..., b0..b{HIST_BINS-1}): per-key bin counts — one
+    partial-agg'd groupBy, mergeable sketch state (values past the top
+    bin clamp into it)."""
+    b = F.expr(f"least(CAST({value_col} AS BIGINT) div {HIST_WIDTH}, "
+               f"{HIST_BINS - 1})")
+    return (df.withColumn("_bin", b)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+                   .alias(f"b{i}") for i in range(HIST_BINS)]))
+
+
+def hist_merge(reg: DataFrame, new_keys: dict) -> DataFrame:
+    """Merge histograms to a coarser key: bin-wise SUM over the
+    re-keyed rows.  ``new_keys``: output name -> Column."""
+    keyed = reg.select(
+        *[col.alias(name) for name, col in new_keys.items()],
+        *[f"b{i}" for i in range(HIST_BINS)])
+    return keyed.groupBy(*new_keys.keys()).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(HIST_BINS)])
+
+
+def hist_quantiles(reg: DataFrame, key_cols: list,
+                   qs: tuple = (50, 90)) -> DataFrame:
+    """Finalize histogram state to exact binned quantiles: per q the
+    LOWER BOUND of the first bin whose cumulative count reaches
+    rank = ceil(q/100 * total).  Output: key_cols..., n_rows, and one
+    ``p{q}`` column per requested percentile — all BIGINT."""
+    total = " + ".join(f"b{i}" for i in range(HIST_BINS))
+    out = reg.withColumn("n_rows", F.expr(f"({total})"))
+    cols = list(key_cols) + [F.col("n_rows")]
+    for q in qs:
+        cols.append(F.expr(hist_quantile_case(q)).alias(f"p{q}"))
+    return out.select(*cols)
+
+
+def hist_quantile_case(q: int) -> str:
+    """SQL CASE selecting the q-th percentile bin lower bound —
+    division-free (``cum >= ceil(q*n/100)`` <=> ``100*cum >= q*n`` for
+    integers), so the TEXT is shared verbatim with the DuckDB oracle."""
+    branches = []
+    cum = ""
+    for i in range(HIST_BINS):
+        cum = f"{cum} + b{i}" if cum else f"b{i}"
+        branches.append(f"WHEN ({cum}) * 100 >= n_rows * {q} THEN "
+                        f"CAST({i * HIST_WIDTH} AS BIGINT)")
+    return ("CASE " + " ".join(branches)
+            + f" ELSE CAST({(HIST_BINS - 1) * HIST_WIDTH} AS BIGINT) END")

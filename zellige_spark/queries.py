@@ -259,6 +259,73 @@ def q_tile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "hll_sum", "est_hll")
 
 
+HIST_V = "c_custkey * 48271 % 1024"  # synthetic integer measure
+
+
+def q_tile_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-tile histogram quantiles (`operators/sketch.py`
+    hist_* family): z9 fixed-bin histograms from ONE raw pass, z5
+    histograms SUM-MERGED from the z9 state (never re-reading raw
+    rows), each finalized to exact binned p50/p90 — the quantile
+    member of the mergeable-summary family, all-integer under the
+    value-hash gate."""
+    from .operators import sketch as SK
+
+    pts = _customer_points(spark, sf_dir)
+    a = (T.assign_tiles(pts, [9])
+         .select("c_custkey", "tile_x", "tile_y")
+         .withColumn("v", F.expr(HIST_V)))
+    keys = ["tile_x", "tile_y"]
+    reg9 = SK.hist_registers(a, keys, "v")
+    q9 = SK.hist_quantiles(reg9, keys).withColumn("zoom", F.lit(9))
+    reg5 = SK.hist_merge(reg9, {"tile_x": F.expr("shiftright(tile_x, 4)"),
+                                "tile_y": F.expr("shiftright(tile_y, 4)")})
+    q5 = SK.hist_quantiles(reg5, keys).withColumn("zoom", F.lit(5))
+    out = q9.unionByName(q5)
+    return out.select(F.col("zoom").cast("int").alias("zoom"),
+                      F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("n_rows").cast("long").alias("n_rows"),
+                      "p50", "p90")
+
+
+def sql_tile_hist_quantiles() -> str:
+    from .operators import sketch as SK
+
+    tx9, ty9 = _sql_tile("9")
+    tx5, ty5 = _sql_tile("5")
+    bins = ", ".join(
+        f"CAST(SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+        for i in range(SK.HIST_BINS))
+
+    def level(tx, ty, zoom):
+        return f"""
+      SELECT CAST({zoom} AS INT) AS zoom, tile_x, tile_y,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             {SK.hist_quantile_case(50)} AS p50,
+             {SK.hist_quantile_case(90)} AS p90
+      FROM (
+        SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n_rows, {bins}
+        FROM binned GROUP BY 1, 2
+      )"""
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), binned AS (
+      SELECT x3857, y3857,
+             LEAST(CAST({HIST_V} AS BIGINT) // {SK.HIST_WIDTH},
+                   {SK.HIST_BINS - 1}) AS bin
+      FROM proj
+    )
+    {level(tx9, ty9, 9)}
+    UNION ALL
+    {level(tx5, ty5, 5)}
+    """
+
+
 def sql_tile_distinct_sketch() -> str:
     from .operators import sketch as SK
 
@@ -3366,6 +3433,8 @@ QUERIES = {
     # deterministic mergeable HLL-style distinct sketch (z5 merged from z9
     # registers; even the float estimate is oracle hash-exact)
     "tile_distinct_sketch": q_tile_distinct_sketch,
+    # mergeable per-tile histogram quantiles (z5 merged from z9 state)
+    "tile_hist_quantiles": q_tile_hist_quantiles,
     # exact per-tile quartiles via rank math (auditable percentile twin)
     "tile_quartiles": q_tile_quartiles,
     # per-tile 16x16 density raster summary (heatmap tiles)
@@ -3554,6 +3623,7 @@ ORACLES = {
     "geohash_assign": sql_geohash_assign(),
     "quadkey_assign": sql_quadkey_assign(),
     "tile_distinct_sketch": sql_tile_distinct_sketch(),
+    "tile_hist_quantiles": sql_tile_hist_quantiles(),
     "tile_quartiles": sql_tile_quartiles(),
     "tile_density": sql_tile_density(),
     "tile_cap": sql_tile_cap(),
