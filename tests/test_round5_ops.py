@@ -3398,3 +3398,54 @@ def test_hist_quantiles_merge_equals_direct_and_rule(spark):
             expect = bins[rank - 1] * SK.HIST_WIDTH
             assert out[k][f"p{q}"] == expect, (k, q)
         assert out[k].n_rows == n
+
+
+# --- event funnel (round 5) --------------------------------------------------
+
+def test_event_funnel_strict_order_semantics(spark, tmp_path):
+    """Funnel counts only IN-ORDER progressions: click before any view
+    doesn't qualify, purchase before the qualified click doesn't, and
+    (ts, event_id) breaks timestamp ties strictly.  One hash-partition
+    Exchange feeds window + per-user agg."""
+    import datetime
+
+    from zellige_spark.streaming.events import q_event_funnel
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), 1, "view"), (2, ts(1), 1, "click"),
+        (3, ts(2), 1, "purchase"),
+        # user 2: click BEFORE view -> stage 2 not reached
+        (4, ts(0), 2, "click"), (5, ts(1), 2, "view"),
+        (6, ts(2), 2, "purchase"),
+        # user 3: purchase between view and click -> stage 3 not reached
+        (7, ts(0), 3, "view"), (8, ts(1), 3, "purchase"),
+        (9, ts(2), 3, "click"),
+        # user 4: simultaneous ts, event_id order view(10) < click(11)
+        (10, ts(5), 4, "view"), (11, ts(5), 4, "click"),
+        # user 5: no view at all
+        (12, ts(0), 5, "error"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, 0.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r.stage: r for r in q_event_funnel(spark, sf).collect()}
+    assert (out[1].users_reached, out[2].users_reached,
+            out[3].users_reached) == (4, 3, 1)
+    assert out[1].n_users == 5
+    assert out[2].rate == 3 / 5
+    plan = _plan(q_event_funnel(spark, sf))
+    import re
+    # one data Exchange (hashpartitioning for window + co-partitioned
+    # agg) and one SinglePartition Exchange for the 1-row rollup
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_hash = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert (n_ex, n_hash) == (2, 1), plan

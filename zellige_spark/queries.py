@@ -3562,6 +3562,8 @@ QUERIES = {
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
+    # ordered view->click->purchase funnel (one Exchange, strict order)
+    "event_funnel": EV.q_event_funnel,
     "event_sessions": SESS.q_event_sessions,
     # as-of temporal join (latest error per user <= each click; DuckDB
     # native ASOF LEFT JOIN is the independent oracle)
@@ -3693,6 +3695,7 @@ ORACLES = {
     "embed_quantize": SIM.sql_embed_quantize(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
+    "event_funnel": EV.sql_event_funnel(),
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),

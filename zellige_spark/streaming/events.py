@@ -91,3 +91,114 @@ def stream_event_windows(spark: SparkSession, input_path: str,
                .option("checkpointLocation", checkpoint)
                .trigger(availableNow=True)
                .start())
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per stage,
+    how many users progressed IN ORDER — a later-stage event counts
+    only when a qualifying earlier-stage event strictly precedes it
+    ((ts, event_id) order; the product-analytics staple).
+
+    Scale shape: epochs as BIGINTs, ONE Exchange — the per-user window
+    computes "qualified earlier stage seen strictly before this row"
+    flags with ROWS UNBOUNDED PRECEDING .. 1 PRECEDING running maxes,
+    and the groupBy(user_id) that follows reuses the window's hash
+    partitioning (partition key == grouping key, no second shuffle).
+    The per-stage rollup then aggregates the per-user frame (one row
+    per user) to three rows; ``rate`` is users_reached / n_users, one
+    long->double division under the gate."""
+    from pyspark.sql.window import Window
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                  "event_id"))
+    w = (Window.partitionBy("user_id").orderBy("t", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_view = (F.col("event_type") == "view").cast("int")
+    flagged = (ev
+               .withColumn("seen_view", F.coalesce(F.max(is_view).over(w),
+                                                   F.lit(0)))
+               .withColumn("q_click",
+                           ((F.col("event_type") == "click")
+                            & (F.col("seen_view") == 1)).cast("int")))
+    flagged = flagged.withColumn(
+        "seen_qclick", F.coalesce(F.max("q_click").over(w), F.lit(0)))
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(is_view).alias("s1"),
+        F.max("q_click").alias("s2"),
+        F.max(((F.col("event_type") == "purchase")
+               & (F.col("seen_qclick") == 1)).cast("int")).alias("s3"))
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s1").alias("u1"), F.sum("s2").alias("u2"),
+        F.sum("s3").alias("u3"))
+    stages = tot.select(
+        "n_users",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("stage"), F.lit("view").alias("event"),
+                     F.col("u1").cast("long").alias("users_reached")),
+            F.struct(F.lit(2).alias("stage"), F.lit("click").alias("event"),
+                     F.col("u2").cast("long").alias("users_reached")),
+            F.struct(F.lit(3).alias("stage"),
+                     F.lit("purchase").alias("event"),
+                     F.col("u3").cast("long").alias("users_reached"))))
+         .alias("e"))
+    return stages.select(
+        F.col("e.stage").cast("int").alias("stage"),
+        F.col("e.event").alias("event"),
+        F.col("e.users_reached").alias("users_reached"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("e.users_reached").cast("double")
+         / F.col("n_users").cast("double")).alias("rate")).orderBy("stage")
+
+
+def sql_event_funnel() -> str:
+    return """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    f1 AS (
+      SELECT user_id, event_type, t, event_id,
+             COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS seen_view
+      FROM ev
+    ),
+    f2 AS (
+      SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+                     THEN 1 ELSE 0 END AS q_click
+      FROM f1
+    ),
+    f3 AS (
+      SELECT *, COALESCE(MAX(q_click)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS seen_qclick
+      FROM f2
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(q_click) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND seen_qclick = 1
+                 THEN 1 ELSE 0 END) AS s3
+      FROM f3 GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_users, SUM(s1) AS u1, SUM(s2) AS u2,
+             SUM(s3) AS u3
+      FROM per_user
+    )
+    SELECT CAST(s.stage AS INT) AS stage, s.event,
+           CAST(CASE s.stage WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+                AS BIGINT) AS users_reached,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CAST(CASE s.stage WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n_users AS BIGINT) AS DOUBLE) AS rate
+    FROM tot CROSS JOIN (VALUES (1, 'view'), (2, 'click'),
+                                (3, 'purchase')) AS s(stage, event)
+    ORDER BY stage
+    """
