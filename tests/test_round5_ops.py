@@ -3449,3 +3449,46 @@ def test_event_funnel_strict_order_semantics(spark, tmp_path):
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     n_hash = len(re.findall(r"hashpartitioning\(user_id", plan))
     assert (n_ex, n_hash) == (2, 1), plan
+
+
+# --- cohort retention (round 5) ----------------------------------------------
+
+def test_cohort_retention_handcrafted(spark, tmp_path):
+    """Retention triangle on handcrafted weeks: cohort = first active
+    week, offset cells count distinct users (repeat events in one week
+    count once), week-0 retention = cohort size."""
+    import datetime
+
+    from zellige_spark.streaming.events import WEEK_US, q_cohort_retention
+
+    def at_week(w, sec=0):
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=w * WEEK_US, seconds=sec)
+                + datetime.timedelta(days=365 * 54))  # keep epochs positive
+
+    rows, eid = [], 0
+    # users 1,2 start week 0; user 1 returns weeks 1,2; user 2 only week 2
+    # user 3 starts week 1 and never returns; user 1 has TWO events in w1
+    for u, w, reps in [(1, 0, 1), (1, 1, 2), (1, 2, 1),
+                       (2, 0, 1), (2, 2, 1),
+                       (3, 1, 1)]:
+        for k in range(reps):
+            rows.append((eid, at_week(w, sec=k), u, "view", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {(r.cohort_week - min(x.cohort_week
+                                for x in q_cohort_retention(spark, sf)
+                                .collect()), r.week_offset): r
+           for r in q_cohort_retention(spark, sf).collect()}
+    # cohort A (users 1,2): w0=2, w1=1 (user 1 only, deduped), w2=2
+    assert (out[(0, 0)].retained, out[(0, 0)].cohort_size) == (2, 2)
+    assert out[(0, 1)].retained == 1
+    assert out[(0, 2)].retained == 2
+    assert out[(0, 1)].rate == 1 / 2
+    # cohort B (user 3): w0=1 only
+    assert (out[(1, 0)].retained, out[(1, 0)].cohort_size) == (1, 1)
+    assert (1, 1) not in out and (0, 3) not in out

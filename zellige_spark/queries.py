@@ -3564,6 +3564,8 @@ QUERIES = {
     "event_user_stats": EV.q_event_user_stats,
     # ordered view->click->purchase funnel (one Exchange, strict order)
     "event_funnel": EV.q_event_funnel,
+    # cohort retention triangle (first-week cohorts, integer weeks)
+    "cohort_retention": EV.q_cohort_retention,
     "event_sessions": SESS.q_event_sessions,
     # as-of temporal join (latest error per user <= each click; DuckDB
     # native ASOF LEFT JOIN is the independent oracle)
@@ -3696,6 +3698,7 @@ ORACLES = {
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_funnel": EV.sql_event_funnel(),
+    "cohort_retention": EV.sql_cohort_retention(),
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),

@@ -202,3 +202,77 @@ def sql_event_funnel() -> str:
                                 (3, 'purchase')) AS s(stage, event)
     ORDER BY stage
     """
+
+
+WEEK_US = 7 * 86400 * 1000000
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis (the funnel's sibling): users are
+    cohorted by their FIRST active week; for every (cohort_week,
+    offset) cell, how many of that cohort were active offset weeks
+    later — the product-analytics retention triangle.
+
+    Scale shape: ONE Exchange on user_id reduces raw events to a
+    per-user (first_week, active-week set) row — collect_set is
+    bounded by the calendar span, not the event count, because weeks
+    are pre-deduped per user map-side inside the aggregation; the
+    explode + (cohort, offset) count then runs on one row per
+    (user, active week).  Weeks are absolute integer epochs div
+    WEEK_US — no timestamp comparisons under the gate; ``rate`` is
+    retained / cohort_size, one long->double division."""
+    # integer week: div truncates toward zero; epochs here are positive
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id",
+                  F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {WEEK_US}")
+                   .alias("week")))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"))
+    uw = per_user.select(
+        "user_id", "cohort_week",
+        F.explode("weeks").alias("week"))
+    cells = (uw.groupBy("cohort_week",
+                        (F.col("week") - F.col("cohort_week"))
+                        .alias("week_offset"))
+               .agg(F.count(F.lit(1)).alias("retained")))
+    sizes = (per_user.groupBy("cohort_week")
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    return (cells.join(sizes, "cohort_week")
+            .select(F.col("cohort_week").cast("long").alias("cohort_week"),
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("retained").cast("long").alias("retained"),
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    (F.col("retained").cast("double")
+                     / F.col("cohort_size").cast("double")).alias("rate"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+def sql_cohort_retention() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    cells AS (
+      SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+             COUNT(*) AS retained
+      FROM ev JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort
+      GROUP BY cohort_week
+    )
+    SELECT CAST(cells.cohort_week AS BIGINT) AS cohort_week,
+           CAST(cells.week_offset AS BIGINT) AS week_offset,
+           CAST(cells.retained AS BIGINT) AS retained,
+           CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+           CAST(cells.retained AS DOUBLE)
+             / CAST(sizes.cohort_size AS DOUBLE) AS rate
+    FROM cells JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """
