@@ -3492,3 +3492,37 @@ def test_cohort_retention_handcrafted(spark, tmp_path):
     # cohort B (user 3): w0=1 only
     assert (out[(1, 0)].retained, out[(1, 0)].cohort_size) == (1, 1)
     assert (1, 1) not in out and (0, 3) not in out
+
+
+# --- per-tile categorical diversity (round 5) --------------------------------
+
+def test_tile_diversity_exact_fraction_and_tiebreak(spark):
+    """Gini-Simpson per tile equals the exact fraction recompute, and
+    the majority class tie-break is (count desc, segment asc)."""
+    import zellige_spark.queries as Q
+
+    out = {(r.tile_x, r.tile_y): r
+           for r in Q.q_tile_diversity(spark, SF).collect()}
+    assert out, "no tiles"
+    # brute recompute from the same inputs
+    pts = Q._customer_points(spark, SF)
+    seg = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    rows = (Q.T.assign_tiles(pts, [Q.DIV_ZOOM])
+            .select("c_custkey", "tile_x", "tile_y")
+            .join(seg, "c_custkey").collect())
+    agg = {}
+    for r in rows:
+        agg.setdefault((r.tile_x, r.tile_y), {}).setdefault(
+            r.c_mktsegment, 0)
+        agg[(r.tile_x, r.tile_y)][r.c_mktsegment] += 1
+    assert set(agg) == set(out)
+    for k, segs in agg.items():
+        n = sum(segs.values())
+        ssq = sum(v * v for v in segs.values())
+        r = out[k]
+        assert (r.n, r.n_segments) == (n, len(segs))
+        assert (r.gini_num, r.gini_den) == (n * n - ssq, n * n)
+        assert r.gini == (n * n - ssq) / (n * n)
+        best = min(segs.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.top_segment, r.top_count) == best

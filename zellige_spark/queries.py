@@ -618,6 +618,85 @@ def _zonal_df(spark: SparkSession) -> DataFrame:
         "min_lon double, min_lat double, max_lon double, max_lat double")
 
 
+DIV_ZOOM = 5
+
+
+def q_tile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile categorical diversity over customer market segments:
+    Gini-Simpson index 1 - sum((n_i/n)^2) computed as the exact
+    integer fraction (n^2 - sum(n_i^2)) / n^2 (ONE division), plus
+    the majority class with a deterministic (count desc, segment asc)
+    tie-break — the corpus-balance-per-region audit (is one source
+    type dominating a cell?).
+
+    Scale shape: one partial-agg'd Exchange on (tile, segment), then a
+    tile-bounded fold; no window, no second raw pass."""
+    pts = _customer_points(spark, sf_dir)
+    seg = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    a = (T.assign_tiles(pts, [DIV_ZOOM])
+         .select("c_custkey", "tile_x", "tile_y")
+         .join(seg, "c_custkey"))
+    cnt = (a.groupBy("tile_x", "tile_y", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    per_tile = cnt.groupBy("tile_x", "tile_y").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("c_mktsegment").alias("seg"))).alias("top"))
+    return (per_tile.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        (F.col("n") * F.col("n") - F.col("sum_sq")).alias("gini_num"),
+        (F.col("n") * F.col("n")).alias("gini_den"),
+        ((F.col("n") * F.col("n") - F.col("sum_sq")).cast("double")
+         / (F.col("n") * F.col("n")).cast("double")).alias("gini"),
+        F.col("top.seg").alias("top_segment"),
+        (-F.col("top.neg")).cast("long").alias("top_count"))
+        .orderBy("tile_x", "tile_y"))
+
+
+def sql_tile_diversity() -> str:
+    tx, ty = _sql_tile(str(DIV_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, c_mktsegment, {CUST_LON} AS lon, {CUST_LAT} AS lat
+      FROM customer
+    ), proj AS (
+      SELECT c_custkey, c_mktsegment, {_SQL_X} AS x3857, {_SQL_Y} AS y3857
+      FROM pts
+    ), cnt AS (
+      SELECT {tx} AS tile_x, {ty} AS tile_y, c_mktsegment,
+             COUNT(*) AS cnt
+      FROM proj GROUP BY 1, 2, 3
+    ), per_tile AS (
+      SELECT tile_x, tile_y,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM cnt GROUP BY 1, 2
+    ), top AS (
+      SELECT tile_x, tile_y, c_mktsegment AS top_segment,
+             CAST(cnt AS BIGINT) AS top_count,
+             ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+      FROM cnt
+    )
+    SELECT p.tile_x, p.tile_y, p.n, p.n_segments,
+           p.n * p.n - p.sum_sq AS gini_num,
+           p.n * p.n AS gini_den,
+           CAST(p.n * p.n - p.sum_sq AS DOUBLE)
+             / CAST(p.n * p.n AS DOUBLE) AS gini,
+           t.top_segment, t.top_count
+    FROM per_tile p JOIN top t
+      ON p.tile_x = t.tile_x AND p.tile_y = t.tile_y AND t.rn = 1
+    ORDER BY p.tile_x, p.tile_y
+    """
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — per-polygon aggregates over the PIP join
     (the polygon-side twin of the per-tile metrics): point count, key
@@ -3461,6 +3540,8 @@ QUERIES = {
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
     "zonal_stats": q_zonal_stats,
+    # per-tile categorical diversity (exact Gini-Simpson + majority)
+    "tile_diversity": q_tile_diversity,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
@@ -3642,6 +3723,7 @@ ORACLES = {
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
+    "tile_diversity": sql_tile_diversity(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
     "tile_topk": sql_tile_topk(),
