@@ -3526,3 +3526,45 @@ def test_tile_diversity_exact_fraction_and_tiebreak(spark):
         assert r.gini == (n * n - ssq) / (n * n)
         best = min(segs.items(), key=lambda kv: (-kv[1], kv[0]))
         assert (r.top_segment, r.top_count) == best
+
+
+# --- A/B test chi-square (round 5) -------------------------------------------
+
+def test_ab_test_exact_chi_square(spark, tmp_path):
+    """2x2 chi-square equals the exact-fraction recompute on
+    handcrafted conversions; degenerate margins report 0.0."""
+    import datetime
+
+    from zellige_spark.streaming.events import q_ab_test
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # variant 0 users: 0,2,4,6 (conv: 0,2); variant 1: 1,3,5 (conv: 1)
+    rows, eid = [], 0
+    for u in range(7):
+        rows.append((eid, t0, u, "view")); eid += 1
+    for u in (0, 2, 1):
+        rows.append((eid, t0, u, "purchase")); eid += 1
+    df = spark.createDataFrame(
+        [(i, t, u, e, 0.0, "{}") for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    r = q_ab_test(spark, sf).collect()[0]
+    a, b, c, d = 2, 2, 1, 2
+    n, det = a + b + c + d, a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    assert (r.users_a, r.conv_a, r.users_b, r.conv_b) == (4, 2, 3, 1)
+    assert (r.chi2_num, r.chi2_den) == (n * det * det, den)
+    assert r.chi2 == (n * det * det) / den
+    assert r.rate_a == 2 / 4 and r.rate_b == 1 / 3
+
+    # degenerate: nobody converts -> chi2 margin zero -> 0.0
+    df2 = spark.createDataFrame(
+        [(0, t0, 0, "view", 0.0, "{}"), (1, t0, 1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    sf2 = str(tmp_path / "deg")
+    df2.coalesce(1).write.mode("overwrite").parquet(f"{sf2}/events.parquet")
+    r2 = q_ab_test(spark, sf2).collect()[0]
+    assert (r2.conv_a, r2.conv_b, r2.chi2) == (0, 0, 0.0)

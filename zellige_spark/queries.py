@@ -3647,6 +3647,8 @@ QUERIES = {
     "event_funnel": EV.q_event_funnel,
     # cohort retention triangle (first-week cohorts, integer weeks)
     "cohort_retention": EV.q_cohort_retention,
+    # A/B conversion readout with exact 2x2 Pearson chi-square
+    "ab_test": EV.q_ab_test,
     "event_sessions": SESS.q_event_sessions,
     # as-of temporal join (latest error per user <= each click; DuckDB
     # native ASOF LEFT JOIN is the independent oracle)
@@ -3781,6 +3783,7 @@ ORACLES = {
     "event_user_stats": EV.sql_event_user_stats(),
     "event_funnel": EV.sql_event_funnel(),
     "cohort_retention": EV.sql_cohort_retention(),
+    "ab_test": EV.sql_ab_test(),
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),

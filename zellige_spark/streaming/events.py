@@ -276,3 +276,101 @@ def sql_cohort_retention() -> str:
     FROM cells JOIN sizes USING (cohort_week)
     ORDER BY cohort_week, week_offset
     """
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two variants
+    (user_id % 2), success = any purchase event; one row with the 2x2
+    contingency counts, per-variant conversion rates, and the Pearson
+    chi-square statistic chi2 = n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    — numerator and denominator EXACT integers (int64 through ~1e4
+    users per cell; the web-scale upgrade is the map_snap DECIMAL(38)
+    pattern), each rate and the statistic ONE long->double division.
+
+    Scale shape: one user-keyed Exchange reduces events to per-user
+    (variant, converted) rows with map-side partial max; the 2x2 fold
+    is a single-row aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max((F.col("event_type") == "purchase")
+                           .cast("int")).alias("conv"))
+                .withColumn("variant", (F.col("user_id") % 2).cast("int")))
+    t = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))
+               .otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("variant") == 0, 1 - F.col("conv"))
+               .otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))
+               .otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("variant") == 1, 1 - F.col("conv"))
+               .otherwise(0)).alias("d"))
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    den = ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+           * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+    return t.select(
+        (F.col("a") + F.col("b")).cast("long").alias("users_a"),
+        F.col("a").cast("long").alias("conv_a"),
+        (F.col("c") + F.col("d")).cast("long").alias("users_b"),
+        F.col("c").cast("long").alias("conv_b"),
+        F.when(F.col("a") + F.col("b") == 0, F.lit(0.0).cast("double"))
+         .otherwise(F.col("a").cast("double")
+                    / (F.col("a") + F.col("b")).cast("double"))
+         .alias("rate_a"),
+        F.when(F.col("c") + F.col("d") == 0, F.lit(0.0).cast("double"))
+         .otherwise(F.col("c").cast("double")
+                    / (F.col("c") + F.col("d")).cast("double"))
+         .alias("rate_b"),
+        (n * det * det).cast("long").alias("chi2_num"),
+        den.cast("long").alias("chi2_den"),
+        # a degenerate margin (no conversions at all, or a one-variant
+        # population) has no defined statistic: report 0.0 on both
+        # engines
+        F.when(den == 0, F.lit(0.0).cast("double"))
+         .otherwise((n * det * det).cast("double") / den.cast("double"))
+         .alias("chi2"))
+
+
+def sql_ab_test() -> str:
+    return """
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 - conv ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 - conv ELSE 0 END)
+             AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT CAST(a + b AS BIGINT) AS users_a,
+           a AS conv_a,
+           CAST(c + d AS BIGINT) AS users_b,
+           c AS conv_b,
+           CASE WHEN a + b = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+           END AS rate_a,
+           CASE WHEN c + d = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)
+           END AS rate_b,
+           CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+                AS BIGINT) AS chi2_num,
+           CAST((a + b) * (c + d) * (a + c) * (b + d) AS BIGINT)
+               AS chi2_den,
+           CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST((a + b + c + d) * (a * d - b * c)
+                               * (a * d - b * c) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST((a + b) * (c + d) * (a + c) * (b + d)
+                               AS BIGINT) AS DOUBLE)
+           END AS chi2
+    FROM t
+    """
