@@ -3568,3 +3568,61 @@ def test_ab_test_exact_chi_square(spark, tmp_path):
     df2.coalesce(1).write.mode("overwrite").parquet(f"{sf2}/events.parquet")
     r2 = q_ab_test(spark, sf2).collect()[0]
     assert (r2.conv_a, r2.conv_b, r2.chi2) == (0, 0, 0.0)
+
+
+# --- per-tile activity trend (round 5) ---------------------------------------
+
+def test_tile_trend_exact_ols_fraction(spark):
+    """Slope fraction equals the textbook OLS recompute per tile over
+    observed months; single-month tiles report slope 0.0 with den 0."""
+    import zellige_spark.queries as Q
+
+    out = {(r.tile_x, r.tile_y): r
+           for r in Q.q_tile_trend(spark, SF).collect()}
+    assert out, "no tiles"
+    pts = Q._customer_points(spark, SF)
+    tiled = Q.T.assign_tiles(pts, [Q.TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = (orders.join(tiled, orders.o_custkey == tiled.c_custkey)
+            .selectExpr("tile_x", "tile_y",
+                        "year(o_orderdate) * 12 + month(o_orderdate) AS m")
+            .collect())
+    cells = {}
+    for r in rows:
+        cells.setdefault((r.tile_x, r.tile_y), {}).setdefault(r.m, 0)
+        cells[(r.tile_x, r.tile_y)][r.m] += 1
+    assert set(cells) == set(out)
+    for k, months in cells.items():
+        n = len(months)
+        sx = sum(months)
+        sy = sum(months.values())
+        sxx = sum(m * m for m in months)
+        sxy = sum(m * y for m, y in months.items())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = out[k]
+        assert (r.n_months, r.n_orders) == (n, sy)
+        assert (r.slope_num, r.slope_den) == (num, den)
+        assert den != 0 and r.slope == num / den
+
+
+def test_tile_trend_single_month_degenerate(spark, tmp_path):
+    """A tile active in exactly one month has slope_den 0 and reports
+    slope 0.0 (no trend is definable from one point)."""
+    import datetime
+
+    import zellige_spark.queries as Q
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").limit(1)
+    sf = str(tmp_path)
+    cust.coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    key = cust.collect()[0].c_custkey
+    orders = spark.createDataFrame(
+        [(1, key, datetime.date(2024, 3, 5)),
+         (2, key, datetime.date(2024, 3, 20))],
+        "o_orderkey long, o_custkey long, o_orderdate date")
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    rows = Q.q_tile_trend(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_months, r.n_orders, r.slope_den, r.slope) == (1, 2, 0, 0.0)

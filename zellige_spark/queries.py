@@ -618,6 +618,91 @@ def _zonal_df(spark: SparkSession) -> DataFrame:
         "min_lon double, min_lat double, max_lon double, max_lat double")
 
 
+TREND_ZOOM = 4
+
+
+def q_tile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile activity trend ("which regions are growing"): the OLS
+    slope of monthly order counts per z4 tile, over the months the
+    tile was ACTIVE (zero-months absent — observed-months semantics,
+    mirrored in the oracle).  slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx*Sx) — numerator/denominator EXACT int64 over integer
+    month indexes (m = year*12 + month), one division; single-month
+    tiles have den = 0 and report slope 0.0 on both engines.
+
+    Scale shape: facts shuffle once on the join key and once into
+    (tile, month) cells; the per-tile fold runs on the grid-bounded
+    cell table."""
+    pts = _customer_points(spark, sf_dir)
+    tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"))
+    j = orders.join(tiled, F.col("o_custkey") == F.col("c_custkey"))
+    cells = (j.groupBy("tile_x", "tile_y", "m")
+              .agg(F.count(F.lit(1)).alias("y")))
+    per_tile = cells.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("m").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.sum(F.col("m") * F.col("y")).alias("sxy"))
+    num = (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (per_tile.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("sy").cast("long").alias("n_orders"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(0.0).cast("double"))
+         .otherwise(num.cast("double") / den.cast("double"))
+         .alias("slope"))
+        .orderBy("tile_x", "tile_y"))
+
+
+def sql_tile_trend() -> str:
+    tx, ty = _sql_tile(str(TREND_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), cells AS (
+      SELECT t.tile_x, t.tile_y,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m,
+             COUNT(*) AS y
+      FROM orders o JOIN tiled t ON o.o_custkey = t.c_custkey
+      GROUP BY 1, 2, 3
+    ), per_tile AS (
+      SELECT tile_x, tile_y,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(m) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(m * m) AS BIGINT) AS sxx,
+             CAST(SUM(m * y) AS BIGINT) AS sxy
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT tile_x, tile_y, n_months, sy AS n_orders,
+           CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n_months * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST(n_months * sxy - sx * sy AS BIGINT)
+                          AS DOUBLE)
+                   / CAST(CAST(n_months * sxx - sx * sx AS BIGINT)
+                          AS DOUBLE)
+           END AS slope
+    FROM per_tile
+    ORDER BY tile_x, tile_y
+    """
+
+
 DIV_ZOOM = 5
 
 
@@ -3542,6 +3627,8 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     # per-tile categorical diversity (exact Gini-Simpson + majority)
     "tile_diversity": q_tile_diversity,
+    # per-tile activity trend (exact OLS slope fraction over months)
+    "tile_trend": q_tile_trend,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
@@ -3726,6 +3813,7 @@ ORACLES = {
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
     "tile_diversity": sql_tile_diversity(),
+    "tile_trend": sql_tile_trend(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
     "tile_topk": sql_tile_topk(),
