@@ -3626,3 +3626,27 @@ def test_tile_trend_single_month_degenerate(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_months, r.n_orders, r.slope_den, r.slope) == (1, 2, 0, 0.0)
+
+
+# --- per-document novelty (round 5) ------------------------------------------
+
+def test_doc_novelty_handcrafted(spark, tmp_path):
+    """Novelty semantics: a verbatim re-crawl scores 0, the original
+    it copies scores 1, ties on shared grams go to the LOWEST doc_id,
+    too-short/empty docs report 0.0 with zero grams."""
+    from zellige_spark.operators import text as TXT
+
+    docs = [
+        "a b c d e",    # doc 0: all grams first seen here
+        "a b c d e",    # doc 1: verbatim re-crawl -> novelty 0
+        "x y z a b c",  # doc 2: "a b c" seen in doc 0; "x y z"/"y z a"/
+                        #        "z a b" new -> 3/4
+        "q r",          # doc 3: too short for a 3-gram
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    got = {r.doc_id: r for r in TXT.q_doc_novelty(spark, sf).collect()}
+    assert (got[0].n_grams, got[0].novel_grams, got[0].novelty) == (3, 3, 1.0)
+    assert (got[1].n_grams, got[1].novel_grams, got[1].novelty) == (3, 0, 0.0)
+    assert (got[2].n_grams, got[2].novel_grams) == (4, 3)
+    assert got[2].novelty == 3 / 4
+    assert (got[3].n_grams, got[3].novelty) == (0, 0.0)

@@ -845,3 +845,84 @@ def sql_vocab_growth() -> str:
     FROM (VALUES {values}) AS k(k)
     ORDER BY k
     """
+
+
+# --- per-document novelty ---------------------------------------------------
+
+NOVELTY_N = 3  # words per shingle
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs the corpus prefix: the fraction of the
+    doc's word 3-gram occurrences whose gram FIRST appears in this
+    document (min doc_id over the corpus == this doc) — the curation
+    signal between exact dedup and near-dup: a re-crawl scores ~0, a
+    genuinely new document ~1, boilerplate-heavy pages in between.
+
+    Scale shape: one explode + ONE partial-agg'd groupBy(gram) builds
+    the (gram, first_doc) table (min combines map-side; one row per
+    distinct gram ships); the gram-keyed join back is the only other
+    shuffle, and the per-doc fold is a partial-agg'd count.  Docs too
+    short for any gram report novelty 0.0 with n_grams = 0 (identical
+    CASE both engines)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select(
+        "doc_id",
+        F.split(F.expr(_SQUASHED), " ").alias("t"),
+        F.monotonically_increasing_id().alias("_barrier"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(_gram_array("t", NOVELTY_N))).alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(first, "gram")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                           .otherwise(0)).alias("novel_grams")))
+    skeleton = df.select("doc_id")
+    return (skeleton.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                     .alias("n_grams"),
+                    F.coalesce("novel_grams", F.lit(0)).cast("long")
+                     .alias("novel_grams"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) == 0,
+                           F.lit(0.0).cast("double"))
+                     .otherwise(F.coalesce("novel_grams", F.lit(0))
+                                .cast("double")
+                                / F.coalesce("n_grams", F.lit(0))
+                                .cast("double")).alias("novelty"))
+            .orderBy("doc_id"))
+
+
+def sql_doc_novelty() -> str:
+    n = NOVELTY_N
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQUASHED}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel_grams
+      FROM grams g JOIN firsts f USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.novel_grams, 0) AS novel_grams,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(p.novel_grams, 0) AS DOUBLE)
+                   / CAST(COALESCE(p.n_grams, 0) AS DOUBLE)
+           END AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """

@@ -3708,6 +3708,8 @@ QUERIES = {
     "decontaminate": TXT.q_decontaminate,
     # Heaps-law vocabulary growth ladder (term->first-doc, wide sums)
     "vocab_growth": TXT.q_vocab_growth,
+    # per-doc 3-gram novelty vs the corpus prefix (re-crawl scores ~0)
+    "doc_novelty": TXT.q_doc_novelty,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -3857,6 +3859,7 @@ ORACLES = {
     "doc_chunks": TXT.sql_doc_chunks(),
     "decontaminate": TXT.sql_decontaminate(),
     "vocab_growth": TXT.sql_vocab_growth(),
+    "doc_novelty": TXT.sql_doc_novelty(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
