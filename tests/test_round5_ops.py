@@ -3650,3 +3650,32 @@ def test_doc_novelty_handcrafted(spark, tmp_path):
     assert (got[2].n_grams, got[2].novel_grams) == (4, 3)
     assert got[2].novelty == 3 / 4
     assert (got[3].n_grams, got[3].novelty) == (0, 0.0)
+
+
+# --- radius of gyration (round 5) --------------------------------------------
+
+def test_radius_gyration_exact_fraction(spark):
+    """rog^2 equals the textbook mean-squared-deviation recompute via
+    exact Fractions, and the single-division double matches."""
+    from fractions import Fraction
+
+    import zellige_spark.queries as Q
+
+    out = {r.user_id: r for r in Q.q_radius_gyration(spark, SF).collect()}
+    pts = (spark.read.parquet(f"{SF}/events.parquet")
+           .selectExpr("user_id", "event_id * 3571 % 360000 AS x",
+                       "(event_id * 9973 + 7) % 170000 AS y").collect())
+    by_user = {}
+    for r in pts:
+        by_user.setdefault(r.user_id, []).append((r.x, r.y))
+    assert set(by_user) == set(out)
+    for u, xy in by_user.items():
+        n = len(xy)
+        cx = Fraction(sum(x for x, _ in xy), n)
+        cy = Fraction(sum(y for _, y in xy), n)
+        rog2 = sum((Fraction(x) - cx) ** 2 + (Fraction(y) - cy) ** 2
+                   for x, y in xy) / n
+        r = out[u]
+        assert r.n_points == n
+        assert Fraction(r.rog2_num, r.rog2_den) == rog2
+        assert r.rog2 == r.rog2_num / r.rog2_den

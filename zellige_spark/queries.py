@@ -2979,6 +2979,62 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr(EVT_LAT).alias("lat"))
 
 
+def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user radius of gyration (Gonzalez et al., Nature 2008 — THE
+    human-mobility statistic: how far a user's points spread around
+    their centroid).  Planar integer-millidegree coordinates; rog^2 =
+    mean squared deviation = (n*Sxx - Sx^2 + n*Syy - Sy^2) / n^2 —
+    EXACT int64 numerator/denominator (int64 through ~1e6 points/user
+    at this coordinate range; DECIMAL(38) beyond), ONE division for
+    the double.  Single-point users report 0 exactly.
+
+    Scale shape: one partial-agg'd Exchange on user_id; five integer
+    sums combine map-side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("event_id * 3571 % 360000").alias("x"),
+        F.expr("(event_id * 9973 + 7) % 170000").alias("y"))
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+           + F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (g.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n_points"),
+        num.cast("long").alias("rog2_num"),
+        (F.col("n") * F.col("n")).cast("long").alias("rog2_den"),
+        (num.cast("double")
+         / (F.col("n") * F.col("n")).cast("double")).alias("rog2"))
+        .orderBy("user_id"))
+
+
+def sql_radius_gyration() -> str:
+    return """
+    WITH p AS (
+      SELECT user_id, event_id * 3571 % 360000 AS x,
+             (event_id * 9973 + 7) % 170000 AS y
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n AS n_points,
+           CAST(n * sxx - sx * sx + n * syy - sy * sy AS BIGINT)
+               AS rog2_num,
+           CAST(n * n AS BIGINT) AS rog2_den,
+           CAST(CAST(n * sxx - sx * sx + n * syy - sy * sy AS BIGINT)
+                AS DOUBLE) / CAST(CAST(n * n AS BIGINT) AS DOUBLE) AS rog2
+    FROM g ORDER BY user_id
+    """
+
+
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track statistics over (ts, event_id)-ordered events:
     window + aggregation on the SAME key, so Spark plans ONE Exchange
@@ -3744,6 +3800,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     # per-user track stats (meter-quantized haversine legs, one Exchange)
     "traj_stats": q_traj_stats,
+    # per-user radius of gyration (exact mean-squared-deviation fraction)
+    "radius_gyration": q_radius_gyration,
     # stay-point detection (stop/move segmentation, integer centroids)
     "stay_points": q_stay_points,
     # time-grid resampling: exact integer gap-fill interpolation
@@ -3878,6 +3936,7 @@ ORACLES = {
     "event_sessions": SESS.sql_event_sessions(),
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
+    "radius_gyration": sql_radius_gyration(),
     "stay_points": sql_stay_points(),
     "traj_interp": sql_traj_interp(),
     "heading_mix": sql_heading_mix(),
