@@ -3679,3 +3679,35 @@ def test_radius_gyration_exact_fraction(spark):
         assert r.n_points == n
         assert Fraction(r.rog2_num, r.rog2_den) == rog2
         assert r.rog2 == r.rog2_num / r.rog2_den
+
+
+# --- OD flow lift (round 5) --------------------------------------------------
+
+def test_od_lift_margins_and_fraction(spark):
+    """Lift equals obs*grand/(row*col) recomputed from the flow matrix;
+    margins sum back to the grand total; same-cell diagonal rows keep
+    their lift."""
+    import zellige_spark.queries as Q
+
+    flows = {(r.o_x, r.o_y, r.d_x, r.d_y): r.n_trips
+             for r in Q.q_od_flows(spark, SF).collect()}
+    out = {(r.o_x, r.o_y, r.d_x, r.d_y): r
+           for r in Q.q_od_lift(spark, SF).collect()}
+    assert set(flows) == set(out)
+    grand = sum(flows.values())
+    om, dm = {}, {}
+    for (ox, oy, dx, dy), n in flows.items():
+        om[(ox, oy)] = om.get((ox, oy), 0) + n
+        dm[(dx, dy)] = dm.get((dx, dy), 0) + n
+    diag = 0
+    for k, n in flows.items():
+        r = out[k]
+        o_t, d_t = om[(k[0], k[1])], dm[(k[2], k[3])]
+        assert (r.n_trips, r.o_total, r.d_total, r.grand) == (
+            n, o_t, d_t, grand)
+        assert (r.lift_num, r.lift_den) == (n * grand, o_t * d_t)
+        assert r.lift == (n * grand) / (o_t * d_t)
+        if (k[0], k[1]) == (k[2], k[3]):
+            diag += 1
+    assert diag > 0, "no stay-home diagonal rows in the matrix"
+    assert sum(om.values()) == grand == sum(dm.values())

@@ -3035,6 +3035,71 @@ def sql_radius_gyration() -> str:
     """
 
 
+def q_od_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow independence lift (gravity-model residuals) over the z2 OD
+    matrix: per directed cell pair, lift = observed * grand_total /
+    (origin_total * dest_total) — >1 means the corridor carries more
+    trips than independent origin/destination popularity predicts.
+    The numerator (obs * grand) and denominator (row * col) are EXACT
+    int64; one division.
+
+    Scale shape: runs entirely on the grid-bounded flow matrix (the
+    raw-event reduction is `od_flows`); margins are two tiny aggs
+    broadcast back onto the flows."""
+    from .operators import flows as FLW
+
+    flows = FLW.od_flows(_event_points(spark, sf_dir), OD_ZOOM)
+    om = flows.groupBy("o_x", "o_y").agg(F.sum("n_trips").alias("o_total"))
+    dm = flows.groupBy("d_x", "d_y").agg(F.sum("n_trips").alias("d_total"))
+    gt = flows.agg(F.sum("n_trips").alias("grand"))
+    out = (flows.join(F.broadcast(om), ["o_x", "o_y"])
+                .join(F.broadcast(dm), ["d_x", "d_y"])
+                .join(F.broadcast(gt)))
+    num = F.col("n_trips") * F.col("grand")
+    den = F.col("o_total") * F.col("d_total")
+    return (out.select(
+        F.col("o_x").cast("long").alias("o_x"),
+        F.col("o_y").cast("long").alias("o_y"),
+        F.col("d_x").cast("long").alias("d_x"),
+        F.col("d_y").cast("long").alias("d_y"),
+        F.col("n_trips").cast("long").alias("n_trips"),
+        F.col("o_total").cast("long").alias("o_total"),
+        F.col("d_total").cast("long").alias("d_total"),
+        F.col("grand").cast("long").alias("grand"),
+        num.cast("long").alias("lift_num"),
+        den.cast("long").alias("lift_den"),
+        (num.cast("double") / den.cast("double")).alias("lift"))
+        .orderBy("o_x", "o_y", "d_x", "d_y"))
+
+
+def sql_od_lift() -> str:
+    base = sql_od_flows()
+    chain = base[:base.index("SELECT * FROM flows")]
+    return f"""{chain}, om AS (
+      SELECT o_x, o_y, CAST(SUM(n_trips) AS BIGINT) AS o_total
+      FROM flows GROUP BY o_x, o_y
+    ), dm AS (
+      SELECT d_x, d_y, CAST(SUM(n_trips) AS BIGINT) AS d_total
+      FROM flows GROUP BY d_x, d_y
+    ), gt AS (
+      SELECT CAST(SUM(n_trips) AS BIGINT) AS grand FROM flows
+    )
+    SELECT f.o_x, f.o_y, f.d_x, f.d_y,
+           CAST(f.n_trips AS BIGINT) AS n_trips,
+           om.o_total, dm.d_total, gt.grand,
+           CAST(f.n_trips * gt.grand AS BIGINT) AS lift_num,
+           CAST(om.o_total * dm.d_total AS BIGINT) AS lift_den,
+           CAST(CAST(f.n_trips * gt.grand AS BIGINT) AS DOUBLE)
+             / CAST(CAST(om.o_total * dm.d_total AS BIGINT) AS DOUBLE)
+               AS lift
+    FROM flows f
+    JOIN om ON f.o_x = om.o_x AND f.o_y = om.o_y
+    JOIN dm ON f.d_x = dm.d_x AND f.d_y = dm.d_y
+    CROSS JOIN gt
+    ORDER BY f.o_x, f.o_y, f.d_x, f.d_y
+    """
+
+
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track statistics over (ts, event_id)-ordered events:
     window + aggregation on the SAME key, so Spark plans ONE Exchange
@@ -3232,10 +3297,12 @@ def sql_od_flows() -> str:
     ), cells AS (
       SELECT user_id, {otx} AS o_x, {oty} AS o_y, {dtx} AS d_x, {dty} AS d_y
       FROM proj
+    ), flows AS (
+      SELECT o_x, o_y, d_x, d_y, COUNT(*) AS n_trips,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM cells GROUP BY o_x, o_y, d_x, d_y
     )
-    SELECT o_x, o_y, d_x, d_y, COUNT(*) AS n_trips,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM cells GROUP BY o_x, o_y, d_x, d_y
+    SELECT * FROM flows
     ORDER BY o_x, o_y, d_x, d_y
     """
 
@@ -3802,6 +3869,8 @@ QUERIES = {
     "traj_stats": q_traj_stats,
     # per-user radius of gyration (exact mean-squared-deviation fraction)
     "radius_gyration": q_radius_gyration,
+    # gravity-model independence lift over the OD flow matrix
+    "od_lift": q_od_lift,
     # stay-point detection (stop/move segmentation, integer centroids)
     "stay_points": q_stay_points,
     # time-grid resampling: exact integer gap-fill interpolation
@@ -3937,6 +4006,7 @@ ORACLES = {
     "asof_join": sql_asof_join(),
     "traj_stats": sql_traj_stats(),
     "radius_gyration": sql_radius_gyration(),
+    "od_lift": sql_od_lift(),
     "stay_points": sql_stay_points(),
     "traj_interp": sql_traj_interp(),
     "heading_mix": sql_heading_mix(),
