@@ -3711,3 +3711,32 @@ def test_od_lift_margins_and_fraction(spark):
             diag += 1
     assert diag > 0, "no stay-home diagonal rows in the matrix"
     assert sum(om.values()) == grand == sum(dm.values())
+
+
+# --- visitation profile (round 5) --------------------------------------------
+
+def test_visit_profile_brute_equality(spark):
+    """Visitation profile equals the brute per-user recompute: distinct
+    cells, ping totals, (count desc, cell asc) top-cell tie-break, and
+    the exact top-share fraction."""
+    import zellige_spark.queries as Q
+
+    out = {r.user_id: r for r in Q.q_visit_profile(spark, SF).collect()}
+    pts = Q._event_points(spark, SF)
+    side = 1 << Q.VISIT_ZOOM
+    rows = (Q.T.assign_tiles(pts, [Q.VISIT_ZOOM])
+            .selectExpr("user_id", f"tile_x * {side} + tile_y AS cell")
+            .collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, {}).setdefault(r.cell, 0)
+        by_user[r.user_id][r.cell] += 1
+    assert set(by_user) == set(out)
+    for u, cells in by_user.items():
+        r = out[u]
+        n_pings = sum(cells.values())
+        top_cell, top_visits = min(cells.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+        assert (r.n_cells, r.n_pings) == (len(cells), n_pings)
+        assert (r.top_cell, r.top_visits) == (top_cell, top_visits)
+        assert r.top_share == top_visits / n_pings

@@ -3100,6 +3100,74 @@ def sql_od_lift() -> str:
     """
 
 
+VISIT_ZOOM = 4
+
+
+def q_visit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user visitation profile (the mobility literature's S and
+    f_1: Song et al. limits-of-predictability inputs): distinct z4
+    cells visited, total pings, the most-visited cell with a
+    deterministic (count desc, cell asc) tie-break, and its exact
+    visit share top_num/top_den (one division).
+
+    Scale shape: one Exchange into (user, cell) counts (partial agg),
+    then a user-keyed fold over the bounded per-user cell set — the
+    same two-level reduce as tile_diversity, keyed by user instead of
+    tile."""
+    pts = _event_points(spark, sf_dir)
+    a = T.assign_tiles(pts, [VISIT_ZOOM]).select(
+        "user_id", "tile_x", "tile_y")
+    side = 1 << VISIT_ZOOM
+    cnt = (a.groupBy("user_id", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cell", F.col("tile_x") * side + F.col("tile_y")))
+    per_user = cnt.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cnt").alias("n_pings"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("cell").alias("cell"))).alias("top"))
+    return (per_user.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_pings").cast("long").alias("n_pings"),
+        F.col("top.cell").cast("long").alias("top_cell"),
+        (-F.col("top.neg")).cast("long").alias("top_visits"),
+        ((-F.col("top.neg")).cast("double")
+         / F.col("n_pings").cast("double")).alias("top_share"))
+        .orderBy("user_id"))
+
+
+def sql_visit_profile() -> str:
+    tx, ty = _sql_tile(str(VISIT_ZOOM))
+    side = 1 << VISIT_ZOOM
+    return f"""
+    WITH pts AS (
+      SELECT user_id, {EVT_LON} AS lon, {EVT_LAT} AS lat FROM events
+    ), proj AS (
+      SELECT user_id, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), cnt AS (
+      SELECT user_id, {tx} * {side} + {ty} AS cell, COUNT(*) AS cnt
+      FROM proj GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, cell, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, cell ASC) AS rn
+      FROM cnt
+    ), per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(cnt) AS BIGINT) AS n_pings
+      FROM cnt GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_cells, p.n_pings,
+           CAST(r.cell AS BIGINT) AS top_cell,
+           CAST(r.cnt AS BIGINT) AS top_visits,
+           CAST(CAST(r.cnt AS BIGINT) AS DOUBLE)
+             / CAST(p.n_pings AS DOUBLE) AS top_share
+    FROM per_user p JOIN ranked r ON p.user_id = r.user_id AND r.rn = 1
+    ORDER BY p.user_id
+    """
+
+
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track statistics over (ts, event_id)-ordered events:
     window + aggregation on the SAME key, so Spark plans ONE Exchange
@@ -3871,6 +3939,8 @@ QUERIES = {
     "radius_gyration": q_radius_gyration,
     # gravity-model independence lift over the OD flow matrix
     "od_lift": q_od_lift,
+    # per-user visitation profile (distinct cells, top cell + share)
+    "visit_profile": q_visit_profile,
     # stay-point detection (stop/move segmentation, integer centroids)
     "stay_points": q_stay_points,
     # time-grid resampling: exact integer gap-fill interpolation
@@ -4007,6 +4077,7 @@ ORACLES = {
     "traj_stats": sql_traj_stats(),
     "radius_gyration": sql_radius_gyration(),
     "od_lift": sql_od_lift(),
+    "visit_profile": sql_visit_profile(),
     "stay_points": sql_stay_points(),
     "traj_interp": sql_traj_interp(),
     "heading_mix": sql_heading_mix(),
