@@ -1973,6 +1973,272 @@ def sql_local_moran() -> str:
     """
 
 
+def _sql_lattice_cells() -> str:
+    """Shared oracle CTE chain ending in ``cells`` (cell_x, cell_y,
+    n_pts over the FULL MORAN_GRID lattice, empty cells included) —
+    the DuckDB twin of ``autocorr.lattice_cells`` on the synthetic
+    integer-millidegree customer points."""
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    counts AS (
+      SELECT x // {cw} AS cell_x, y // {ch} AS cell_y, COUNT(*) AS n_pts
+      FROM p GROUP BY 1, 2
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    cells AS (
+      SELECT s.cell_x, s.cell_y, COALESCE(c.n_pts, 0) AS n_pts
+      FROM skel s LEFT JOIN counts c USING (cell_x, cell_y)
+    )"""
+
+
+_SQL_QUEEN8 = ("(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),"
+               "(1,-1),(1,0),(1,1)) AS o(dx, dy)")
+_SQL_QUEEN9 = ("(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+               "(1,-1),(1,0),(1,1)) AS o(dx, dy)")
+
+
+def _lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic integer-millidegree point cloud every lattice
+    statistic runs on (same generator as `local_moran`)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+
+
+def q_global_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I + Geary's C over the per-cell counts, one row
+    of exact-integer fractions (`autocorr.global_autocorr`): the
+    study-area-wide "is activity spatially clustered?" yes/no the
+    per-cell LISA (`local_moran`) localizes."""
+    from .operators import autocorr as AC
+
+    return AC.global_autocorr(_lattice_points(spark, sf_dir), MORAN_GRID)
+
+
+def sql_global_autocorr() -> str:
+    g = MORAN_GRID
+    n = g * g
+    return _sql_lattice_cells() + f""",
+    gstats AS (
+      SELECT SUM(n_pts) AS s, SUM(n_pts * n_pts) AS sq FROM cells
+    ),
+    dev AS (
+      SELECT cell_x, cell_y, n_pts, s, {n} * n_pts - s AS d
+      FROM cells, gstats
+    ),
+    recv AS (
+      SELECT (c.cell_x + o.dx + {g}) % {g} AS cell_x,
+             c.cell_y + o.dy AS cell_y,
+             COUNT(*) AS w_i, SUM(c.n_pts) AS sx_j,
+             SUM(c.n_pts * c.n_pts) AS sxx_j
+      FROM cells c CROSS JOIN {_SQL_QUEEN8}
+      WHERE c.cell_y + o.dy BETWEEN 0 AND {g - 1}
+      GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT d.s, r.w_i,
+             d.d * ({n} * r.sx_j - r.w_i * d.s) AS cross_i,
+             d.d * d.d AS dsq,
+             r.w_i * d.n_pts * d.n_pts - 2 * d.n_pts * r.sx_j + r.sxx_j
+               AS g_i
+      FROM dev d JOIN recv r USING (cell_x, cell_y)
+    ),
+    a AS (
+      SELECT MAX(s) AS s, SUM(w_i) AS w, SUM(cross_i) AS crs,
+             SUM(dsq) AS ssd, SUM(g_i) AS gsum
+      FROM pc
+    )
+    SELECT CAST({n} AS BIGINT) AS n_cells,
+           CAST(s AS BIGINT) AS n_points,
+           CAST(w AS BIGINT) AS w_joins,
+           CAST({n} * crs AS BIGINT) AS i_num,
+           CAST(w * ssd AS BIGINT) AS i_den,
+           CASE WHEN w * ssd = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST({n} * crs AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(w * ssd AS BIGINT) AS DOUBLE)
+           END AS moran_i,
+           CAST({(n - 1) * n * n} * gsum AS BIGINT) AS c_num,
+           CAST(2 * w * ssd AS BIGINT) AS c_den,
+           CASE WHEN 2 * w * ssd = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST({(n - 1) * n * n} * gsum AS BIGINT)
+                          AS DOUBLE)
+                   / CAST(CAST(2 * w * ssd AS BIGINT) AS DOUBLE)
+           END AS geary_c
+    FROM a
+    """
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot z-surface per lattice cell, exact
+    squared fraction + one correctly-rounded sqrt
+    (`autocorr.getis_ord`) — the statistical upgrade of
+    `hotspot_clusters` thresholding."""
+    from .operators import autocorr as AC
+
+    return (AC.getis_ord(_lattice_points(spark, sf_dir), MORAN_GRID)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_getis_ord() -> str:
+    g = MORAN_GRID
+    n = g * g
+    return _sql_lattice_cells() + f""",
+    gstats AS (
+      SELECT SUM(n_pts) AS s, SUM(n_pts * n_pts) AS sq FROM cells
+    ),
+    recv AS (
+      SELECT (c.cell_x + o.dx + {g}) % {g} AS cell_x,
+             c.cell_y + o.dy AS cell_y,
+             COUNT(*) AS w_i, SUM(c.n_pts) AS l_i
+      FROM cells c CROSS JOIN {_SQL_QUEEN9}
+      WHERE c.cell_y + o.dy BETWEEN 0 AND {g - 1}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.cell_x AS BIGINT) AS cell_x,
+           CAST(c.cell_y AS BIGINT) AS cell_y,
+           CAST(c.n_pts AS BIGINT) AS n_pts,
+           CAST(r.w_i AS BIGINT) AS w_i,
+           CAST(r.l_i AS BIGINT) AS l_i,
+           CAST({n} * r.l_i - r.w_i * gl.s AS BIGINT) AS gi_num,
+           CAST(({n} * r.l_i - r.w_i * gl.s)
+                * ({n} * r.l_i - r.w_i * gl.s) * {n - 1} AS BIGINT)
+             AS gi2_num,
+           CAST(({n} * gl.sq - gl.s * gl.s)
+                * ({n} * r.w_i - r.w_i * r.w_i) AS BIGINT) AS gi2_den,
+           CASE WHEN ({n} * gl.sq - gl.s * gl.s)
+                     * ({n} * r.w_i - r.w_i * r.w_i) = 0
+                THEN CAST(0 AS DOUBLE)
+                WHEN {n} * r.l_i - r.w_i * gl.s < 0
+                THEN -sqrt(CAST(CAST(({n} * r.l_i - r.w_i * gl.s)
+                                     * ({n} * r.l_i - r.w_i * gl.s)
+                                     * {n - 1} AS BIGINT) AS DOUBLE)
+                           / CAST(CAST(({n} * gl.sq - gl.s * gl.s)
+                                       * ({n} * r.w_i - r.w_i * r.w_i)
+                                       AS BIGINT) AS DOUBLE))
+                ELSE sqrt(CAST(CAST(({n} * r.l_i - r.w_i * gl.s)
+                                    * ({n} * r.l_i - r.w_i * gl.s)
+                                    * {n - 1} AS BIGINT) AS DOUBLE)
+                          / CAST(CAST(({n} * gl.sq - gl.s * gl.s)
+                                      * ({n} * r.w_i - r.w_i * r.w_i)
+                                      AS BIGINT) AS DOUBLE))
+           END AS gi_star
+    FROM cells c JOIN recv r USING (cell_x, cell_y)
+    CROSS JOIN gstats gl
+    ORDER BY cell_x, cell_y
+    """
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff-Ord binary join-count statistics (occupied vs empty
+    cells) with exact nonfree-sampling expectations, one row
+    (`autocorr.join_counts`)."""
+    from .operators import autocorr as AC
+
+    return AC.join_counts(_lattice_points(spark, sf_dir), MORAN_GRID)
+
+
+def sql_join_counts() -> str:
+    g = MORAN_GRID
+    n = g * g
+    return _sql_lattice_cells() + f""",
+    c2 AS (
+      SELECT cell_x, cell_y, cell_x * {g} + cell_y AS key,
+             CASE WHEN n_pts >= 1 THEN 1 ELSE 0 END AS b
+      FROM cells
+    ),
+    nbr AS (
+      SELECT c.key, c.b,
+             ((c.cell_x + o.dx + {g}) % {g}) * {g} + (c.cell_y + o.dy)
+               AS nkey
+      FROM c2 c CROSS JOIN {_SQL_QUEEN8}
+      WHERE c.cell_y + o.dy BETWEEN 0 AND {g - 1}
+    ),
+    pairs AS (
+      SELECT nb.b, c2.b AS nb_b
+      FROM nbr nb JOIN c2 ON c2.key = nb.nkey
+      WHERE nb.key < nb.nkey
+    ),
+    marks AS (SELECT SUM(b) AS n_black FROM c2),
+    a AS (
+      SELECT COUNT(*) AS j, SUM(b * nb_b) AS bb,
+             SUM((1 - b) * (1 - nb_b)) AS ww
+      FROM pairs
+    )
+    SELECT CAST({n} AS BIGINT) AS n_cells,
+           CAST(n_black AS BIGINT) AS n_black,
+           CAST(j AS BIGINT) AS n_joins,
+           CAST(bb AS BIGINT) AS bb,
+           CAST(j - bb - ww AS BIGINT) AS bw,
+           CAST(ww AS BIGINT) AS ww,
+           CAST(j * n_black * (n_black - 1) AS BIGINT) AS ebb_num,
+           CAST(2 * j * n_black * ({n} - n_black) AS BIGINT) AS ebw_num,
+           CAST(j * ({n} - n_black) * ({n} - n_black - 1) AS BIGINT)
+             AS eww_num,
+           CAST({n * (n - 1)} AS BIGINT) AS e_den,
+           CAST(CAST(j * n_black * (n_black - 1) AS BIGINT) AS DOUBLE)
+             / CAST({n * (n - 1)} AS DOUBLE) AS e_bb,
+           CAST(CAST(2 * j * n_black * ({n} - n_black) AS BIGINT)
+                AS DOUBLE) / CAST({n * (n - 1)} AS DOUBLE) AS e_bw,
+           CAST(CAST(j * ({n} - n_black) * ({n} - n_black - 1)
+                     AS BIGINT) AS DOUBLE) / CAST({n * (n - 1)} AS DOUBLE) AS e_ww
+    FROM a, marks
+    """
+
+
+VGRAM_R2 = 16  # semivariogram max squared lag (4 cells; < grid/2 wrap bound)
+
+
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of per-cell counts by exact squared
+    lag — the spatial-continuity ladder kriging starts from
+    (`autocorr.semivariogram`)."""
+    from .operators import autocorr as AC
+
+    return AC.semivariogram(_lattice_points(spark, sf_dir), MORAN_GRID,
+                            VGRAM_R2)
+
+
+def sql_semivariogram() -> str:
+    from .operators.autocorr import variogram_offsets
+
+    g = MORAN_GRID
+    offs = ",".join(f"({dx},{dy},{h2})"
+                    for dx, dy, h2 in variogram_offsets(VGRAM_R2))
+    return _sql_lattice_cells() + f""",
+    offs(dx, dy, h2) AS (VALUES {offs}),
+    sent AS (
+      SELECT c.n_pts AS z_a, o.h2,
+             (c.cell_x + o.dx + {g}) % {g} AS cell_x,
+             c.cell_y + o.dy AS cell_y
+      FROM cells c CROSS JOIN offs o
+      WHERE c.cell_y + o.dy BETWEEN 0 AND {g - 1}
+    )
+    SELECT CAST(s.h2 AS BIGINT) AS h2,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((s.z_a - c.n_pts) * (s.z_a - c.n_pts)) AS BIGINT)
+             AS gamma_num,
+           CAST(2 * COUNT(*) AS BIGINT) AS gamma_den,
+           CAST(CAST(SUM((s.z_a - c.n_pts) * (s.z_a - c.n_pts))
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(2 * COUNT(*) AS BIGINT) AS DOUBLE) AS gamma
+    FROM sent s JOIN cells c USING (cell_x, cell_y)
+    GROUP BY s.h2
+    ORDER BY h2
+    """
+
+
 def _sql_hotspot_labeled() -> str:
     """Shared CTE chain ending in ``labeled`` (tile_x, tile_y, n_pts,
     cluster) — the recursive-closure oracle both hotspot queries
@@ -3862,6 +4128,14 @@ QUERIES = {
     "hotspot_stats": q_hotspot_stats,
     # local spatial autocorrelation (Anselin LISA, exact-integer core)
     "local_moran": q_local_moran,
+    # global Moran's I + Geary's C (one-row exact fractions)
+    "global_autocorr": q_global_autocorr,
+    # Getis-Ord Gi* hot/cold-spot z-surface (exact squared fraction)
+    "getis_ord": q_getis_ord,
+    # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
+    "join_counts": q_join_counts,
+    # empirical semivariogram ladder by exact squared lag
+    "semivariogram": q_semivariogram,
     # Ripley's K point-pattern ladder (one halo join serves all radii)
     "ripley_k": q_ripley_k,
     # nearest-neighbor distance CDF (Diggle's G, right-censored ladder)
@@ -4036,6 +4310,10 @@ ORACLES = {
     "hotspot_clusters": sql_hotspot_clusters(),
     "hotspot_stats": sql_hotspot_stats(),
     "local_moran": sql_local_moran(),
+    "global_autocorr": sql_global_autocorr(),
+    "getis_ord": sql_getis_ord(),
+    "join_counts": sql_join_counts(),
+    "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
     "g_function": sql_g_function(),
     "f_function": sql_f_function(),
