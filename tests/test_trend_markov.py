@@ -1,0 +1,148 @@
+"""Mann-Kendall per-tile trend (`queries.q_mann_kendall`) and the
+first-order Markov tile-transition matrix
+(`operators/flows.py::tile_transitions`) vs independent Python brute
+recomputes, plus degenerate/handcrafted semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """S, the tie-corrected variance bracket, and the continuity-
+    corrected z all equal the textbook recompute per tile."""
+    import math
+
+    import zellige_spark.queries as Q
+
+    out = {(r.tile_x, r.tile_y): r
+           for r in Q.q_mann_kendall(spark, SF).collect()}
+    assert out, "no tiles"
+    pts = Q._customer_points(spark, SF)
+    tiled = Q.T.assign_tiles(pts, [Q.TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = (orders.join(tiled, orders.o_custkey == tiled.c_custkey)
+            .selectExpr("tile_x", "tile_y",
+                        "year(o_orderdate) * 12 + month(o_orderdate) AS m")
+            .collect())
+    cells = {}
+    for r in rows:
+        cells.setdefault((r.tile_x, r.tile_y), {}).setdefault(r.m, 0)
+        cells[(r.tile_x, r.tile_y)][r.m] += 1
+    assert set(cells) == set(out)
+    saw_pos = saw_neg = False
+    for k, months in cells.items():
+        ms = sorted(months)
+        ys = [months[m] for m in ms]
+        n = len(ys)
+        s = sum((yj > yi) - (yj < yi)
+                for i, yi in enumerate(ys) for yj in ys[i + 1:])
+        tie = {}
+        for y in ys:
+            tie[y] = tie.get(y, 0) + 1
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+        var_num = n * (n - 1) * (2 * n + 5) - tie_term
+        r = out[k]
+        assert (r.n_months, r.s_stat, r.var_num, r.var_den) == (
+            n, s, var_num, 18)
+        if var_num <= 0 or s == 0:
+            assert r.z_mk == 0.0
+        else:
+            corr = s - 1 if s > 0 else s + 1
+            assert r.z_mk == corr / math.sqrt(var_num / 18.0)
+        saw_pos |= r.z_mk > 0
+        saw_neg |= r.z_mk < 0
+    assert saw_pos and saw_neg  # real data shows both trend signs
+
+
+def test_mann_kendall_degenerates(spark, tmp_path):
+    """One active month -> var_num 0, z 0; two equal months -> all
+    ties, S = 0 and var_num 0 (the tie term swallows the bracket)."""
+    import zellige_spark.queries as Q
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").limit(1)
+    sf = str(tmp_path)
+    cust.coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    key = cust.collect()[0].c_custkey
+    orders = spark.createDataFrame(
+        [(1, key, datetime.date(2024, 3, 5)),
+         (2, key, datetime.date(2024, 4, 5))],
+        "o_orderkey long, o_custkey long, o_orderdate date")
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    rows = Q.q_mann_kendall(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # two months, one order each: tied pair -> S=0; n=2 bracket 18,
+    # tie group t=2 contributes 2*1*9=18 -> var_num 0
+    assert (r.n_months, r.s_stat, r.var_num, r.z_mk) == (2, 0, 0, 0.0)
+
+
+def test_tile_transitions_handcrafted(spark):
+    """Two users walking known z1-cell sequences produce exactly the
+    expected counts, probabilities, and next-cell ranks (self loop
+    kept; rank ties broken by (to_x, to_y))."""
+    from zellige_spark.operators import flows as FLW
+
+    # lon centers of z1 cells: west ~ -90 (cx=0), east ~ +90 (cx=1)
+    rows = []
+    seq_a = [(-90, 0), (90, 0), (-90, 0), (-90, 0)]   # 0->1,1->0,0->0
+    seq_b = [(90, 0), (-90, 0)]                       # 1->0
+    for i, (lon, lat) in enumerate(seq_a):
+        rows.append((1, i, datetime.datetime(2024, 1, 1, 0, i),
+                     float(lon), float(lat)))
+    for i, (lon, lat) in enumerate(seq_b):
+        rows.append((2, i, datetime.datetime(2024, 1, 1, 0, i),
+                     float(lon), float(lat)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon double,"
+              " lat double")
+    out = {(r.from_x, r.from_y, r.to_x, r.to_y): r
+           for r in FLW.tile_transitions(df, 1).collect()}
+    # y cell at lat=0 for z1 is 0 (upper half) boundary: compute from keys
+    ys = {k[1] for k in out}
+    assert len(ys) == 1
+    y = ys.pop()
+    a = out[(0, y, 1, y)]
+    assert (a.n_trans, a.n_from) == (1, 2)
+    assert a.p == 0.5
+    b = out[(0, y, 0, y)]
+    assert (b.n_trans, b.n_from, b.p) == (1, 2, 0.5)
+    # tie on n_trans within origin 0: rank 1 goes to the lower to_x
+    assert b.rank == 1 and a.rank == 2
+    c = out[(1, y, 0, y)]
+    assert (c.n_trans, c.n_from, c.p, c.rank) == (2, 2, 1.0, 1)
+    assert sum(1 for _ in out) == 3
+
+
+def test_tile_transitions_single_entity_exchange(spark):
+    """The raw events feed exactly one entity-keyed window Exchange;
+    the rank/total windows run on the grid-bounded transition matrix
+    (partition key from_x/from_y, not the raw entity)."""
+    import zellige_spark.queries as Q
+
+    df = Q.q_tile_transitions(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert plan.count("hashpartitioning(ent") <= 2  # lead window + agg
+    assert "CartesianProduct" not in plan
+    # probabilities sum to 1 per origin
+    rows = df.collect()
+    from collections import defaultdict
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    nfrom = {}
+    for r in rows:
+        tot[(r.from_x, r.from_y)] += r.n_trans
+        cnt[(r.from_x, r.from_y)] += 1
+        nfrom[(r.from_x, r.from_y)] = r.n_from
+    for k in tot:
+        assert tot[k] == nfrom[k]
+    # ranks are 1..k per origin
+    ranks = defaultdict(set)
+    for r in rows:
+        ranks[(r.from_x, r.from_y)].add(r.rank)
+    for k, s in ranks.items():
+        assert s == set(range(1, cnt[k] + 1))

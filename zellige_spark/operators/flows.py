@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import tiles as T
 
-__all__ = ["od_trips", "od_flows"]
+__all__ = ["od_trips", "od_flows", "tile_transitions"]
 
 
 def od_trips(df: DataFrame, entity_col: str = "user_id",
@@ -64,3 +64,57 @@ def od_flows(df: DataFrame, zoom: int, entity_col: str = "user_id",
             .groupBy("o_x", "o_y", "d_x", "d_y")
             .agg(F.count(F.lit(1)).alias("n_trips"),
                  F.countDistinct(entity_col).alias("n_users")))
+
+
+def tile_transitions(df: DataFrame, zoom: int,
+                     entity_col: str = "user_id",
+                     ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix between tile cells: every
+    consecutive event pair per entity (in (ts, id) total order) is one
+    transition; per directed (from, to) cell pair report the count,
+    the origin total, the transition probability (ONE correctly-
+    rounded long->double division of exact counts), and the
+    deterministic rank among the origin's successors (n_trans DESC,
+    to_x, to_y — rank 1 is the next-cell prediction).  Self loops are
+    kept: the diagonal is the stay probability.
+
+    Scale plan: the consecutive-pair semantics force ONE window
+    Exchange on the entity key (lead over (ts, id)); the tile math is
+    pure Column 3857 codegen map-side of it, and the transition count
+    is a partial-agg'd groupBy over the four tile coordinates.  The
+    per-origin totals and ranks run on the transition matrix itself —
+    bounded by 4^(2*zoom) rows however many raw events there are."""
+    from pyspark.sql.window import Window
+
+    z = F.lit(zoom)
+    tx, ty = T.tile_xy(T.x3857(F.col("lon")), T.y3857(F.col("lat")), z)
+    cells = df.select(F.col(entity_col).alias("ent"),
+                      F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+                      tx.alias("cx"), ty.alias("cy"))
+    trans = (cells
+             .select("ent", "ts", "id", "cx", "cy",
+                     F.lead("cx").over(
+                         Window.partitionBy("ent").orderBy("ts", "id"))
+                     .alias("nx"),
+                     F.lead("cy").over(
+                         Window.partitionBy("ent").orderBy("ts", "id"))
+                     .alias("ny"))
+             .filter(F.col("nx").isNotNull())
+             .groupBy(F.col("cx").alias("from_x"),
+                      F.col("cy").alias("from_y"),
+                      F.col("nx").alias("to_x"),
+                      F.col("ny").alias("to_y"))
+             .agg(F.count(F.lit(1)).alias("n_trans")))
+    totals = (trans.groupBy("from_x", "from_y")
+              .agg(F.sum("n_trans").alias("n_from")))
+    wr = Window.partitionBy("from_x", "from_y").orderBy(
+        F.col("n_trans").desc(), F.col("to_x"), F.col("to_y"))
+    return (trans.join(totals, ["from_x", "from_y"])
+            .withColumn("rank", F.row_number().over(wr))
+            .select("from_x", "from_y", "to_x", "to_y",
+                    F.col("n_trans").cast("long").alias("n_trans"),
+                    F.col("n_from").cast("long").alias("n_from"),
+                    (F.col("n_trans").cast("double")
+                     / F.col("n_from").cast("double")).alias("p"),
+                    F.col("rank").cast("int").alias("rank")))

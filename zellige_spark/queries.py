@@ -703,6 +703,135 @@ def sql_tile_trend() -> str:
     """
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile Mann-Kendall trend test over monthly order counts —
+    the nonparametric robust-trend statistic behind "emerging hotspot
+    analysis" (Hamed/ArcGIS practice; complements `tile_trend`'s OLS
+    slope with a rank-based S that ignores outlier months).
+
+    S = sum over month pairs i<j of sign(y_j - y_i) — EXACT int64;
+    Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 carried as the
+    exact integer bracket over var_den=18; the z-score (continuity-
+    corrected) is division + IEEE sqrt + division of exact ints —
+    correctly rounded at every step, hash-exact on both engines.
+
+    Scale shape: identical to tile_trend until `cells` (facts shuffle
+    once onto the join key, once into (tile, month)); the month-pair
+    self-join and tie groups run on the grid-bounded cell table
+    (<= #months rows per tile)."""
+    pts = _customer_points(spark, sf_dir)
+    tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"))
+    j = orders.join(tiled, F.col("o_custkey") == F.col("c_custkey"))
+    cells = (j.groupBy("tile_x", "tile_y", "m")
+              .agg(F.count(F.lit(1)).alias("y")))
+    a, b = cells.alias("a"), cells.alias("b")
+    sg = (F.when(F.col("b.y") > F.col("a.y"), F.lit(1))
+          .when(F.col("b.y") < F.col("a.y"), F.lit(-1))
+          .otherwise(F.lit(0)))
+    s_tbl = (a.join(b, (F.col("a.tile_x") == F.col("b.tile_x"))
+                    & (F.col("a.tile_y") == F.col("b.tile_y"))
+                    & (F.col("a.m") < F.col("b.m")))
+             .groupBy(F.col("a.tile_x").alias("tile_x"),
+                      F.col("a.tile_y").alias("tile_y"))
+             .agg(F.sum(sg).alias("s_stat")))
+    ties = (cells.groupBy("tile_x", "tile_y", "y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (F.lit(2) * F.col("t") + 5)).alias("tie_term")))
+    nm = (cells.groupBy("tile_x", "tile_y")
+          .agg(F.count(F.lit(1)).alias("n_months")))
+    per = (nm.join(s_tbl, ["tile_x", "tile_y"], "left")
+           .join(ties, ["tile_x", "tile_y"])
+           .select("tile_x", "tile_y", "n_months",
+                   F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+                   (F.col("n_months") * (F.col("n_months") - 1)
+                    * (F.lit(2) * F.col("n_months") + 5)
+                    - F.col("tie_term")).alias("var_num")))
+    sd = F.sqrt(F.col("var_num").cast("double")
+                / F.lit(18).cast("double"))
+    z = (F.when(F.col("var_num") <= 0, F.lit(0.0).cast("double"))
+         .when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double") / sd)
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1).cast("double") / sd)
+         .otherwise(F.lit(0.0).cast("double")))
+    return (per.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var_num").cast("long").alias("var_num"),
+        F.lit(18).cast("long").alias("var_den"),
+        z.alias("z_mk"))
+        .orderBy("tile_x", "tile_y"))
+
+
+def sql_mann_kendall() -> str:
+    tx, ty = _sql_tile(str(TREND_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), cells AS (
+      SELECT t.tile_x, t.tile_y,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m,
+             COUNT(*) AS y
+      FROM orders o JOIN tiled t ON o.o_custkey = t.c_custkey
+      GROUP BY 1, 2, 3
+    ), pr AS (
+      SELECT a.tile_x, a.tile_y,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+      FROM cells a JOIN cells b
+        ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y AND a.m < b.m
+    ), s_tbl AS (
+      SELECT tile_x, tile_y, SUM(sg) AS s_stat FROM pr GROUP BY 1, 2
+    ), tg AS (
+      SELECT tile_x, tile_y, y, COUNT(*) AS t FROM cells GROUP BY 1, 2, 3
+    ), ties AS (
+      SELECT tile_x, tile_y, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM tg GROUP BY 1, 2
+    ), nm AS (
+      SELECT tile_x, tile_y, COUNT(*) AS n FROM cells GROUP BY 1, 2
+    ), per AS (
+      SELECT nm.tile_x, nm.tile_y, nm.n,
+             COALESCE(s_tbl.s_stat, 0) AS s_stat,
+             nm.n * (nm.n - 1) * (2 * nm.n + 5) - ties.tie_term AS var_num
+      FROM nm LEFT JOIN s_tbl USING (tile_x, tile_y)
+      JOIN ties USING (tile_x, tile_y)
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(var_num AS BIGINT) AS var_num,
+           CAST(18 AS BIGINT) AS var_den,
+           CASE WHEN var_num <= 0 THEN CAST(0 AS DOUBLE)
+                WHEN s_stat > 0 THEN
+                  CAST(CAST(s_stat - 1 AS BIGINT) AS DOUBLE)
+                  / sqrt(CAST(CAST(var_num AS BIGINT) AS DOUBLE)
+                         / CAST(18 AS DOUBLE))
+                WHEN s_stat < 0 THEN
+                  CAST(CAST(s_stat + 1 AS BIGINT) AS DOUBLE)
+                  / sqrt(CAST(CAST(var_num AS BIGINT) AS DOUBLE)
+                         / CAST(18 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE)
+           END AS z_mk
+    FROM per
+    ORDER BY tile_x, tile_y
+    """
+
+
 DIV_ZOOM = 5
 
 
@@ -3642,6 +3771,68 @@ def sql_od_flows() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: tile_transitions — first-order Markov mobility chain at z3
+# ---------------------------------------------------------------------------
+
+MKV_ZOOM = 3
+
+
+def q_tile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between z3 tiles over
+    per-user consecutive events (`operators/flows.py::
+    tile_transitions`): counts, origin totals, ONE-division
+    probabilities, and the deterministic next-cell rank."""
+    from .operators import flows as FLW
+
+    return (FLW.tile_transitions(_event_points(spark, sf_dir), MKV_ZOOM)
+            .orderBy("from_x", "from_y", "to_x", "to_y"))
+
+
+def sql_tile_transitions() -> str:
+    z = MKV_ZOOM
+    res = f"(2.0 * {MAX_EXTENTS} / pow(2.0, {z}))"
+    last = f"(cast(pow(2.0, {z}) as bigint) - 1)"
+    tx = (f"greatest(0, least(cast(floor((x3857 + {MAX_EXTENTS})"
+          f" / {res}) as bigint), {last}))")
+    ty = (f"greatest(0, least(cast(floor(({MAX_EXTENTS} - y3857)"
+          f" / {res}) as bigint), {last}))")
+    x = f"least({R} * radians(lon), {MAX_EXTENTS})"
+    y = (f"greatest({R} * ln(tan(0.25 * pi() + 0.5 *"
+         f" radians(lat))), -{MAX_EXTENTS})")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts, {EVT_LON} AS lon, {EVT_LAT} AS lat
+      FROM events
+    ), proj AS (
+      SELECT user_id, event_id, ts, {x} AS x3857, {y} AS y3857 FROM pts
+    ), cells AS (
+      SELECT user_id, event_id, ts, {tx} AS cx, {ty} AS cy FROM proj
+    ), tr AS (
+      SELECT cx AS from_x, cy AS from_y,
+             lead(cx) OVER w AS to_x, lead(cy) OVER w AS to_y
+      FROM cells WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trans AS (
+      SELECT from_x, from_y, to_x, to_y, COUNT(*) AS n_trans
+      FROM tr WHERE to_x IS NOT NULL
+      GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT from_x, from_y, SUM(n_trans) AS n_from
+      FROM trans GROUP BY 1, 2
+    )
+    SELECT t.from_x, t.from_y, t.to_x, t.to_y,
+           CAST(t.n_trans AS BIGINT) AS n_trans,
+           CAST(n_from AS BIGINT) AS n_from,
+           CAST(t.n_trans AS DOUBLE)
+             / CAST(CAST(n_from AS BIGINT) AS DOUBLE) AS p,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY t.from_x, t.from_y
+                  ORDER BY t.n_trans DESC, t.to_x, t.to_y) AS INT) AS rank
+    FROM trans t JOIN tot USING (from_x, from_y)
+    ORDER BY from_x, from_y, to_x, to_y
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: geofence_transitions — enter/exit alerts against the test polygon
 # ---------------------------------------------------------------------------
 
@@ -4086,6 +4277,8 @@ QUERIES = {
     "tile_diversity": q_tile_diversity,
     # per-tile activity trend (exact OLS slope fraction over months)
     "tile_trend": q_tile_trend,
+    # per-tile Mann-Kendall trend (emerging-hotspot robust statistic)
+    "mann_kendall": q_mann_kendall,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
@@ -4223,6 +4416,8 @@ QUERIES = {
     "heading_mix": q_heading_mix,
     # origin-destination mobility matrix (trips reduced map-side)
     "od_flows": q_od_flows,
+    # first-order Markov tile-transition matrix (next-cell prediction)
+    "tile_transitions": q_tile_transitions,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4287,6 +4482,7 @@ ORACLES = {
     "zonal_stats": sql_zonal_stats(),
     "tile_diversity": sql_tile_diversity(),
     "tile_trend": sql_tile_trend(),
+    "mann_kendall": sql_mann_kendall(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
     "tile_topk": sql_tile_topk(),
@@ -4360,6 +4556,7 @@ ORACLES = {
     "traj_interp": sql_traj_interp(),
     "heading_mix": sql_heading_mix(),
     "od_flows": sql_od_flows(),
+    "tile_transitions": sql_tile_transitions(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
