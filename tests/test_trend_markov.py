@@ -146,3 +146,32 @@ def test_tile_transitions_single_entity_exchange(spark):
         ranks[(r.from_x, r.from_y)].add(r.rank)
     for k, s in ranks.items():
         assert s == set(range(1, cnt[k] + 1))
+
+
+def test_bigram_lift_handcrafted(spark, tmp_path):
+    """Known corpus: exact marginals, the >=BIGRAM_MIN floor, the
+    repeated-token self-bigram, and the lift fraction itself."""
+    from zellige_spark.operators import text as TXT
+
+    docs = ([(i, "x y") for i in range(5)]
+            + [(100 + i, "p q") for i in range(5)]
+            + [(200 + i, "x q") for i in range(3)]
+            + [(300 + i, "a a a") for i in range(3)]
+            + [(400, ""), (401, "solo")])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {(r.lhs, r.rhs): r
+           for r in TXT.q_bigram_lift(spark, sf).collect()}
+    # (x,q) seen 3 < 5 is floored out; empty/1-token docs contribute 0
+    assert set(out) == {("x", "y"), ("p", "q"), ("a", "a")}
+    n = 5 + 5 + 3 + 6  # total bigram instances incl. floored ones
+    xy = out[("x", "y")]
+    assert (xy.c_xy, xy.c_left, xy.c_right, xy.n_bigrams) == (5, 8, 5, n)
+    assert (xy.lift_num, xy.lift_den) == (5 * n, 8 * 5)
+    assert xy.lift == (5 * n) / (8 * 5)
+    aa = out[("a", "a")]
+    assert (aa.c_xy, aa.c_left, aa.c_right) == (6, 6, 6)
+    assert aa.lift == (6 * n) / 36
+    pq = out[("p", "q")]
+    assert (pq.c_xy, pq.c_left, pq.c_right) == (5, 5, 8)

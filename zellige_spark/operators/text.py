@@ -926,3 +926,89 @@ def sql_doc_novelty() -> str:
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     ORDER BY d.doc_id
     """
+
+
+# --- bigram collocation lift (PMI family) ----------------------------------
+
+BIGRAM_MIN = 5  # report floor: bigrams seen at least this often
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram collocations: for every adjacent word pair
+    seen >= BIGRAM_MIN times, the observed/expected ratio ("lift" —
+    the PMI argument before the log: PMI = ln(lift)) against the
+    bigram-position marginals:
+
+      lift = c_xy * N_bigrams / (c_left * c_right)
+
+    carried as the exact int64 fraction lift_num/lift_den with ONE
+    correctly-rounded division for the double (the ln is left to the
+    consumer — monotone in lift, and dropping it keeps the oracle
+    gate exact).
+
+    Scale shape: the explode touches raw rows once and partial-aggs
+    into (lhs, rhs) counts — ONE shuffle on a well-spread key; both
+    marginals and the total derive FROM the vocab^2-bounded bigram
+    table (never a second raw pass), and AQE broadcasts them when
+    small.  The split() is evaluated once per row behind a
+    nondeterministic barrier column (Catalyst project collapsing
+    would otherwise inline it per element)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select(
+        F.split(F.expr(_SQUASHED), " ").alias("t"),
+        F.monotonically_increasing_id().alias("_barrier"))
+    big = (toks.filter(F.size("t") >= 2)
+           .select("t", F.explode(F.expr("sequence(2, size(t))"))
+                   .alias("i"))
+           .select(F.expr("t[i - 2]").alias("lhs"),
+                   F.expr("t[i - 1]").alias("rhs")))
+    bg = big.groupBy("lhs", "rhs").agg(F.count(F.lit(1)).alias("c_xy"))
+    left = bg.groupBy("lhs").agg(F.sum("c_xy").alias("c_left"))
+    right = bg.groupBy("rhs").agg(F.sum("c_xy").alias("c_right"))
+    tot = bg.agg(F.sum("c_xy").alias("n_bigrams"))
+    return (bg.filter(F.col("c_xy") >= BIGRAM_MIN)
+            .join(left, "lhs").join(right, "rhs")
+            .join(F.broadcast(tot))
+            .select("lhs", "rhs",
+                    F.col("c_xy").cast("long").alias("c_xy"),
+                    F.col("c_left").cast("long").alias("c_left"),
+                    F.col("c_right").cast("long").alias("c_right"),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    (F.col("c_xy") * F.col("n_bigrams")).cast("long")
+                    .alias("lift_num"),
+                    (F.col("c_left") * F.col("c_right")).cast("long")
+                    .alias("lift_den"),
+                    ((F.col("c_xy") * F.col("n_bigrams")).cast("double")
+                     / (F.col("c_left") * F.col("c_right")).cast("double"))
+                    .alias("lift"))
+            .orderBy("lhs", "rhs"))
+
+
+def sql_bigram_lift() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT string_split({_SQUASHED}, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[i - 1] AS lhs, t[i] AS rhs
+      FROM toks, UNNEST(generate_series(2, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bg AS (SELECT lhs, rhs, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+    l AS (SELECT lhs, SUM(c_xy) AS c_left FROM bg GROUP BY 1),
+    r AS (SELECT rhs, SUM(c_xy) AS c_right FROM bg GROUP BY 1),
+    tot AS (SELECT SUM(c_xy) AS n_bigrams FROM bg)
+    SELECT bg.lhs, bg.rhs,
+           CAST(bg.c_xy AS BIGINT) AS c_xy,
+           CAST(l.c_left AS BIGINT) AS c_left,
+           CAST(r.c_right AS BIGINT) AS c_right,
+           CAST(tot.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(bg.c_xy * tot.n_bigrams AS BIGINT) AS lift_num,
+           CAST(l.c_left * r.c_right AS BIGINT) AS lift_den,
+           CAST(CAST(bg.c_xy * tot.n_bigrams AS BIGINT) AS DOUBLE)
+             / CAST(CAST(l.c_left * r.c_right AS BIGINT) AS DOUBLE)
+               AS lift
+    FROM bg JOIN l USING (lhs) JOIN r USING (rhs) CROSS JOIN tot
+    WHERE bg.c_xy >= {BIGRAM_MIN}
+    ORDER BY lhs, rhs
+    """

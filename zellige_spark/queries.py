@@ -4366,6 +4366,8 @@ QUERIES = {
     "decontaminate": TXT.q_decontaminate,
     # Heaps-law vocabulary growth ladder (term->first-doc, wide sums)
     "vocab_growth": TXT.q_vocab_growth,
+    # bigram collocation lift (exact PMI-argument fractions)
+    "bigram_lift": TXT.q_bigram_lift,
     # per-doc 3-gram novelty vs the corpus prefix (re-crawl scores ~0)
     "doc_novelty": TXT.q_doc_novelty,
     # dedup family
@@ -4530,6 +4532,7 @@ ORACLES = {
     "doc_chunks": TXT.sql_doc_chunks(),
     "decontaminate": TXT.sql_decontaminate(),
     "vocab_growth": TXT.sql_vocab_growth(),
+    "bigram_lift": TXT.sql_bigram_lift(),
     "doc_novelty": TXT.sql_doc_novelty(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
