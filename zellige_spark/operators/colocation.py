@@ -367,3 +367,92 @@ def cross_k(left: DataFrame, right: DataFrame, radii: list[int],
         "n_a", "n_b",
         ((F.lit(area) * F.col("e.n_pairs")).cast("double")
          / (F.col("n_a") * F.col("n_b")).cast("double")).alias("k_ab"))
+
+
+# --- Knox space-time interaction test -------------------------------------
+#
+# Knox (1964, public literature): are events that are close in SPACE
+# also close in TIME (disease outbreaks, aftershocks, contagion)?
+# X = pairs within ds AND dt, compared to the permutation expectation
+# E[X] = Ns * Nt / Npairs.  All four pair counts are exact integers;
+# the ratio and expectation are single correctly-rounded divisions.
+
+
+def knox_test(pts: DataFrame, ds: int, dt_s: int,
+              id_col: str = "id", x_col: str = "x",
+              y_col: str = "y", t_col: str = "es") -> DataFrame:
+    """One-row Knox statistic over integer planar points with integer
+    epoch-second timestamps.
+
+    Scale plan: the spatial count is the colocation 3x3-halo cell
+    join at cell = ds (bounded 9x explode, ONE data shuffle, exact
+    int64 disc predicate in codegen) and the space-AND-time count
+    rides the same join as a conditional sum — no second pass.  The
+    temporal count is the 1-D twin: a 3-bucket halo on t div dt_s.
+    Every unordered pair is generated exactly once per join (the
+    left side's halo meets the right side's center bucket once).
+    Expectation and ratio are exact int64 fractions (|Ns*Nt| needs
+    < 2^63 — holds through ~3e9 close pairs per margin; beyond that
+    move to DECIMAL(38) per map_snap)."""
+    ds2 = ds * ds
+    base = pts.select(F.col(id_col).alias("id"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(t_col).cast("long").alias("es"))
+    center = base.select(
+        "id", "x", "y", "es",
+        F.expr(f"((x div {ds}) + {_OFF}) * {_SHIFT}"
+               f" + ((y div {ds}) + {_OFF})").alias("ck"))
+    halo = base.select(
+        "id", "x", "y", "es",
+        F.explode(F.expr(
+            f"transform(sequence(0, 8), d -> "
+            f"((x div {ds}) + (d div 3) - 1 + {_OFF}) * {_SHIFT}"
+            f" + ((y div {ds}) + (d % 3) - 1 + {_OFF}))")).alias("ck"))
+    l = halo.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"), F.col("es").alias("ta"), "ck")
+    r = center.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                      F.col("y").alias("yb"), F.col("es").alias("tb"), "ck")
+    sp = (l.join(r, "ck")
+          .filter((F.col("ia") < F.col("ib"))
+                  & (((F.col("xa") - F.col("xb"))
+                      * (F.col("xa") - F.col("xb"))
+                      + (F.col("ya") - F.col("yb"))
+                      * (F.col("ya") - F.col("yb"))) <= F.lit(ds2)))
+          .agg(F.count(F.lit(1)).alias("n_space"),
+               F.sum(
+                   (F.abs(F.col("ta") - F.col("tb")) <= dt_s)
+                   .cast("long")).alias("n_both")))
+    tc = base.select(F.col("id").alias("ib"), F.col("es").alias("tb"),
+                     F.expr(f"es div {dt_s}").alias("tk"))
+    th = base.select(F.col("id").alias("ia"), F.col("es").alias("ta"),
+                     F.explode(F.expr(
+                         f"array(es div {dt_s} - 1, es div {dt_s},"
+                         f" es div {dt_s} + 1)")).alias("tk"))
+    tp = (th.join(tc, "tk")
+          .filter((F.col("ia") < F.col("ib"))
+                  & (F.abs(F.col("ta") - F.col("tb")) <= dt_s))
+          .agg(F.count(F.lit(1)).alias("n_time")))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    ex_num = F.col("n_space") * F.col("n_time")
+    ex_den = F.expr("n * (n - 1) div 2")
+    return (tot.join(F.broadcast(sp)).join(F.broadcast(tp))
+            .select(
+                F.col("n").cast("long").alias("n"),
+                ex_den.cast("long").alias("n_pairs"),
+                F.col("n_space").cast("long").alias("n_space"),
+                F.col("n_time").cast("long").alias("n_time"),
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("long")
+                .alias("n_both"),
+                ex_num.cast("long").alias("ex_num"),
+                ex_den.cast("long").alias("ex_den"),
+                (ex_num.cast("double") / ex_den.cast("double"))
+                .alias("e_both"),
+                (F.coalesce(F.col("n_both"), F.lit(0)) * ex_den)
+                .cast("long").alias("knox_num"),
+                ex_num.cast("long").alias("knox_den"),
+                F.when(ex_num == 0, F.lit(0.0).cast("double"))
+                .otherwise(
+                    (F.coalesce(F.col("n_both"), F.lit(0)) * ex_den)
+                    .cast("double") / ex_num.cast("double"))
+                .alias("knox_ratio")))

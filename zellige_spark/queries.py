@@ -3771,6 +3771,74 @@ def sql_od_flows() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: knox_test — space-time interaction over events
+# ---------------------------------------------------------------------------
+
+KNOX_DS = 2000   # spatial radius, integer millidegree units
+KNOX_DT = 5000   # temporal radius, seconds
+
+
+def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test over events ("are events close
+    in space also close in time?" — outbreak/aftershock detection):
+    exact pair counts via the colocation halo join in space and its
+    1-D bucket twin in time (`operators/colocation.py::knox_test`);
+    the oracle is the literal O(n^2) self-join."""
+    from .operators import colocation as CL
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        F.expr("event_id * 3571 % 360000").alias("x"),
+        F.expr("(event_id * 9973 + 7) % 170000").alias("y"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("es"))
+    return CL.knox_test(ev, KNOX_DS, KNOX_DT)
+
+
+def sql_knox_test() -> str:
+    ds2 = KNOX_DS * KNOX_DS
+    return f"""
+    WITH p AS (
+      SELECT event_id AS id,
+             event_id * 3571 % 360000 AS x,
+             (event_id * 9973 + 7) % 170000 AS y,
+             epoch_us(ts) // 1000000 AS es
+      FROM events
+    ),
+    pr AS (
+      SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+             abs(a.es - b.es) AS dt
+      FROM p a JOIN p b ON a.id < b.id
+    ),
+    ag AS (
+      SELECT COUNT(*) AS n_pairs,
+             SUM(CASE WHEN d2 <= {ds2} THEN 1 ELSE 0 END) AS n_space,
+             SUM(CASE WHEN dt <= {KNOX_DT} THEN 1 ELSE 0 END) AS n_time,
+             SUM(CASE WHEN d2 <= {ds2} AND dt <= {KNOX_DT}
+                 THEN 1 ELSE 0 END) AS n_both
+      FROM pr
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM p)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_space AS BIGINT) AS n_space,
+           CAST(n_time AS BIGINT) AS n_time,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_space * n_time AS BIGINT) AS ex_num,
+           CAST(n_pairs AS BIGINT) AS ex_den,
+           CAST(CAST(n_space * n_time AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n_pairs AS BIGINT) AS DOUBLE) AS e_both,
+           CAST(n_both * n_pairs AS BIGINT) AS knox_num,
+           CAST(n_space * n_time AS BIGINT) AS knox_den,
+           CASE WHEN n_space * n_time = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST(n_both * n_pairs AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(n_space * n_time AS BIGINT) AS DOUBLE)
+           END AS knox_ratio
+    FROM ag, tot
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: tile_transitions — first-order Markov mobility chain at z3
 # ---------------------------------------------------------------------------
 
@@ -4420,6 +4488,8 @@ QUERIES = {
     "od_flows": q_od_flows,
     # first-order Markov tile-transition matrix (next-cell prediction)
     "tile_transitions": q_tile_transitions,
+    # Knox space-time interaction test (one-row exact pair counts)
+    "knox_test": q_knox_test,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4560,6 +4630,7 @@ ORACLES = {
     "heading_mix": sql_heading_mix(),
     "od_flows": sql_od_flows(),
     "tile_transitions": sql_tile_transitions(),
+    "knox_test": sql_knox_test(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
