@@ -1,7 +1,7 @@
-"""Mann-Kendall per-tile trend (`queries.q_mann_kendall`) and the
-first-order Markov tile-transition matrix
-(`operators/flows.py::tile_transitions`) vs independent Python brute
-recomputes, plus degenerate/handcrafted semantics."""
+"""Round-5 analytics additions vs independent Python brute
+recomputes: Mann-Kendall per-tile trend, the Markov tile-transition
+matrix, bigram collocation lift, the Knox space-time test, and the
+phash threshold-calibration sweep."""
 
 from __future__ import annotations
 
@@ -218,3 +218,49 @@ def test_knox_matches_bruteforce_and_detects_interaction(spark):
     assert row.knox_num == n_both * npairs
     assert row.knox_ratio == (n_both * npairs) / (n_space * n_time)
     assert row.knox_ratio > 2  # the injected cluster interacts
+
+
+def test_phash_threshold_sweep_matches_bruteforce(spark):
+    """Every rung's pair and image counts equal the literal O(n^2)
+    Hamming recompute (exact by pigeonhole: max rung < band count);
+    the ladder is monotone; too-wide ladders are rejected."""
+    import numpy as np
+    import pytest
+
+    from zellige_spark.operators import images as IM
+
+    rng = np.random.default_rng(31)
+    n = 120
+    ph = rng.integers(0, 1 << 63, n, dtype=np.int64)
+    ph[1] = ph[0] ^ 1                      # ham 1
+    ph[3] = ph[2] ^ (1 << 20) ^ (1 << 40)  # ham 2
+    ph[5] = ph[4] ^ 0b1111111              # ham 7 (ladder top)
+    df = spark.createDataFrame(
+        [(i, int(ph[i])) for i in range(n)], "image_id long, phash long")
+    rows = IM.phash_threshold_sweep(df).collect()
+    want_pairs = {r: 0 for r in IM.SWEEP_LADDER}
+    minh = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = bin(int(ph[i]) ^ int(ph[j]) & ((1 << 64) - 1)).count("1")
+            for r in IM.SWEEP_LADDER:
+                if h <= r:
+                    want_pairs[r] += 1
+            if h <= 7:
+                minh[i] = min(minh.get(i, 64), h)
+                minh[j] = min(minh.get(j, 64), h)
+    assert [r.h for r in rows] == sorted(IM.SWEEP_LADDER)
+    prev_p = prev_i = -1
+    for r in rows:
+        assert r.n_pairs == want_pairs[r.h]
+        assert r.n_total == n
+        assert r.n_pairs >= prev_p and r.n_images >= prev_i
+        prev_p, prev_i = r.n_pairs, r.n_images
+    by_h = {r.h: r for r in rows}
+    assert by_h[0].n_pairs == 0 or by_h[0].n_pairs == want_pairs[0]
+    assert by_h[1].n_pairs >= 1 and by_h[2].n_pairs >= 2
+    assert by_h[7].n_pairs >= 3
+    assert by_h[7].n_images == len(minh)
+    assert by_h[7].share == len(minh) / n
+    with pytest.raises(ValueError):
+        IM.phash_threshold_sweep(df, ladder=(0, 8), bands=8)

@@ -825,3 +825,77 @@ def image_dup_clusters(images, max_hamming: int = 3,
             .select("image_id", phash_col, "cluster", "cluster_size",
                     F.when(F.col("image_id") == F.col("cluster"), 1)
                      .otherwise(0).cast("int").alias("is_canonical")))
+
+
+# --- phash threshold calibration sweep -------------------------------------
+
+SWEEP_LADDER = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+def phash_threshold_sweep(images, ladder=SWEEP_LADDER, bands: int = 8,
+                          id_col: str = "image_id",
+                          phash_col: str = "phash"):
+    """Near-dup threshold calibration: for each Hamming threshold h in
+    ``ladder``, how many image pairs would be merged and how many
+    images would be touched?  The curve is how an operator picks the
+    dedup threshold before running `image_dup_clusters` at scale —
+    count the blast radius per rung FIRST.
+
+    EXACT for every rung because max(ladder) < bands (pigeonhole: two
+    64-bit hashes within h < bands Hamming distance agree on at least
+    one of the ``bands`` equal-width bands), so the band equi-join
+    sees every qualifying pair.  One band shuffle serves the WHOLE
+    ladder (the ripley_k wide-conditional-sum shape): candidates
+    dedup on the unordered id pair, the exact bit_count Hamming
+    distance is computed once per pair, and every rung is one
+    conditional SUM in a single aggregation.  Per-image counts ride
+    a bounded role explode + min-Hamming partial agg."""
+    from pyspark.sql import functions as F
+
+    ladder = sorted(ladder)
+    if ladder[-1] >= bands:
+        raise ValueError(f"max ladder {ladder[-1]} >= bands {bands}: "
+                         f"band join would miss pairs")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    base = images.select(F.col(id_col).alias("iid"),
+                         F.col(phash_col).cast("long").alias("ph"))
+    sends = base.select(
+        "iid", "ph",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> struct(b AS bi, "
+            f"shiftrightunsigned(ph, b * {width}) & {mask} AS bv))"))
+        .alias("bk"))
+    l = sends.select(F.col("iid").alias("ia"), F.col("ph").alias("pa"),
+                     F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+    r = sends.select(F.col("iid").alias("ib"), F.col("ph").alias("pb"),
+                     F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+    cand = (l.join(r, ["bi", "bv"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", "pa", "pb")
+            .distinct()
+            .withColumn("ham", F.bit_count(
+                F.col("pa").bitwiseXOR(F.col("pb")))))
+    pair_aggs = cand.agg(*[
+        F.sum((F.col("ham") <= r_).cast("long")).alias(f"np_{r_}")
+        for r_ in ladder])
+    minh = (cand.select(F.explode(F.array("ia", "ib")).alias("iid"), "ham")
+            .groupBy("iid").agg(F.min("ham").alias("mh")))
+    img_aggs = minh.agg(*[
+        F.sum((F.col("mh") <= r_).cast("long")).alias(f"ni_{r_}")
+        for r_ in ladder])
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    one = (tot.join(F.broadcast(pair_aggs)).join(F.broadcast(img_aggs)))
+    rungs = F.array(*[
+        F.struct(F.lit(r_).alias("h"),
+                 F.coalesce(F.col(f"np_{r_}"), F.lit(0)).alias("n_pairs"),
+                 F.coalesce(F.col(f"ni_{r_}"), F.lit(0)).alias("n_images"))
+        for r_ in ladder])
+    return (one.select("n_total", F.explode(rungs).alias("e"))
+            .select(F.col("e.h").cast("long").alias("h"),
+                    F.col("e.n_pairs").cast("long").alias("n_pairs"),
+                    F.col("e.n_images").cast("long").alias("n_images"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    (F.col("e.n_images").cast("double")
+                     / F.col("n_total").cast("double")).alias("share"))
+            .orderBy("h"))

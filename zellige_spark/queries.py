@@ -1818,6 +1818,70 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("image_id"))
 
 
+def q_phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration curve: per Hamming rung, the
+    exact pair / image blast radius a dedup run at that threshold
+    would touch (`images.phash_threshold_sweep`; one band shuffle
+    serves the whole ladder).  Oracle: literal O(n^2) Hamming join —
+    exact because max rung < band count (pigeonhole)."""
+    from .operators.images import phash_threshold_sweep
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    images = df.select(
+        F.col("c_custkey").alias("image_id"),
+        F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
+    return phash_threshold_sweep(images)
+
+
+def sql_phash_threshold_sweep() -> str:
+    from .operators.images import SWEEP_LADDER
+
+    g = "(c_custkey // 3)"
+    base = f"(({g} * 2654435761) % 2305843009213693951)"
+    flip = (f"CASE WHEN c_custkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN c_custkey % 3 = 1 THEN "
+            f"(CAST(1 AS BIGINT) << CAST({g} % 60 AS INT)) "
+            f"ELSE (CAST(1 AS BIGINT) << CAST(({g} + 17) % 60 AS INT)) END")
+    values = ",".join(f"({r})" for r in SWEEP_LADDER)
+    return f"""
+    WITH imgs AS (
+      SELECT c_custkey AS image_id, xor({base}, {flip}) AS phash
+      FROM customer
+    ),
+    prs AS (
+      SELECT a.image_id AS ia, b.image_id AS ib,
+             bit_count(xor(a.phash, b.phash)) AS ham
+      FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+    ),
+    mh AS (
+      SELECT iid, MIN(ham) AS mh
+      FROM (SELECT ia AS iid, ham FROM prs
+            UNION ALL SELECT ib, ham FROM prs)
+      GROUP BY iid
+    ),
+    lad(r) AS (VALUES {values}),
+    pc AS (
+      SELECT l.r, COUNT(p.ham) AS n_pairs
+      FROM lad l LEFT JOIN prs p ON p.ham <= l.r
+      GROUP BY l.r
+    ),
+    ic AS (
+      SELECT l.r, COUNT(m.mh) AS n_images
+      FROM lad l LEFT JOIN mh m ON m.mh <= l.r
+      GROUP BY l.r
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM imgs)
+    SELECT CAST(pc.r AS BIGINT) AS h,
+           CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+           CAST(ic.n_images AS BIGINT) AS n_images,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           CAST(CAST(ic.n_images AS BIGINT) AS DOUBLE)
+             / CAST(CAST(tot.n_total AS BIGINT) AS DOUBLE) AS share
+    FROM pc JOIN ic ON pc.r = ic.r CROSS JOIN tot
+    ORDER BY h
+    """
+
+
 def sql_image_dup_clusters() -> str:
     g = "(c_custkey // 3)"
     base = f"(({g} * 2654435761) % 2305843009213693951)"
@@ -4409,6 +4473,8 @@ QUERIES = {
     "quadrat_chi2": q_quadrat_chi2,
     # image near-dup clustering (phash bands -> CC -> canonical)
     "image_dup_clusters": q_image_dup_clusters,
+    # phash threshold-calibration sweep (exact blast radius per rung)
+    "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
     "imagedup_verdicts": q_imagedup_verdicts,
     # per-nation convex-hull footprint (two-level hull-of-hulls)
@@ -4588,6 +4654,7 @@ ORACLES = {
     "cross_k": sql_cross_k(),
     "quadrat_chi2": sql_quadrat_chi2(),
     "image_dup_clusters": sql_image_dup_clusters(),
+    "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
     "token_count": TXT.sql_token_count(),
