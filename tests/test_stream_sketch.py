@@ -78,3 +78,44 @@ def test_stream_sketch_duplicate_resend_never_grows_state(spark, tmp_path):
     for (_, _), g in out.groupby(["tile_x", "tile_y"]):
         assert g.hll_sum.nunique() == 1
         assert g.est_hll.nunique() == 1
+
+
+def test_stream_cms_final_state_equals_batch(spark, tmp_path):
+    """Cross-batch count-min sketch: counters are additive, so the
+    FINAL streamed probe estimates equal the batch operator over the
+    union of all micro-batches exactly — including probes never seen
+    (est from colliding counters) and the never-underestimate
+    guarantee."""
+    from zellige_spark.streaming import cms as SC
+
+    src = _batches(spark, tmp_path)
+    probes = [0, 1, 2, 450, 999999]
+    q = SC.stream_tile_cms(spark, src, str(tmp_path / "cms_ckpt"),
+                           probes, zoom=9, query_name="cms_t1",
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+    out = spark.table("cms_t1").toPandas()
+    assert out.n_updates.max() == 2  # cross-batch state exercised
+    last = (out.sort_values("n_updates")
+            .groupby(["tile_x", "tile_y", "probe"])
+            .tail(1).reset_index(drop=True))
+
+    batch = spark.read.parquet(src)
+    a = T.assign_tiles(batch, [9]).select("id", "tile_x", "tile_y")
+    counters = SK.cms_counters(a, ["tile_x", "tile_y"], "id")
+    est = SK.cms_estimate(counters, ["tile_x", "tile_y"], probes)
+    want = {(r.tile_x, r.tile_y, r.probe): r.est
+            for r in est.collect()}
+    got = {(r.tile_x, r.tile_y, r.probe): r.est
+           for r in last.itertuples()}
+    assert got == want  # bit-for-bit, batch == streamed
+    # never-underestimate vs the exact truth, and a duplicated id
+    # (0 appears in both micro-batches) counts TWICE (frequency, not
+    # distinct)
+    tru = {(r.tile_x, r.tile_y, r.id): r.cnt
+           for r in a.filter(F.col("id").isin(probes))
+           .groupBy("tile_x", "tile_y", "id")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert any(v == 2 for v in tru.values())
+    for (txv, tyv, p), t in tru.items():
+        assert got[(txv, tyv, p)] >= t

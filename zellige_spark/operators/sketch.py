@@ -400,3 +400,81 @@ def hist_quantile_case(q: int) -> str:
                         f"CAST({i * HIST_WIDTH} AS BIGINT)")
     return ("CASE " + " ".join(branches)
             + f" ELSE CAST({(HIST_BINS - 1) * HIST_WIDTH} AS BIGINT) END")
+
+
+# --- count-min sketch ------------------------------------------------------
+#
+# Cormode & Muthukrishnan (2005, public literature): a d x w counter
+# grid; every item increments one counter per row (bucket = a slice of
+# its hash), a point query reads the MIN over its d counters.  Always
+# an OVERestimate (never under), error <= n/w per row with probability
+# 1 - 2^-d.  Counters are SUMS, so the sketch is mergeable and
+# order-independent — the streaming twin equals the batch operator
+# bit-for-bit, and a DuckDB oracle can recompute every counter and
+# estimate EXACTLY (the third sketch family under the value-hash gate,
+# beside HLL and KMV: CMS answers FREQUENCY, they answer DISTINCT).
+
+CMS_D = 4    # hash rows: 4 disjoint 15-bit slices of the 60-bit hash
+CMS_W = 64   # buckets per row (bucket = slice & 63)
+
+
+def cms_counters(df: DataFrame, key_cols: list, item_col: str,
+                 barriers: bool = True) -> DataFrame:
+    """(key_cols..., j, b, cnt): the non-zero CMS counters per key.
+    Bucket j of an item = bits [15j, 15j+6) of its md5-derived 60-bit
+    hash — four structurally independent slices, identical expression
+    text on both engines.  One partial-agg'd Exchange over the 4x
+    explode; per-key state is bounded by d*w = 256 counters however
+    many rows arrive.  ``barriers=False`` for streaming inputs."""
+    b1 = ([F.monotonically_increasing_id().alias("_b1")]
+          if barriers else [])
+    hashed = df.select(
+        *key_cols, F.md5(F.col(item_col).cast("string")).alias("_hx"), *b1)
+    b2 = ([F.monotonically_increasing_id().alias("_b2")]
+          if barriers else [])
+    hs = hashed.select(
+        *key_cols, F.expr(md5_hash60("_hx")).alias("h"), *b2)
+    sends = hs.select(
+        *key_cols,
+        F.explode(F.expr(
+            f"transform(sequence(0, {CMS_D - 1}), j -> struct(j AS j, "
+            f"shiftrightunsigned(h, 15 * j) & {CMS_W - 1} AS b))"))
+        .alias("e"))
+    return (sends.groupBy(*key_cols, F.col("e.j").alias("j"),
+                          F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_probe_buckets(items) -> list:
+    """Driver-side (item, j, bucket) rows for a literal probe set —
+    hashlib.md5 reproduces the engines' md5-nibble decode exactly.
+    Shared by the Column plan, the DuckDB oracle's VALUES list, and
+    the streaming twin."""
+    import hashlib
+
+    out = []
+    for it in items:
+        h = int(hashlib.md5(str(it).encode()).hexdigest()[:15], 16)
+        for j in range(CMS_D):
+            out.append((int(it), j, (h >> (15 * j)) & (CMS_W - 1)))
+    return out
+
+
+def cms_estimate(counters: DataFrame, key_cols: list,
+                 probes: list) -> DataFrame:
+    """(key_cols..., probe, est): the CMS point estimate of each probe
+    item's frequency per key — min over the d counters (absent
+    counter = 0).  The probe side is a driver-computed literal
+    (bounded), broadcast against the distinct-key skeleton so every
+    (key, probe) reports even when all its counters are empty."""
+    spark = counters.sparkSession
+    pdf = spark.createDataFrame(cms_probe_buckets(probes),
+                                "probe long, j int, b long")
+    keys = counters.select(*key_cols).distinct()
+    skel = keys.join(F.broadcast(pdf))
+    joined = (skel.join(counters.withColumnRenamed("cnt", "_cnt"),
+                        [*key_cols, "j", "b"], "left")
+              .select(*key_cols, "probe",
+                      F.coalesce("_cnt", F.lit(0)).alias("c")))
+    return (joined.groupBy(*key_cols, "probe")
+            .agg(F.min("c").alias("est")))

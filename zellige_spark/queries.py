@@ -3311,6 +3311,96 @@ def q_tile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("est_kmv").cast("double").alias("est_kmv"))
 
 
+CMS_PROBES = list(range(1, 11))  # probe user ids for the point queries
+
+
+def q_tile_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z3-tile count-min sketch of user FREQUENCY (the third
+    sketch family beside HLL and KMV — those answer distinct, CMS
+    answers "how often"): 4x64 additive counters from disjoint 15-bit
+    slices of the shared md5 60-bit hash, point estimates for a fixed
+    probe set, the exact true counts, and the in-job ``ok`` column
+    asserting the CMS never-underestimate guarantee per row.
+
+    Scale shape: ONE partial-agg'd Exchange over the 4x explode;
+    per-tile state bounded at 256 counters; probes are a broadcast
+    literal.  Counters are sums -> order-independent, mergeable, and
+    the streaming twin (`streaming/cms.py`) equals this bit-for-bit."""
+    from .operators import sketch as SK
+
+    t = _event_user_tiles(spark, sf_dir)
+    counters = SK.cms_counters(t, ["tile_x", "tile_y"], "user_id")
+    est = SK.cms_estimate(counters, ["tile_x", "tile_y"], CMS_PROBES)
+    tru = (t.filter(F.col("user_id").isin(CMS_PROBES))
+           .groupBy("tile_x", "tile_y",
+                    F.col("user_id").alias("probe"))
+           .agg(F.count(F.lit(1)).alias("true_cnt")))
+    return (est.join(tru, ["tile_x", "tile_y", "probe"], "left")
+            .select(F.col("tile_x").cast("long").alias("tile_x"),
+                    F.col("tile_y").cast("long").alias("tile_y"),
+                    F.col("probe").cast("long").alias("probe"),
+                    F.col("est").cast("long").alias("est"),
+                    F.coalesce("true_cnt", F.lit(0)).cast("long")
+                    .alias("true_cnt"),
+                    (F.col("est") >= F.coalesce("true_cnt", F.lit(0)))
+                    .cast("int").alias("ok"))
+            .orderBy("tile_x", "tile_y", "probe"))
+
+
+def sql_tile_cms() -> str:
+    from .operators.sketch import CMS_W, cms_probe_buckets, md5_hash60
+
+    tx, ty = _sql_tile(str(KMV_ZOOM))
+    h = md5_hash60("md5(CAST(user_id AS VARCHAR))")
+    probes = ",".join(f"({p},{j},{b})"
+                      for p, j, b in cms_probe_buckets(CMS_PROBES))
+    in_list = ",".join(str(p) for p in CMS_PROBES)
+    return f"""
+    WITH pts AS (
+      SELECT user_id, {EVT_LON} AS lon, {EVT_LAT} AS lat FROM events
+    ), proj AS (
+      SELECT user_id, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t AS (
+      SELECT user_id, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), hs AS (
+      SELECT tile_x, tile_y, user_id, {h} AS h FROM t
+    ), cnts AS (
+      SELECT tile_x, tile_y, j, (h >> (15 * j)) & {CMS_W - 1} AS b,
+             COUNT(*) AS cnt
+      FROM hs, UNNEST(generate_series(0, 3)) AS u(j)
+      GROUP BY 1, 2, 3, 4
+    ), keys AS (
+      SELECT DISTINCT tile_x, tile_y FROM t
+    ), probes(probe, j, b) AS (VALUES {probes}),
+    skel AS (
+      SELECT k.tile_x, k.tile_y, p.probe, p.j, p.b
+      FROM keys k CROSS JOIN probes p
+    ), est AS (
+      SELECT s.tile_x, s.tile_y, s.probe,
+             MIN(COALESCE(c.cnt, 0)) AS est
+      FROM skel s LEFT JOIN cnts c
+        ON c.tile_x = s.tile_x AND c.tile_y = s.tile_y
+       AND c.j = s.j AND c.b = s.b
+      GROUP BY 1, 2, 3
+    ), tru AS (
+      SELECT tile_x, tile_y, user_id AS probe, COUNT(*) AS true_cnt
+      FROM t WHERE user_id IN ({in_list})
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(e.tile_x AS BIGINT) AS tile_x,
+           CAST(e.tile_y AS BIGINT) AS tile_y,
+           CAST(e.probe AS BIGINT) AS probe,
+           CAST(e.est AS BIGINT) AS est,
+           CAST(COALESCE(tr.true_cnt, 0) AS BIGINT) AS true_cnt,
+           CAST(CASE WHEN e.est >= COALESCE(tr.true_cnt, 0)
+                     THEN 1 ELSE 0 END AS INT) AS ok
+    FROM est e LEFT JOIN tru tr
+      ON tr.tile_x = e.tile_x AND tr.tile_y = e.tile_y
+     AND tr.probe = e.probe
+    ORDER BY tile_x, tile_y, probe
+    """
+
+
 def _sql_kmv_bk() -> str:
     from .operators.sketch import KMV_K, md5_hash60
 
@@ -4399,6 +4489,8 @@ QUERIES = {
     "polygon_full_cover": q_polygon_full_cover,
     # bottom-k distinct sketch (second mergeable family; exact gate)
     "tile_kmv": q_tile_kmv,
+    # count-min sketch frequency estimates (third sketch family)
+    "tile_cms": q_tile_cms,
     # sketch-space set intersection between adjacent tiles
     "tile_overlap": q_tile_overlap,
     "pip_polygon": q_pip_polygon,
@@ -4614,6 +4706,7 @@ ORACLES = {
     "polygon_buffer": sql_polygon_buffer(),
     "polygon_full_cover": sql_polygon_full_cover(),
     "tile_kmv": sql_tile_kmv(),
+    "tile_cms": sql_tile_cms(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
