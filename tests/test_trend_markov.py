@@ -264,3 +264,59 @@ def test_phash_threshold_sweep_matches_bruteforce(spark):
     assert by_h[7].share == len(minh) / n
     with pytest.raises(ValueError):
         IM.phash_threshold_sweep(df, ladder=(0, 8), bands=8)
+
+
+def test_co_travel_matches_bruteforce_and_plan_has_no_cartesian(spark):
+    """Co-travel pair support equals the literal per-pair distinct
+    shared-bucket recompute; the candidate stage is an equi-join on
+    the spatiotemporal cell key (no cartesian / nested-loop anywhere);
+    a pair sharing several CELLS inside one bucket still counts that
+    bucket once."""
+    import numpy as np
+
+    from zellige_spark.operators import flows as FLW
+
+    rng = np.random.default_rng(41)
+    n, users = 400, 12
+    ent = rng.integers(0, users, n)
+    xs = rng.integers(0, 8000, n)
+    ys = rng.integers(0, 6000, n)
+    es = rng.integers(0, 50000, n)
+    # users 0 and 1 travel together: mirrored pings in 5 buckets,
+    # two of them in TWO different cells of the same bucket
+    rows = [(int(ent[i]), int(xs[i]), int(ys[i]), int(es[i]))
+            for i in range(n)]
+    for k in range(5):
+        rows.append((0, 100 + 2000 * k, 100, 10000 * k + 5))
+        rows.append((1, 110 + 2000 * k, 105, 10000 * k + 9))
+    rows.append((0, 5100, 5100, 25))   # same bucket 0, another cell
+    rows.append((1, 5105, 5108, 35))
+    df = spark.createDataFrame(rows, "user long, x long, y long, es long")
+    cell, bucket, mn = 1000, 10000, 2
+    got = {(r.user_a, r.user_b):
+           (r.n_cobuckets, r.first_bucket, r.last_bucket)
+           for r in FLW.co_travel(df, cell, bucket, mn).collect()}
+
+    occ = {}
+    for u, x, y, t in rows:
+        occ.setdefault(u, set()).add((x // cell, y // cell, t // bucket))
+    want = {}
+    for a in range(users):
+        for b in range(a + 1, users):
+            if a not in occ or b not in occ:
+                continue
+            cells_a, cells_b = occ[a], occ[b]
+            shared = {c[2] for c in cells_a
+                      if c in cells_b}
+            # distinct buckets where ANY cell is shared
+            shared = {bk for (cx, cy, bk) in cells_a
+                      if (cx, cy, bk) in cells_b}
+            if len(shared) >= mn:
+                want[(a, b)] = (len(shared), min(shared), max(shared))
+    assert got == want
+    assert got[(0, 1)][0] >= 5  # the injected convoy survives
+
+    plan = FLW.co_travel(df, cell, bucket, mn)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

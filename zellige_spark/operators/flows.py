@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import tiles as T
 
-__all__ = ["od_trips", "od_flows", "tile_transitions"]
+__all__ = ["od_trips", "od_flows", "tile_transitions", "co_travel"]
 
 
 def od_trips(df: DataFrame, entity_col: str = "user_id",
@@ -64,6 +64,64 @@ def od_flows(df: DataFrame, zoom: int, entity_col: str = "user_id",
             .groupBy("o_x", "o_y", "d_x", "d_y")
             .agg(F.count(F.lit(1)).alias("n_trips"),
                  F.countDistinct(entity_col).alias("n_users")))
+
+
+def co_travel(df: DataFrame, cell_size: int, bucket_s: int,
+              min_cobuckets: int = 2,
+              entity_col: str = "user",
+              x_col: str = "x", y_col: str = "y",
+              es_col: str = "es") -> DataFrame:
+    """Co-travel / contact detection: entity pairs that share a
+    space-time cell in at least ``min_cobuckets`` DISTINCT time buckets
+    (contact tracing, convoy mining, account-farm detection over a
+    trillion geotagged pings).
+
+    Blocking semantics (the standard web-scale simplification): two
+    entities are "together" in a bucket iff they ping inside the SAME
+    (x div cell_size, y div cell_size, es div bucket_s) cell — an
+    equi-join key, not a distance predicate, so the pair search never
+    goes cartesian.  Callers wanting radius semantics run this at
+    ``cell_size >= radius`` as the candidate stage and refine the
+    survivors (the ``within_distance_join`` pattern).
+
+    Scale plan: (1) raw pings reduce to DISTINCT
+    (entity, cx, cy, bucket) rows — one partial-agg'd Exchange, output
+    bounded by entities x buckets however many pings arrive;
+    (2) candidate pairs come from ONE self-equi-join on the
+    spatiotemporal cell key (AQE skew-join splits a hot stadium cell;
+    ``a.ent < b.ent`` keeps each unordered pair once); (3) pair
+    support is a partial-agg'd groupBy counting the distinct buckets
+    (already distinct by construction) with first/last contact.
+    Integer inputs -> every output column is an exact BIGINT.
+    """
+    occ = (df.select(
+        F.col(entity_col).alias("ent"),
+        F.expr(f"cast({x_col} as bigint) div {cell_size}").alias("cx"),
+        F.expr(f"cast({y_col} as bigint) div {cell_size}").alias("cy"),
+        F.expr(f"cast({es_col} as bigint) div {bucket_s}").alias("b"))
+        .distinct())
+    a = occ.alias("a")
+    b = occ.alias("b")
+    pairs = (a.join(b, on=[F.col("a.cx") == F.col("b.cx"),
+                           F.col("a.cy") == F.col("b.cy"),
+                           F.col("a.b") == F.col("b.b"),
+                           F.col("a.ent") < F.col("b.ent")])
+             .select(F.col("a.ent").alias("user_a"),
+                     F.col("b.ent").alias("user_b"),
+                     F.col("a.b").alias("b")))
+    # the same pair can share several CELLS inside one bucket — support
+    # counts distinct BUCKETS, so dedup (pair, bucket) first
+    per_bucket = pairs.distinct()
+    return (per_bucket.groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).alias("n_cobuckets"),
+                 F.min("b").alias("first_bucket"),
+                 F.max("b").alias("last_bucket"))
+            .filter(F.col("n_cobuckets") >= min_cobuckets)
+            .select(F.col("user_a").cast("long"),
+                    F.col("user_b").cast("long"),
+                    F.col("n_cobuckets").cast("long"),
+                    F.col("first_bucket").cast("long"),
+                    F.col("last_bucket").cast("long")))
 
 
 def tile_transitions(df: DataFrame, zoom: int,

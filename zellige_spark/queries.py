@@ -3925,6 +3925,60 @@ def sql_od_flows() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: co_travel — spatiotemporal contact pairs over events
+# ---------------------------------------------------------------------------
+
+CT_CELL = 45000    # blocking cell size, integer millidegree units
+CT_BUCKET = 86400  # time bucket, seconds (1 day)
+CT_MIN = 8         # minimum distinct co-buckets to report a pair
+
+
+def q_co_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-travel / contact detection: user pairs sharing a space-time
+    cell in >= CT_MIN distinct time buckets (contact tracing, convoy
+    mining — `operators/flows.py::co_travel`).  Blocked by an
+    equi-join on the (cell, bucket) key, never cartesian; the oracle
+    is the literal distinct-occupancy self-join."""
+    from .operators import flows as FLW
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("user"),
+        F.expr("event_id * 3571 % 360000").alias("x"),
+        F.expr("(event_id * 9973 + 7) % 170000").alias("y"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("es"))
+    return (FLW.co_travel(ev, CT_CELL, CT_BUCKET, CT_MIN)
+            .orderBy("user_a", "user_b"))
+
+
+def sql_co_travel() -> str:
+    return f"""
+    WITH p AS (
+      SELECT user_id AS ent,
+             (event_id * 3571 % 360000) // {CT_CELL} AS cx,
+             ((event_id * 9973 + 7) % 170000) // {CT_CELL} AS cy,
+             (epoch_us(ts) // 1000000) // {CT_BUCKET} AS b
+      FROM events
+    ), occ AS (
+      SELECT DISTINCT ent, cx, cy, b FROM p
+    ), pb AS (
+      SELECT DISTINCT a.ent AS user_a, b2.ent AS user_b, a.b AS b
+      FROM occ a JOIN occ b2
+        ON a.cx = b2.cx AND a.cy = b2.cy AND a.b = b2.b
+       AND a.ent < b2.ent
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a,
+           CAST(user_b AS BIGINT) AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_cobuckets,
+           CAST(MIN(b) AS BIGINT) AS first_bucket,
+           CAST(MAX(b) AS BIGINT) AS last_bucket
+    FROM pb GROUP BY user_a, user_b
+    HAVING COUNT(*) >= {CT_MIN}
+    ORDER BY user_a, user_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: knox_test — space-time interaction over events
 # ---------------------------------------------------------------------------
 
@@ -4648,6 +4702,8 @@ QUERIES = {
     "tile_transitions": q_tile_transitions,
     # Knox space-time interaction test (one-row exact pair counts)
     "knox_test": q_knox_test,
+    # co-travel contact pairs ((cell, bucket) equi-join blocking)
+    "co_travel": q_co_travel,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4791,6 +4847,7 @@ ORACLES = {
     "od_flows": sql_od_flows(),
     "tile_transitions": sql_tile_transitions(),
     "knox_test": sql_knox_test(),
+    "co_travel": sql_co_travel(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
