@@ -3925,6 +3925,66 @@ def sql_od_flows() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: interval_join — point-in-validity-window enrichment
+# ---------------------------------------------------------------------------
+
+IVJ_CHUNK = 3600   # bucket width, seconds — near the median window length
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-window join: every (probe event, service window)
+    pair whose instant falls inside the window — executed as the
+    chunk-bucketed equi-join of `operators/temporal.py::
+    interval_overlap_join` (Spark's native plan for the raw range
+    predicate is BroadcastNestedLoopJoin), ownership-deduped without
+    a distinct shuffle.  Windows are synthesized from every 5th event
+    (anchor + (id%13+1)*300 s); the remaining events probe as [ts,
+    ts+1) points.  The oracle is the literal range-predicate join."""
+    from .operators import temporal as TP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("es"))
+    iv = (ev.filter(F.expr("id % 5 = 0"))
+          .select(F.col("id").alias("i_id"), F.col("es").alias("i_s"),
+                  F.expr("es + (id % 13 + 1) * 300").alias("i_e")))
+    pr = (ev.filter(F.expr("id % 5 != 0"))
+          .select(F.col("id").alias("p_id"), F.col("es").alias("p_s"),
+                  F.expr("es + 1").alias("p_e")))
+    out = TP.interval_overlap_join(
+        pr, iv, IVJ_CHUNK,
+        a_id="p_id", a_s="p_s", a_e="p_e",
+        b_id="i_id", b_s="i_s", b_e="i_e")
+    return (out.select(F.col("p_id").cast("long"),
+                       F.col("i_id").cast("long"),
+                       F.col("p_s").cast("long").alias("ts"),
+                       F.col("i_s").cast("long"),
+                       F.col("i_e").cast("long"))
+            .orderBy("p_id", "i_id"))
+
+
+def sql_interval_join() -> str:
+    return """
+    WITH e AS (
+      SELECT event_id AS id, epoch_us(ts) // 1000000 AS es FROM events
+    ), iv AS (
+      SELECT id AS i_id, es AS i_s, es + (id % 13 + 1) * 300 AS i_e
+      FROM e WHERE id % 5 = 0
+    ), pr AS (
+      SELECT id AS p_id, es FROM e WHERE id % 5 <> 0
+    )
+    SELECT CAST(p_id AS BIGINT) AS p_id,
+           CAST(i_id AS BIGINT) AS i_id,
+           CAST(es AS BIGINT) AS ts,
+           CAST(i_s AS BIGINT) AS i_s,
+           CAST(i_e AS BIGINT) AS i_e
+    FROM pr JOIN iv ON es >= i_s AND es < i_e
+    ORDER BY p_id, i_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: co_travel — spatiotemporal contact pairs over events
 # ---------------------------------------------------------------------------
 
@@ -4704,6 +4764,8 @@ QUERIES = {
     "knox_test": q_knox_test,
     # co-travel contact pairs ((cell, bucket) equi-join blocking)
     "co_travel": q_co_travel,
+    # validity-window join (chunk-bucketed, ownership-deduped)
+    "interval_join": q_interval_join,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4848,6 +4910,7 @@ ORACLES = {
     "tile_transitions": sql_tile_transitions(),
     "knox_test": sql_knox_test(),
     "co_travel": sql_co_travel(),
+    "interval_join": sql_interval_join(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
