@@ -62,3 +62,75 @@ def test_interval_overlap_join_rejects_bad_chunk(spark):
     df = spark.createDataFrame([(1, 0, 10)], "a_id long, a_s long, a_e long")
     with pytest.raises(ValueError):
         TP.interval_overlap_join(df, df, chunk=0)
+
+
+def _brute_hausdorff_pairs(pts_by_ent, tau):
+    """Literal all-pairs symmetric Hausdorff over int point sets."""
+    ents = sorted(pts_by_ent)
+    want = []
+    for i, ea in enumerate(ents):
+        A = pts_by_ent[ea]
+        for eb in ents[i + 1:]:
+            B = pts_by_ent[eb]
+            d2 = ((A[:, None, 0] - B[None, :, 0]) ** 2
+                  + (A[:, None, 1] - B[None, :, 1]) ** 2)
+            h_ab = int(d2.min(axis=1).max())
+            h_ba = int(d2.min(axis=0).max())
+            if max(h_ab, h_ba) <= tau * tau:
+                want.append((ea, eb, h_ab, h_ba, max(h_ab, h_ba)))
+    return sorted(want)
+
+
+def test_hausdorff_join_matches_bruteforce(spark):
+    """Grid-blocked Hausdorff join equals the literal all-pairs
+    max-min recompute on clustered tracks (incl. pairs whose expanded
+    bboxes share MANY cells — ownership dedup emits each pair once);
+    the plan has no cartesian/nested-loop join."""
+    from zellige_spark.operators import trajectories as TRJ
+
+    rng = np.random.default_rng(83)
+    pts_by_ent, rows = {}, []
+    for ent in range(40):
+        hx = int(rng.integers(0, 8)) * 1200
+        hy = int(rng.integers(0, 8)) * 1200
+        n = int(rng.integers(3, 30))
+        xs = hx + rng.integers(0, 900, n)
+        ys = hy + rng.integers(0, 900, n)
+        pts_by_ent[ent] = np.stack([xs, ys], axis=1).astype(np.int64)
+        rows += [(ent, int(x), int(y)) for x, y in zip(xs, ys)]
+    a = spark.createDataFrame(rows, "ent long, x long, y long")
+    # cell much smaller than the track span => co-homed pairs share
+    # ~dozens of cells and exercise the ownership dedup hard
+    out = TRJ.hausdorff_join(a, tau=1500, cell=200)
+    got = sorted((r.ent_a, r.ent_b, r.h_ab_sq, r.h_ba_sq, r.h_sq)
+                 for r in out.collect())
+    assert len(got) == len(set(got)), "pair emitted twice"
+    assert got == _brute_hausdorff_pairs(pts_by_ent, 1500)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hausdorff_join_negative_coords_and_duplicates(spark):
+    """Negative lattice coordinates (truncating div cells) and
+    duplicate points collapse correctly; identical tracks read H=0."""
+    from zellige_spark.operators import trajectories as TRJ
+
+    rows = [(1, -50, -50), (1, -10, -40), (1, -50, -50),
+            (2, -50, -50), (2, -10, -40),
+            (3, 400, 400)]
+    df = spark.createDataFrame(rows, "ent long, x long, y long")
+    got = {(r.ent_a, r.ent_b): (r.h_ab_sq, r.h_ba_sq, r.h_sq)
+           for r in TRJ.hausdorff_join(df, tau=100, cell=100).collect()}
+    assert got == {(1, 2): (0, 0, 0)}   # ent 3 is beyond tau of both
+
+
+def test_hausdorff_join_rejects_bad_params(spark):
+    from zellige_spark.operators import trajectories as TRJ
+
+    df = spark.createDataFrame([(1, 0, 0)], "ent long, x long, y long")
+    with pytest.raises(ValueError):
+        TRJ.hausdorff_join(df, tau=0)
+    with pytest.raises(ValueError):
+        TRJ.hausdorff_join(df, tau=10, cell=-5)

@@ -249,6 +249,98 @@ def resample_tracks(df: DataFrame, step_s: int = 3600,
                     lerp_y.cast("long").alias("y"))
 
 
+def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
+                   entity_col: str = "ent", x_col: str = "x",
+                   y_col: str = "y") -> DataFrame:
+    """Trajectory-similarity join: every entity pair whose symmetric
+    Hausdorff distance is <= ``tau`` — "which users move through the
+    same places" (track clustering, route-coverage comparison, GPS
+    trace entity resolution).  Inputs are integer lattice points
+    (entity, x, y); all distances are EXACT int64 squared Euclidean,
+    so the operator is hash-exact under a DuckDB oracle.
+
+    Scale plan — bbox grid blocking, never a cartesian pair join:
+
+    1. one partial-agg'd shuffle reduces points to per-entity bboxes;
+    2. each bbox, expanded by ceil(tau/2) per side, explodes to the
+       ``cell``-width grid cells it covers (pick ``cell`` near the
+       typical track span: fan-out stays O(1) per entity) and
+       candidates come from ONE self-equi-join on the cell key —
+       H(A,B) >= the bbox gap, so any pair beyond tau on either axis
+       never shares a cell (lossless pruning).  A pair sharing many
+       cells is kept exactly once WITHOUT a distinct: it is OWNED by
+       the cell containing the component-wise max of the two expanded
+       lower corners (covered by both sides by construction — the
+       1-D interval-join ownership trick per axis).
+    3. the exact stage joins candidate pairs back to both point sets
+       (rows bounded by candidate count x track sizes, not n^2), each
+       point-pair row fans to its two directed roles, and two stacked
+       partial-agg'd groupBys compute min-per-point then max-per-pair
+       — h(A->B), h(B->A), and H = max of the two, filtered at tau^2.
+
+    Duplicate points collapse inside the min-per-point groupBy (the
+    group key is the coordinate itself), so no distinct pre-pass.
+    """
+    t = int(tau)
+    if t <= 0:
+        raise ValueError("tau must be a positive integer")
+    c = int(cell) if cell is not None else t
+    if c <= 0:
+        raise ValueError("cell must be a positive integer")
+    e = (t + 1) // 2   # expanded boxes overlap  <=>  axis gap <= 2e >= tau
+
+    pts = df.select(F.col(entity_col).alias("_e"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+    box = pts.groupBy("_e").agg(
+        (F.min("_x") - e).alias("_xlo"), (F.max("_x") + e).alias("_xhi"),
+        (F.min("_y") - e).alias("_ylo"), (F.max("_y") + e).alias("_yhi"))
+    cells = (box
+             .withColumn("_cx", F.explode(F.sequence(
+                 F.expr(f"_xlo div {c}"), F.expr(f"_xhi div {c}"))))
+             .withColumn("_cy", F.explode(F.sequence(
+                 F.expr(f"_ylo div {c}"), F.expr(f"_yhi div {c}")))))
+    a = cells.select(F.col("_e").alias("_ea"), F.col("_xlo").alias("_axlo"),
+                     F.col("_ylo").alias("_aylo"), "_cx", "_cy")
+    b = cells.select(F.col("_e").alias("_eb"), F.col("_xlo").alias("_bxlo"),
+                     F.col("_ylo").alias("_bylo"), "_cx", "_cy")
+    cand = (a.join(b, ["_cx", "_cy"])
+            .filter((F.col("_ea") < F.col("_eb"))
+                    & (F.col("_cx")
+                       == F.expr(f"greatest(_axlo, _bxlo) div {c}"))
+                    & (F.col("_cy")
+                       == F.expr(f"greatest(_aylo, _bylo) div {c}")))
+            .select("_ea", "_eb"))
+
+    pa = pts.select(F.col("_e").alias("_ea"), F.col("_x").alias("_ax"),
+                    F.col("_y").alias("_ay"))
+    pb = pts.select(F.col("_e").alias("_eb"), F.col("_x").alias("_bx"),
+                    F.col("_y").alias("_by"))
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    roles = (cand.join(pa, "_ea").join(pb, "_eb")
+             .select("_ea", "_eb", (dx * dx + dy * dy).alias("_d2"),
+                     F.explode(F.array(
+                         F.struct(F.lit(0).alias("s"),
+                                  F.col("_ax").alias("px"),
+                                  F.col("_ay").alias("py")),
+                         F.struct(F.lit(1).alias("s"),
+                                  F.col("_bx").alias("px"),
+                                  F.col("_by").alias("py")))).alias("_r"))
+             .select("_ea", "_eb", "_d2", "_r.s", "_r.px", "_r.py"))
+    mins = (roles.groupBy("_ea", "_eb", "s", "px", "py")
+            .agg(F.min("_d2").alias("_m")))
+    h = (mins.groupBy("_ea", "_eb")
+         .agg(F.max(F.when(F.col("s") == 0, F.col("_m")))
+              .alias("h_ab_sq"),
+              F.max(F.when(F.col("s") == 1, F.col("_m")))
+              .alias("h_ba_sq")))
+    return (h.withColumn("h_sq", F.greatest("h_ab_sq", "h_ba_sq"))
+            .filter(F.col("h_sq") <= F.lit(t) * F.lit(t))
+            .select(F.col("_ea").alias("ent_a"), F.col("_eb").alias("ent_b"),
+                    "h_ab_sq", "h_ba_sq", "h_sq"))
+
+
 def simplify_tracks(df: DataFrame, epsilon_m: float,
                     entity_col: str = "user_id",
                     order_cols: Iterable[str] = ("ts", "event_id"),

@@ -3985,6 +3985,66 @@ def sql_interval_join() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: hausdorff_pairs — trajectory-similarity join (exact integer Hausdorff)
+# ---------------------------------------------------------------------------
+
+HDJ_TAU = 2500     # symmetric Hausdorff threshold, lattice units
+HDJ_CELL = 2500    # blocking grid width — near the track span
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join: user pairs whose tracks are within
+    symmetric Hausdorff distance HDJ_TAU of each other (route-coverage
+    comparison / trace entity resolution) — `operators/trajectories.py::
+    hausdorff_join`, bbox-grid-blocked, never a cartesian pair join.
+    Tracks are bounded walks (span < 1500) around per-user lattice
+    homes 2000 apart, so lattice neighbors match and diagonals don't.
+    All distances exact int64 squares; the oracle is the literal
+    all-pairs max-min recompute."""
+    from .operators import trajectories as TRJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("ent"),
+        F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
+        F.expr("(user_id div 25 % 8) * 2000 + event_id * 173 % 1500")
+        .alias("y"))
+    return (TRJ.hausdorff_join(ev, HDJ_TAU, HDJ_CELL)
+            .orderBy("ent_a", "ent_b"))
+
+
+def sql_hausdorff_pairs() -> str:
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT user_id AS ent,
+             (user_id % 25) * 2000 + event_id * 131 % 1500 AS x,
+             (user_id // 25 % 8) * 2000 + event_id * 173 % 1500 AS y
+      FROM events
+    ), d AS (
+      SELECT a.ent AS ea, b.ent AS eb, a.x AS ax, a.y AS ay,
+             b.x AS bx, b.y AS by_,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM p a JOIN p b ON a.ent < b.ent
+    ), ma AS (
+      SELECT ea, eb, ax, ay, MIN(d2) AS m FROM d GROUP BY ea, eb, ax, ay
+    ), mb AS (
+      SELECT ea, eb, bx, by_, MIN(d2) AS m FROM d GROUP BY ea, eb, bx, by_
+    ), hab AS (
+      SELECT ea, eb, MAX(m) AS h_ab_sq FROM ma GROUP BY ea, eb
+    ), hba AS (
+      SELECT ea, eb, MAX(m) AS h_ba_sq FROM mb GROUP BY ea, eb
+    )
+    SELECT CAST(hab.ea AS BIGINT) AS ent_a,
+           CAST(hab.eb AS BIGINT) AS ent_b,
+           CAST(h_ab_sq AS BIGINT) AS h_ab_sq,
+           CAST(h_ba_sq AS BIGINT) AS h_ba_sq,
+           CAST(greatest(h_ab_sq, h_ba_sq) AS BIGINT) AS h_sq
+    FROM hab JOIN hba ON hab.ea = hba.ea AND hab.eb = hba.eb
+    WHERE greatest(h_ab_sq, h_ba_sq) <= {HDJ_TAU} * {HDJ_TAU}
+    ORDER BY ent_a, ent_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: co_travel — spatiotemporal contact pairs over events
 # ---------------------------------------------------------------------------
 
@@ -4766,6 +4826,8 @@ QUERIES = {
     "co_travel": q_co_travel,
     # validity-window join (chunk-bucketed, ownership-deduped)
     "interval_join": q_interval_join,
+    # trajectory-similarity join (bbox-grid-blocked exact Hausdorff)
+    "hausdorff_pairs": q_hausdorff_pairs,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4911,6 +4973,7 @@ ORACLES = {
     "knox_test": sql_knox_test(),
     "co_travel": sql_co_travel(),
     "interval_join": sql_interval_join(),
+    "hausdorff_pairs": sql_hausdorff_pairs(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
