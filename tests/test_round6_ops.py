@@ -126,6 +126,89 @@ def test_hausdorff_join_negative_coords_and_duplicates(spark):
     assert got == {(1, 2): (0, 0, 0)}   # ent 3 is beyond tau of both
 
 
+def _brute_frechet(A, B, tau):
+    """Reference reachability DP, plain nested loops: returns
+    (corner_reached, n_reachable_cells)."""
+    n, m = len(A), len(B)
+    ok = [[(A[i][0] - B[j][0]) ** 2 + (A[i][1] - B[j][1]) ** 2
+           <= tau * tau for j in range(m)] for i in range(n)]
+    reach = [[False] * m for _ in range(n)]
+    total = 0
+    for i in range(n):
+        for j in range(m):
+            if not ok[i][j]:
+                continue
+            if i == 0 and j == 0:
+                reach[i][j] = True
+            else:
+                reach[i][j] = ((i > 0 and reach[i - 1][j])
+                               or (j > 0 and reach[i][j - 1])
+                               or (i > 0 and j > 0 and reach[i - 1][j - 1]))
+            total += reach[i][j]
+    return reach[n - 1][m - 1], total
+
+
+def test_frechet_join_matches_bruteforce_dp(spark):
+    """Vectorized per-run-cummax DP equals the literal nested-loop
+    reachability DP pair by pair (verdict AND the full n_reach
+    surface); every Fréchet match is also a Hausdorff match; ordered
+    semantics reject set-equal tracks walked in opposite order at a
+    tau that Hausdorff accepts."""
+    from zellige_spark.operators import trajectories as TRJ
+
+    rng = np.random.default_rng(29)
+    tracks, rows = {}, []
+    for ent in range(30):
+        hx = int(rng.integers(0, 6)) * 800
+        hy = int(rng.integers(0, 6)) * 800
+        n = int(rng.integers(2, 25))
+        pts = [(hx + int(rng.integers(0, 700)),
+                hy + int(rng.integers(0, 700))) for _ in range(n)]
+        tracks[ent] = pts
+        rows += [(ent, k, x, y) for k, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "ent long, ord long, x long, y long")
+    tau = 900
+    out = TRJ.frechet_join(df, tau, cell=300, order_col="ord")
+    got = sorted((r.ent_a, r.ent_b, r.n_a, r.n_b, r.n_reach)
+                 for r in out.collect())
+
+    want = []
+    ents = sorted(tracks)
+    for i, ea in enumerate(ents):
+        for eb in ents[i + 1:]:
+            hit, n_reach = _brute_frechet(tracks[ea], tracks[eb], tau)
+            if hit:
+                want.append((ea, eb, len(tracks[ea]),
+                             len(tracks[eb]), n_reach))
+    assert got == sorted(want)
+
+    # frechet matches are a subset of hausdorff matches at the same tau
+    hd = TRJ.hausdorff_join(
+        df.select("ent", "x", "y"), tau, cell=300)
+    hd_pairs = {(r.ent_a, r.ent_b) for r in hd.collect()}
+    assert {(a, b) for a, b, *_ in got} <= hd_pairs
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frechet_join_order_sensitivity(spark):
+    """Two tracks visiting the SAME points in reverse order: Hausdorff
+    0, Fréchet large — the join must reject them at a small tau."""
+    from zellige_spark.operators import trajectories as TRJ
+
+    pts = [(0, 0), (1000, 0), (2000, 0), (3000, 0)]
+    rows = ([(1, k, x, y) for k, (x, y) in enumerate(pts)]
+            + [(2, k, x, y) for k, (x, y) in enumerate(reversed(pts))])
+    df = spark.createDataFrame(rows, "ent long, ord long, x long, y long")
+    assert TRJ.frechet_join(df, 500, cell=1000).count() == 0
+    hd = TRJ.hausdorff_join(df.select("ent", "x", "y"), 500, cell=1000)
+    assert [(r.ent_a, r.ent_b, r.h_sq) for r in hd.collect()] == [(1, 2, 0)]
+    # at tau >= 3000 the leash can span the reversal
+    assert TRJ.frechet_join(df, 3000, cell=1000).count() == 1
+
+
 def test_hausdorff_join_rejects_bad_params(spark):
     from zellige_spark.operators import trajectories as TRJ
 

@@ -249,6 +249,50 @@ def resample_tracks(df: DataFrame, step_s: int = 3600,
                     lerp_y.cast("long").alias("y"))
 
 
+def _bbox_grid_candidates(pts: DataFrame, tau: int,
+                          cell: int | None) -> DataFrame:
+    """Candidate entity pairs whose per-entity point-set bboxes are
+    within ``tau`` on BOTH axes — the shared blocking stage of the
+    track-similarity joins (Hausdorff, Fréchet: both distances are
+    >= the bbox gap, so the pruning is lossless for any <= tau match).
+
+    One partial-agg'd shuffle reduces ``pts`` (columns _e, _x, _y) to
+    per-entity bboxes; each bbox expands by ceil(tau/2) per side and
+    explodes to the ``cell``-width grid cells it covers (pick ``cell``
+    near the typical track span — fan-out stays O(1) per entity);
+    candidates come from ONE self-equi-join on the cell key.  A pair
+    sharing many cells is kept exactly once WITHOUT a distinct: it is
+    OWNED by the cell containing the component-wise max of the two
+    expanded lower corners, covered by both sides by construction
+    (the 1-D interval-join ownership trick per axis; valid under
+    Spark's truncating ``div`` because any monotone cell map works).
+    Returns (_ea, _eb) with _ea < _eb.
+    """
+    c = int(cell) if cell is not None else int(tau)
+    if c <= 0:
+        raise ValueError("cell must be a positive integer")
+    e = (int(tau) + 1) // 2   # boxes overlap <=> axis gap <= 2e >= tau
+    box = pts.groupBy("_e").agg(
+        (F.min("_x") - e).alias("_xlo"), (F.max("_x") + e).alias("_xhi"),
+        (F.min("_y") - e).alias("_ylo"), (F.max("_y") + e).alias("_yhi"))
+    cells = (box
+             .withColumn("_cx", F.explode(F.sequence(
+                 F.expr(f"_xlo div {c}"), F.expr(f"_xhi div {c}"))))
+             .withColumn("_cy", F.explode(F.sequence(
+                 F.expr(f"_ylo div {c}"), F.expr(f"_yhi div {c}")))))
+    a = cells.select(F.col("_e").alias("_ea"), F.col("_xlo").alias("_axlo"),
+                     F.col("_ylo").alias("_aylo"), "_cx", "_cy")
+    b = cells.select(F.col("_e").alias("_eb"), F.col("_xlo").alias("_bxlo"),
+                     F.col("_ylo").alias("_bylo"), "_cx", "_cy")
+    return (a.join(b, ["_cx", "_cy"])
+            .filter((F.col("_ea") < F.col("_eb"))
+                    & (F.col("_cx")
+                       == F.expr(f"greatest(_axlo, _bxlo) div {c}"))
+                    & (F.col("_cy")
+                       == F.expr(f"greatest(_aylo, _bylo) div {c}")))
+            .select("_ea", "_eb"))
+
+
 def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
                    entity_col: str = "ent", x_col: str = "x",
                    y_col: str = "y") -> DataFrame:
@@ -284,33 +328,10 @@ def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
     t = int(tau)
     if t <= 0:
         raise ValueError("tau must be a positive integer")
-    c = int(cell) if cell is not None else t
-    if c <= 0:
-        raise ValueError("cell must be a positive integer")
-    e = (t + 1) // 2   # expanded boxes overlap  <=>  axis gap <= 2e >= tau
-
     pts = df.select(F.col(entity_col).alias("_e"),
                     F.col(x_col).cast("long").alias("_x"),
                     F.col(y_col).cast("long").alias("_y"))
-    box = pts.groupBy("_e").agg(
-        (F.min("_x") - e).alias("_xlo"), (F.max("_x") + e).alias("_xhi"),
-        (F.min("_y") - e).alias("_ylo"), (F.max("_y") + e).alias("_yhi"))
-    cells = (box
-             .withColumn("_cx", F.explode(F.sequence(
-                 F.expr(f"_xlo div {c}"), F.expr(f"_xhi div {c}"))))
-             .withColumn("_cy", F.explode(F.sequence(
-                 F.expr(f"_ylo div {c}"), F.expr(f"_yhi div {c}")))))
-    a = cells.select(F.col("_e").alias("_ea"), F.col("_xlo").alias("_axlo"),
-                     F.col("_ylo").alias("_aylo"), "_cx", "_cy")
-    b = cells.select(F.col("_e").alias("_eb"), F.col("_xlo").alias("_bxlo"),
-                     F.col("_ylo").alias("_bylo"), "_cx", "_cy")
-    cand = (a.join(b, ["_cx", "_cy"])
-            .filter((F.col("_ea") < F.col("_eb"))
-                    & (F.col("_cx")
-                       == F.expr(f"greatest(_axlo, _bxlo) div {c}"))
-                    & (F.col("_cy")
-                       == F.expr(f"greatest(_aylo, _bylo) div {c}")))
-            .select("_ea", "_eb"))
+    cand = _bbox_grid_candidates(pts, t, cell)
 
     pa = pts.select(F.col("_e").alias("_ea"), F.col("_x").alias("_ax"),
                     F.col("_y").alias("_ay"))
@@ -339,6 +360,96 @@ def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
             .filter(F.col("h_sq") <= F.lit(t) * F.lit(t))
             .select(F.col("_ea").alias("ent_a"), F.col("_eb").alias("ent_b"),
                     "h_ab_sq", "h_ba_sq", "h_sq"))
+
+
+def frechet_join(df: DataFrame, tau: int, cell: int | None = None,
+                 entity_col: str = "ent", order_col: str = "ord",
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """ORDERED-track similarity join: entity pairs whose discrete
+    Fréchet distance is <= ``tau`` — the leash distance over monotone
+    traversals of both tracks ("did these two trajectories follow the
+    same route in the same order", the question Hausdorff's set
+    semantics cannot ask).  Integer lattice inputs; the <= tau test is
+    exact (int64 squared distances against tau^2, no floats).
+
+    Scale plan: candidates come from the shared lossless bbox-grid
+    blocking (``_bbox_grid_candidates`` — Fréchet >= Hausdorff >= the
+    bbox gap), tracks reduce to sorted per-entity arrays in one
+    partial-agg'd shuffle, and each candidate pair runs the classic
+    reachability DP — cell (i,j) is reachable iff d2(a_i,b_j) <= tau^2
+    and a predecessor (i-1,j), (i,j-1), (i-1,j-1) is — inside ONE
+    Arrow-batched pandas UDF, vectorized along the row axis (per-run
+    cummax propagates the within-row horizontal moves, so the inner
+    loop is O(len_a) numpy row ops, never per-cell Python).  A track
+    must fit in one Arrow batch row — the ``simplify_tracks``
+    contract.
+
+    Output (matched pairs only): (ent_a, ent_b, n_a, n_b, n_reach)
+    where n_reach is the total count of DP-reachable grid cells — a
+    full fingerprint of the DP surface, hash-checked by the DuckDB
+    recursive-CTE reachability oracle.
+    """
+    t = int(tau)
+    if t <= 0:
+        raise ValueError("tau must be a positive integer")
+    t2 = t * t
+
+    pts = df.select(F.col(entity_col).alias("_e"),
+                    F.col(order_col).alias("_o"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+    cand = _bbox_grid_candidates(pts, t, cell)
+    trk = pts.groupBy("_e").agg(F.sort_array(F.collect_list(F.struct(
+        F.col("_o").alias("o"), F.col("_x").alias("x"),
+        F.col("_y").alias("y")))).alias("_t"))
+    ta = trk.select(F.col("_e").alias("_ea"),
+                    F.col("_t").getField("x").alias("_axs"),
+                    F.col("_t").getField("y").alias("_ays"))
+    tb = trk.select(F.col("_e").alias("_eb"),
+                    F.col("_t").getField("x").alias("_bxs"),
+                    F.col("_t").getField("y").alias("_bys"))
+
+    @F.pandas_udf("matched boolean, n_reach long")
+    def _dp(axs: pd.Series, ays: pd.Series, bxs: pd.Series,
+            bys: pd.Series) -> pd.DataFrame:
+        out_m, out_r = [], []
+        for k in range(len(axs)):
+            ax = np.asarray(axs[k], dtype=np.int64)
+            ay = np.asarray(ays[k], dtype=np.int64)
+            bx = np.asarray(bxs[k], dtype=np.int64)
+            by = np.asarray(bys[k], dtype=np.int64)
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            ok = dx * dx + dy * dy <= t2
+            m = ok.shape[1]
+            prev = None
+            total = 0
+            for i in range(ok.shape[0]):
+                okr = ok[i]
+                if prev is None:
+                    seed = np.zeros(m, dtype=bool)
+                    seed[0] = okr[0]
+                else:
+                    seed = okr & (prev | np.concatenate(
+                        ([False], prev[:-1])))
+                # horizontal propagation within each True-run of okr:
+                # reachable from the first seed of the run onward
+                runid = np.cumsum(~okr)
+                hit = np.maximum.accumulate(
+                    np.where(seed, runid + 1, 0))
+                prev = okr & (hit == runid + 1)
+                total += int(prev.sum())
+            out_m.append(bool(prev[m - 1]))
+            out_r.append(total)
+        return pd.DataFrame({"matched": out_m, "n_reach": out_r})
+
+    res = (cand.join(ta, "_ea").join(tb, "_eb")
+           .withColumn("_r", _dp("_axs", "_ays", "_bxs", "_bys")))
+    return (res.filter(F.col("_r.matched"))
+            .select(F.col("_ea").alias("ent_a"), F.col("_eb").alias("ent_b"),
+                    F.size("_axs").cast("long").alias("n_a"),
+                    F.size("_bxs").cast("long").alias("n_b"),
+                    F.col("_r.n_reach").alias("n_reach")))
 
 
 def simplify_tracks(df: DataFrame, epsilon_m: float,

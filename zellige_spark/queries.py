@@ -4045,6 +4045,82 @@ def sql_hausdorff_pairs() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: frechet_pairs — ORDERED-track similarity join (discrete Fréchet <= tau)
+# ---------------------------------------------------------------------------
+
+FDJ_TAU = 2500     # discrete Fréchet threshold, lattice units
+
+
+def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-track similarity join: user pairs whose event-ordered
+    tracks are within discrete Fréchet distance FDJ_TAU ("followed the
+    same route in the same order") — `operators/trajectories.py::
+    frechet_join`: shared lossless bbox-grid blocking, then the
+    reachability DP per candidate pair in one Arrow-batched pandas
+    UDF.  Same home-lattice walks as `hausdorff_pairs`; the ordered
+    semantics admit strictly fewer pairs than the Hausdorff join.  The
+    oracle is a DuckDB RECURSIVE-CTE reachability twin, and `n_reach`
+    hash-checks the entire DP surface, not just the verdict."""
+    from .operators import trajectories as TRJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("ent"),
+        F.col("event_id").alias("ord"),
+        F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
+        F.expr("(user_id div 25 % 8) * 2000 + event_id * 173 % 1500")
+        .alias("y"))
+    return (TRJ.frechet_join(ev, FDJ_TAU, HDJ_CELL)
+            .orderBy("ent_a", "ent_b"))
+
+
+def sql_frechet_pairs() -> str:
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT user_id AS ent,
+             (user_id % 25) * 2000 + event_id * 131 % 1500 AS x,
+             (user_id // 25 % 8) * 2000 + event_id * 173 % 1500 AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events
+    ), tlen AS (
+      SELECT ent, MAX(rn) AS n FROM pts GROUP BY ent
+    ), ok AS (
+      SELECT a.ent AS ea, b.ent AS eb, a.rn AS i, b.rn AS j
+      FROM pts a JOIN pts b ON a.ent < b.ent
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {FDJ_TAU} * {FDJ_TAU}
+    ), reach AS (
+      SELECT ea, eb, i, j FROM ok WHERE i = 1 AND j = 1
+      UNION
+      SELECT o.ea, o.eb, o.i, o.j
+      FROM reach r JOIN ok o
+        ON o.ea = r.ea AND o.eb = r.eb
+       AND ((o.i = r.i + 1 AND o.j = r.j)
+         OR (o.i = r.i AND o.j = r.j + 1)
+         OR (o.i = r.i + 1 AND o.j = r.j + 1))
+    ), agg AS (
+      SELECT ea, eb, COUNT(*) AS n_reach,
+             MAX(CASE WHEN i = la.n AND j = lb.n THEN 1 ELSE 0 END)
+               AS matched
+      FROM reach
+      JOIN tlen la ON la.ent = ea
+      JOIN tlen lb ON lb.ent = eb
+      GROUP BY ea, eb
+    )
+    SELECT CAST(agg.ea AS BIGINT) AS ent_a,
+           CAST(agg.eb AS BIGINT) AS ent_b,
+           CAST(la.n AS BIGINT) AS n_a,
+           CAST(lb.n AS BIGINT) AS n_b,
+           CAST(n_reach AS BIGINT) AS n_reach
+    FROM agg
+    JOIN tlen la ON la.ent = agg.ea
+    JOIN tlen lb ON lb.ent = agg.eb
+    WHERE matched = 1
+    ORDER BY ent_a, ent_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: co_travel — spatiotemporal contact pairs over events
 # ---------------------------------------------------------------------------
 
@@ -4828,6 +4904,8 @@ QUERIES = {
     "interval_join": q_interval_join,
     # trajectory-similarity join (bbox-grid-blocked exact Hausdorff)
     "hausdorff_pairs": q_hausdorff_pairs,
+    # ordered-track similarity (discrete Fréchet DP, recursive-CTE oracle)
+    "frechet_pairs": q_frechet_pairs,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -4974,6 +5052,7 @@ ORACLES = {
     "co_travel": sql_co_travel(),
     "interval_join": sql_interval_join(),
     "hausdorff_pairs": sql_hausdorff_pairs(),
+    "frechet_pairs": sql_frechet_pairs(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
