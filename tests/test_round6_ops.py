@@ -209,6 +209,70 @@ def test_frechet_join_order_sensitivity(spark):
     assert TRJ.frechet_join(df, 3000, cell=1000).count() == 1
 
 
+def _brute_grid_bfs(seeds, walkable, n, max_d):
+    """Reference multi-source BFS with x-wrap, dict-based."""
+    from collections import deque
+    walk = set(walkable)
+    dist = {c: 0 for c in seeds if c in walk}
+    q = deque(dist)
+    while q:
+        x, y = q.popleft()
+        d = dist[(x, y)]
+        if d >= max_d:
+            continue
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = ((x + dx) % n, y + dy)
+            if 0 <= nb[1] < n and nb in walk and nb not in dist:
+                dist[nb] = d + 1
+                q.append(nb)
+    return dist
+
+
+def test_grid_geodesic_detour_and_wrap(spark):
+    """A wall forces the BFS around (geodesic > Manhattan); x wraps
+    across the antimeridian; seeds outside the walkable set drop;
+    max_d truncates the transform."""
+    from zellige_spark.operators import tiles as T
+
+    n = 8   # zoom 3
+    # walkable: full ring row y=2 (wrap test) plus a U-shaped corridor
+    # around a wall at (2,5): (1,4..6), (2,4), (2,6), (3,4..6)
+    walk = [(x, 2) for x in range(n)] + [
+        (1, 4), (1, 5), (1, 6), (2, 4), (2, 6), (3, 4), (3, 5), (3, 6)]
+    seeds = [(7, 2),    # wrap seed on the ring
+             (1, 5),    # corridor seed facing the wall
+             (5, 5)]    # NOT walkable -> dropped
+    sdf = spark.createDataFrame(seeds, "tile_x long, tile_y long")
+    wdf = spark.createDataFrame(walk, "tile_x long, tile_y long")
+    got = {(r.tile_x, r.tile_y): r.dist
+           for r in T.grid_geodesic(sdf, wdf, zoom=3, max_d=4).collect()}
+    want = _brute_grid_bfs(seeds, walk, n, 4)
+    assert got == want
+    assert got[(0, 2)] == 1            # wrapped across x = 0
+    assert got[(3, 5)] == 4            # around the wall: 4, not |dx| = 2
+    assert (5, 5) not in got           # dropped seed
+    assert all(d <= 4 for d in got.values())
+
+
+def test_grid_geodesic_early_exit_and_zero_horizon(spark):
+    """An isolated component drains the frontier before max_d (early
+    exit must still return everything reached); max_d=0 returns only
+    the walkable seeds."""
+    from zellige_spark.operators import tiles as T
+
+    walk = [(0, 0), (0, 1), (5, 5)]
+    sdf = spark.createDataFrame([(0, 0)], "tile_x long, tile_y long")
+    wdf = spark.createDataFrame(walk, "tile_x long, tile_y long")
+    got = {(r.tile_x, r.tile_y): r.dist
+           for r in T.grid_geodesic(sdf, wdf, zoom=3, max_d=50).collect()}
+    assert got == {(0, 0): 0, (0, 1): 1}
+    got0 = {(r.tile_x, r.tile_y): r.dist
+            for r in T.grid_geodesic(sdf, wdf, zoom=3, max_d=0).collect()}
+    assert got0 == {(0, 0): 0}
+    with pytest.raises(ValueError):
+        T.grid_geodesic(sdf, wdf, zoom=3, max_d=-1)
+
+
 def test_hausdorff_join_rejects_bad_params(spark):
     from zellige_spark.operators import trajectories as TRJ
 

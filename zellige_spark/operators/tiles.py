@@ -539,6 +539,66 @@ def buffer_cells(cells: DataFrame, zoom: int, ring: int = 1) -> DataFrame:
             .distinct())
 
 
+def grid_geodesic(seeds: DataFrame, walkable: DataFrame, zoom: int,
+                  max_d: int) -> DataFrame:
+    """Geodesic distance transform on the cell lattice: for every
+    walkable cell, the length of the shortest 4-connected path to the
+    nearest seed cell THROUGH WALKABLE CELLS ONLY — "how far is every
+    serviced cell from the nearest depot, walking the road grid", the
+    obstacle-aware generalization of ``buffer_cells`` (whose Chebyshev
+    rings assume free space and need no iteration).
+
+    Both inputs are (tile_x, tile_y) cell sets at ``zoom``; seeds
+    outside the walkable set are dropped.  x wraps modulo 2^zoom
+    (slippy-map antimeridian adjacency), y is clamped at the poles.
+
+    Scale shape: pure cell-set algebra — every round touches at most
+    4^zoom rows whatever the corpus size.  BFS frontier expansion runs
+    at most ``max_d`` rounds; each round is one 4-offset explode, an
+    equi-join (semi) against the walkable set, and an anti-join
+    against the visited set, with a ``localCheckpoint`` per round to
+    keep the lineage flat (the ``adaptive_knn`` loop discipline).  The
+    loop exits early when the frontier drains.
+
+    Output: (tile_x, tile_y, dist) for every walkable cell within
+    ``max_d`` of a seed — exact BIGINT BFS distances, hash-checked by
+    a DuckDB recursive-CTE twin.
+    """
+    if max_d < 0:
+        raise ValueError("max_d must be >= 0")
+    n = 1 << zoom
+    walk = (walkable.select(F.col("tile_x").cast("long"),
+                            F.col("tile_y").cast("long"))
+            .distinct().localCheckpoint())
+    visited = (seeds.select(F.col("tile_x").cast("long"),
+                            F.col("tile_y").cast("long"))
+               .distinct()
+               .join(walk, ["tile_x", "tile_y"], "left_semi")
+               .withColumn("dist", F.lit(0).cast("long"))
+               .localCheckpoint())
+    frontier = visited
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    for d in range(1, max_d + 1):
+        nxt = (frontier
+               .withColumn("_o", F.explode(offs))
+               .select(((F.col("tile_x") + F.col("_o.dx") + F.lit(n))
+                        % F.lit(n)).alias("tile_x"),
+                       (F.col("tile_y") + F.col("_o.dy")).alias("tile_y"))
+               .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
+               .distinct()
+               .join(walk, ["tile_x", "tile_y"], "left_semi")
+               .join(visited.select("tile_x", "tile_y"),
+                     ["tile_x", "tile_y"], "left_anti")
+               .withColumn("dist", F.lit(d).cast("long"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def segment_cover(df: DataFrame, zoom: int,
                   seg_cols: Sequence[str] = ("seg_id",),
                   lon1: str = "lon1", lat1: str = "lat1",

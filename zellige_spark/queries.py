@@ -4045,6 +4045,74 @@ def sql_hausdorff_pairs() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q: grid_geodesic — obstacle-aware BFS distance transform on the lattice
+# ---------------------------------------------------------------------------
+
+GGD_ZOOM = 7    # 128 x 128 lattice: ~60% order occupancy at sf0.01 —
+                # near the site-percolation threshold, so the walkable
+                # set is a genuine maze with nontrivial detours
+GGD_MAXD = 8    # BFS horizon (rounds)
+GGD_DEPOT_MOD = 101   # orders with key % this == 0 seed depot cells
+
+
+def q_grid_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance transform: for every order-occupied z7 cell,
+    the shortest 4-connected path length to the nearest DEPOT cell
+    (orders with key % GGD_DEPOT_MOD == 0) walking only through
+    occupied cells — "how far is every serviced cell from the nearest
+    depot along the service grid" (`operators/tiles.py::
+    grid_geodesic`, bounded-round BFS on cell-set algebra).  The
+    near-percolation occupancy makes a genuine maze: free-space
+    Chebyshev rings would be wrong wherever the path detours.
+    Oracle: DuckDB recursive-CTE BFS."""
+    from .operators import tiles as T
+
+    # moduli coprime to the lattice side: a shared power-of-two
+    # modulus would lock x and y to the same k mod 128 phase (a 1-D
+    # cycle, not a 2-D occupancy maze)
+    occ = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select(F.col("o_orderkey"),
+                   F.expr("o_orderkey * 7919 % 360000 div 2813")
+                   .alias("tile_x"),
+                   F.expr("(o_orderkey * 104729 + 13) % 170000 div 1329")
+                   .alias("tile_y")))
+    walk = occ.select("tile_x", "tile_y").distinct()
+    seeds = (occ.filter(F.expr(f"o_orderkey % {GGD_DEPOT_MOD} = 0"))
+             .select("tile_x", "tile_y"))
+    return (T.grid_geodesic(seeds, walk, GGD_ZOOM, GGD_MAXD)
+            .orderBy("tile_x", "tile_y"))
+
+
+def sql_grid_geodesic() -> str:
+    n = 1 << GGD_ZOOM
+    return f"""
+    WITH RECURSIVE occ AS (
+      SELECT o_orderkey AS k,
+             o_orderkey * 7919 % 360000 // 2813 AS x,
+             (o_orderkey * 104729 + 13) % 170000 // 1329 AS y
+      FROM orders
+    ), walk AS (
+      SELECT DISTINCT x, y FROM occ
+    ), seeds AS (
+      SELECT DISTINCT x, y FROM occ WHERE k % {GGD_DEPOT_MOD} = 0
+    ), r AS (
+      SELECT x, y, 0 AS d FROM seeds
+      UNION
+      SELECT w.x, w.y, r.d + 1
+      FROM r
+      JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy) ON true
+      JOIN walk w ON w.x = (r.x + o.dx + {n}) % {n}
+                 AND w.y = r.y + o.dy
+      WHERE r.d < {GGD_MAXD}
+    )
+    SELECT CAST(x AS BIGINT) AS tile_x, CAST(y AS BIGINT) AS tile_y,
+           CAST(MIN(d) AS BIGINT) AS dist
+    FROM r GROUP BY x, y
+    ORDER BY tile_x, tile_y
+    """
+
+
+# ---------------------------------------------------------------------------
 # q: frechet_pairs — ORDERED-track similarity join (discrete Fréchet <= tau)
 # ---------------------------------------------------------------------------
 
@@ -4906,6 +4974,8 @@ QUERIES = {
     "hausdorff_pairs": q_hausdorff_pairs,
     # ordered-track similarity (discrete Fréchet DP, recursive-CTE oracle)
     "frechet_pairs": q_frechet_pairs,
+    # obstacle-aware BFS distance transform (bounded-round cell algebra)
+    "grid_geodesic": q_grid_geodesic,
     # exact segment-intersection join (grid-blocked, int64 geometry)
     "track_crossings": q_track_crossings,
     # nearest-segment snap (map matching; exact DECIMAL(38) geometry,
@@ -5053,6 +5123,7 @@ ORACLES = {
     "interval_join": sql_interval_join(),
     "hausdorff_pairs": sql_hausdorff_pairs(),
     "frechet_pairs": sql_frechet_pairs(),
+    "grid_geodesic": sql_grid_geodesic(),
     "track_crossings": sql_track_crossings(),
     "map_snap": sql_map_snap(),
     "geofence_transitions": sql_geofence_transitions(),
