@@ -281,3 +281,42 @@ def test_hausdorff_join_rejects_bad_params(spark):
         TRJ.hausdorff_join(df, tau=0)
     with pytest.raises(ValueError):
         TRJ.hausdorff_join(df, tau=10, cell=-5)
+
+
+def test_medoid_matches_bruteforce_pairwise(spark):
+    """The linear sum-of-squares decomposition picks the SAME member
+    as the literal pairwise-cost argmin, with the same total cost and
+    the smallest-id tie-break, across groups of size 1..n."""
+    from zellige_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(91)
+    rows, want = [], {}
+    for grp in range(6):
+        k = [1, 2, 3, 5, 17, 40][grp]
+        vecs = rng.integers(-127, 128, size=(k, 8))
+        if grp == 2:
+            vecs[1] = vecs[0]            # duplicate -> cost tie
+        ids = [grp * 1000 + i for i in range(k)]
+        for vid, v in zip(ids, vecs):
+            rows.append((grp, vid, [int(x) for x in v]))
+        d2 = ((vecs[:, None, :].astype(np.int64)
+               - vecs[None, :, :]) ** 2).sum(axis=2)
+        cost = d2.sum(axis=1)
+        best = int(np.lexsort((ids, cost))[0])
+        want[grp] = (k, ids[best], int(cost[best]))
+
+    df = spark.createDataFrame(rows, "g long, vec_id long, qvec array<int>")
+    out = SIM.medoid_per_group(df, ["g"])
+    got = {r.g: (r.k, r.medoid_id, r.medoid_cost) for r in out.collect()}
+    assert got == want
+
+
+def test_medoid_tie_breaks_to_smallest_id(spark):
+    """Two identical vectors in a 2-group: equal costs, smaller id wins."""
+    from zellige_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(0, 7, [1, 2]), (0, 3, [1, 2])],
+        "g long, vec_id long, qvec array<int>")
+    r = SIM.medoid_per_group(df, ["g"]).collect()[0]
+    assert (r.k, r.medoid_id, r.medoid_cost) == (2, 3, 0)

@@ -221,6 +221,110 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
                        F.expr(_QVEC).alias("qvec")))
 
 
+def medoid_per_group(df: DataFrame, group_cols: list,
+                     id_col: str = "vec_id",
+                     vec_col: str = "qvec") -> DataFrame:
+    """Per-group MEDOID over integer vectors: the member minimizing the
+    sum of squared L2 distances to every member of its group (ties
+    break to the smallest id) — "the representative image per tile",
+    the selection step of corpus curation and per-cell thumbnailing.
+
+    Scale plan — the classic sum-of-squares decomposition makes the
+    medoid LINEAR, never a pairwise join:
+
+        sum_b ||a - b||^2  =  k*||a||^2  -  2*(a . S)  +  Q
+
+    with S = element-wise vector sum, Q = sum of squared norms, k =
+    group size.  One dim-exploded partial-agg'd shuffle builds S
+    (bounded by groups x dim), one agg builds (Q, k), one join brings
+    the three stats back (group-stat side is groups-bounded — AQE
+    broadcasts it), and per-member cost is O(dim) JVM Column math
+    (`zip_with` dot against the joined S).  Everything is exact int64
+    — the DuckDB oracle computes the LITERAL pairwise sum, so the
+    gate proves the algebraic identity, not a shared implementation.
+
+    Output: group_cols + (k, medoid_id, medoid_cost).
+    """
+    g = list(group_cols)
+    base = df.select(*g, F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v")).withColumn(
+        "_n2", F.expr("aggregate(_v, 0L, (a, q) -> a + CAST(q AS BIGINT) * q)"))
+    dimsum = (base.select(*g, F.posexplode("_v").alias("_i", "_q"))
+              .groupBy(*g, "_i").agg(F.sum("_q").alias("_s")))
+    svec = (dimsum.groupBy(*g)
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_s")))
+                 .getField("_s").alias("_sv")))
+    qk = base.groupBy(*g).agg(F.sum("_n2").alias("_qq"),
+                              F.count("*").alias("k"))
+    stats = svec.join(qk, g)
+    cost = (F.col("k") * F.col("_n2")
+            - F.lit(2) * F.expr(
+                "aggregate(zip_with(_v, _sv, (a, b) -> CAST(a AS BIGINT) * b),"
+                " 0L, (acc, x) -> acc + x)")
+            + F.col("_qq"))
+    scored = base.join(stats, g).withColumn("_cost", cost)
+    return (scored.groupBy(*g)
+            .agg(F.min("k").alias("k"),
+                 F.min(F.struct(F.col("_cost"), F.col("_id"))).alias("_m"))
+            .select(*g, F.col("k"),
+                    F.col("_m._id").alias("medoid_id"),
+                    F.col("_m._cost").alias("medoid_cost")))
+
+
+MED_GRID = 4   # tile grid side for the medoid driver query
+
+
+def q_tile_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative image per tile: int8-quantize each embedding
+    (the `embed_quantize` format), assign a 4x4 tile from the vec_id
+    (independent moduli — no phase lock), and pick the per-tile
+    medoid by exact integer squared L2 via the linear sum-of-squares
+    decomposition.  The oracle recomputes the LITERAL pairwise cost
+    matrix, proving the identity end to end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = (emb.filter(F.expr(_ABS_MAX) > 0)
+          .select(F.expr("vec_id * 7919 % 360000 div 90000")
+                  .alias("tile_x"),
+                  F.expr("(vec_id * 104729 + 13) % 170000 div 42500")
+                  .alias("tile_y"),
+                  "vec_id", F.expr(_QVEC).alias("qvec")))
+    return (medoid_per_group(df, ["tile_x", "tile_y"])
+            .orderBy("tile_x", "tile_y"))
+
+
+def sql_tile_medoid() -> str:
+    mx = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+    qv = (f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / {mx}"
+          f" * 127.0 + 0.5) AS INT))")
+    return f"""
+    WITH q AS (
+      SELECT vec_id * 7919 % 360000 // 90000 AS tx,
+             (vec_id * 104729 + 13) % 170000 // 42500 AS ty,
+             vec_id, {qv} AS qvec
+      FROM embeddings WHERE {mx} > 0
+    ), cost AS (
+      SELECT a.tx, a.ty, a.vec_id AS ia,
+             SUM(list_aggregate(list_transform(list_zip(a.qvec, b.qvec),
+                 p -> CAST(p[1] - p[2] AS BIGINT) * (p[1] - p[2])),
+                 'sum')) AS c
+      FROM q a JOIN q b ON a.tx = b.tx AND a.ty = b.ty
+      GROUP BY 1, 2, 3
+    ), kk AS (
+      SELECT tx, ty, COUNT(*) AS k FROM q GROUP BY 1, 2
+    ), sel AS (
+      SELECT tx, ty, ia, c,
+             row_number() OVER (PARTITION BY tx, ty ORDER BY c, ia) AS rn
+      FROM cost
+    )
+    SELECT CAST(sel.tx AS BIGINT) AS tile_x, CAST(sel.ty AS BIGINT) AS tile_y,
+           CAST(k AS BIGINT) AS k,
+           CAST(ia AS BIGINT) AS medoid_id, CAST(c AS BIGINT) AS medoid_cost
+    FROM sel JOIN kk ON kk.tx = sel.tx AND kk.ty = sel.ty
+    WHERE rn = 1
+    ORDER BY tile_x, tile_y
+    """
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

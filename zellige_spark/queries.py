@@ -4933,6 +4933,9 @@ QUERIES = {
     "ann_ivfpq": SIM.q_ann_ivfpq,
     "embed_cosine_dup": SIM.q_embed_cosine_dup,
     "embed_quantize": SIM.q_embed_quantize,
+    # representative vector per tile: exact integer medoid via the
+    # linear sum-of-squares decomposition (no pairwise join)
+    "tile_medoid": SIM.q_tile_medoid,
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
@@ -5102,6 +5105,7 @@ ORACLES = {
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "embed_quantize": SIM.sql_embed_quantize(),
+    "tile_medoid": SIM.sql_tile_medoid(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_funnel": EV.sql_event_funnel(),
