@@ -320,3 +320,81 @@ def test_medoid_tie_breaks_to_smallest_id(spark):
         "g long, vec_id long, qvec array<int>")
     r = SIM.medoid_per_group(df, ["g"]).collect()[0]
     assert (r.k, r.medoid_id, r.medoid_cost) == (2, 3, 0)
+
+
+def _brute_quadtree(fine_counts, cap, max_zoom):
+    """Literal recursive split over fine-cell counts {(fx,fy): c}."""
+    def count_in(z, x, y):
+        s = max_zoom - z
+        return sum(c for (fx, fy), c in fine_counts.items()
+                   if fx >> s == x and fy >> s == y)
+    leaves = []
+    def rec(z, x, y):
+        c = count_in(z, x, y)
+        if c == 0:
+            return
+        if c <= cap or z == max_zoom:
+            leaves.append((z, x, y, c))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(z + 1, 2 * x + dx, 2 * y + dy)
+    rec(0, 0, 0)
+    return sorted(leaves)
+
+
+def test_quadtree_split_matches_recursive_bruteforce(spark):
+    """Closed-form leaf selection (parent-count monotonicity) equals
+    the LITERAL recursive split; leaves cover every point exactly once
+    (quadtree_assign hits each point once); no non-max leaf exceeds
+    the cap."""
+    from zellige_spark.operators import tiles as T
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    hot = rng.uniform([-0.5, -0.5], [0.5, 0.5], size=(400, 2))
+    bg = rng.uniform([-170.0, -80.0], [170.0, 80.0], size=(250, 2))
+    pts = np.vstack([hot, bg])
+    df = spark.createDataFrame(
+        [(i, float(lo), float(la)) for i, (lo, la) in enumerate(pts)],
+        "pid long, lon double, lat double")
+    CAP, MZ = 30, 7
+    leaves = T.quadtree_split(df, cap=CAP, max_zoom=MZ)
+    got = sorted((r.zoom, r.tile_x, r.tile_y, r.n_points)
+                 for r in leaves.collect())
+
+    fine = (T.with_web_mercator(df).select(
+        *T.tile_xy(F.col("x3857"), F.col("y3857"), F.lit(MZ))).collect())
+    counts = {}
+    for fx, fy in fine:
+        counts[(fx, fy)] = counts.get((fx, fy), 0) + 1
+    assert got == _brute_quadtree(counts, CAP, MZ)
+
+    assert sum(n for _, _, _, n in got) == len(pts)
+    assert all(n <= CAP for z, _, _, n in got if z < MZ)
+
+    asn = T.quadtree_assign(df, leaves, MZ)
+    assert asn.count() == len(pts)
+    assert asn.select("pid").distinct().count() == len(pts)
+
+
+def test_quadtree_split_degenerates(spark):
+    """Single-cell pile-up stays one over-cap leaf at max_zoom; a
+    corpus under the cap is one z0 leaf; bad params raise."""
+    from zellige_spark.operators import tiles as T
+
+    pile = spark.createDataFrame([(i, 10.0001, 20.0001) for i in range(50)],
+                                 "pid long, lon double, lat double")
+    rows = T.quadtree_split(pile, cap=5, max_zoom=6).collect()
+    assert len(rows) == 1 and rows[0].zoom == 6 and rows[0].n_points == 50
+
+    tiny = spark.createDataFrame([(1, 0.0, 0.0), (2, 100.0, -40.0)],
+                                 "pid long, lon double, lat double")
+    rows = T.quadtree_split(tiny, cap=5, max_zoom=6).collect()
+    assert [(r.zoom, r.tile_x, r.tile_y, r.n_points)
+            for r in rows] == [(0, 0, 0, 2)]
+
+    with pytest.raises(ValueError):
+        T.quadtree_split(tiny, cap=0, max_zoom=6)
+    with pytest.raises(ValueError):
+        T.quadtree_split(tiny, cap=5, max_zoom=28)

@@ -679,3 +679,87 @@ def segment_cover(df: DataFrame, zoom: int,
                     F.least(F.floor(pv).cast("long"), last))
     return (ts.select(*seg_cols, tx.alias("tile_x"), ty.alias("tile_y"))
               .distinct())
+
+
+def quadtree_split(pts: DataFrame, cap: int, max_zoom: int,
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Adaptive quadtree partitioning: the minimal mixed-zoom cell set
+    where every occupied leaf holds <= ``cap`` points (or sits at
+    ``max_zoom``) — the data-driven answer to spatial skew.  Dense
+    urban cells split deep, empty ocean never materializes; the leaf
+    set is the balanced partition map a 100-TB tiling job feeds to
+    `repartitionByRange` instead of salting blind.
+
+    Scale shape — the recursive split is computed WITHOUT iteration:
+
+    * one data shuffle reduces raw rows to fine-cell counts at
+      ``max_zoom`` (partial-agg'd, bounded by min(n, 4^max_zoom));
+    * one explode x (max_zoom+1) levels + re-agg over the CELL table
+      yields every ancestor count (cell-bounded, never touches rows);
+    * per-level counts are monotone toward the root, so "every proper
+      ancestor splits" collapses to "the PARENT's count > cap" — one
+      self-join on the cell table decides leaf-ness in closed form:
+      leaf(z,c) = (z == 0 or parent_c > cap) and (c <= cap or
+      z == max_zoom).
+
+    Only OCCUPIED leaves are emitted (the cover is of the data, not of
+    space); disjointness + exact point coverage are test-pinned.
+    Output: (zoom, tile_x, tile_y, n_points).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if not 0 <= max_zoom <= 27:
+        raise ValueError(f"max_zoom must be in [0, 27], got {max_zoom}")
+    df = with_web_mercator(pts, lon_col, lat_col)
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.lit(max_zoom))
+    fine = (df.select(tx.alias("_fx"), ty.alias("_fy"))
+              .groupBy("_fx", "_fy").agg(F.count(F.lit(1)).alias("_c")))
+    lv = fine.withColumn("zoom", F.explode(F.array(
+        *[F.lit(z) for z in range(max_zoom + 1)])))
+    cnt = (lv.select("zoom",
+                     F.expr(f"shiftright(_fx, {max_zoom} - zoom)")
+                      .alias("tile_x"),
+                     F.expr(f"shiftright(_fy, {max_zoom} - zoom)")
+                      .alias("tile_y"),
+                     "_c")
+             .groupBy("zoom", "tile_x", "tile_y")
+             .agg(F.sum("_c").alias("n_points")))
+    par = cnt.select((F.col("zoom") + 1).alias("zoom"),
+                     F.col("tile_x").alias("_px"),
+                     F.col("tile_y").alias("_py"),
+                     F.col("n_points").alias("_pc"))
+    joined = cnt.join(
+        par, [cnt.zoom == par.zoom,
+              F.shiftright(cnt.tile_x, 1) == F.col("_px"),
+              F.shiftright(cnt.tile_y, 1) == F.col("_py")],
+        "left").drop(par.zoom)
+    leaf = ((F.col("zoom") == 0) | (F.col("_pc") > cap)) & \
+           ((F.col("n_points") <= cap) | (F.col("zoom") == max_zoom))
+    return (joined.filter(leaf)
+            .select(F.col("zoom").cast("int").alias("zoom"),
+                    "tile_x", "tile_y", "n_points"))
+
+
+def quadtree_assign(pts: DataFrame, leaves: DataFrame, max_zoom: int,
+                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Route each point to its ``quadtree_split`` leaf: fan the row out
+    to its (zoom, ancestor-cell) chain (max_zoom+1 literal rows, pure
+    Column math) and inner-join the leaf set — disjointness guarantees
+    exactly one hit per point.  The leaf side is cell-bounded, so AQE
+    broadcasts it at moderate depths; at extreme depths the equi-join
+    shuffles on the cell key like any other.  Appends (zoom, tile_x,
+    tile_y) to the input columns."""
+    df = with_web_mercator(pts, lon_col, lat_col)
+    tx, ty = tile_xy(F.col("x3857"), F.col("y3857"), F.lit(max_zoom))
+    chain = (df.withColumn("_fx", tx).withColumn("_fy", ty)
+               .withColumn("zoom", F.explode(F.array(
+                   *[F.lit(z) for z in range(max_zoom + 1)])))
+               .withColumn("tile_x", F.expr(
+                   f"shiftright(_fx, {max_zoom} - zoom)"))
+               .withColumn("tile_y", F.expr(
+                   f"shiftright(_fy, {max_zoom} - zoom)"))
+               .drop("_fx", "_fy", "x3857", "y3857"))
+    return chain.join(
+        leaves.select(F.col("zoom").cast("int").alias("zoom"),
+                      "tile_x", "tile_y"),
+        ["zoom", "tile_x", "tile_y"], "inner")

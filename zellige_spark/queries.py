@@ -4756,6 +4756,55 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "endpoints_ok", "within_eps_ok")
 
 
+# ---------------------------------------------------------------------------
+# q: quadtree_split — adaptive data-balanced quadtree partitioning
+# ---------------------------------------------------------------------------
+
+QTS_CAP = 25       # max points per occupied leaf
+QTS_MAX_ZOOM = 10  # split floor
+
+
+def q_quadtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree partition map over the customer point set:
+    every occupied leaf holds <= QTS_CAP points unless it already sits
+    at QTS_MAX_ZOOM — the data-driven partitioning a 100-TB tiling job
+    uses instead of blind salting (`operators/tiles.py::
+    quadtree_split`, closed-form via count monotonicity: one data
+    shuffle, then cell-set algebra)."""
+    pts = _customer_points(spark, sf_dir)
+    return (T.quadtree_split(pts, cap=QTS_CAP, max_zoom=QTS_MAX_ZOOM)
+            .orderBy("zoom", "tile_x", "tile_y"))
+
+
+def sql_quadtree_split() -> str:
+    mz, cap = QTS_MAX_ZOOM, QTS_CAP
+    tx, ty = _sql_tile(str(mz))
+    return f"""
+    WITH pts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), f AS (
+      SELECT {tx} AS fx, {ty} AS fy FROM proj
+    ), fine AS (
+      SELECT fx, fy, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+    ), cnt AS (
+      SELECT t.z, fx >> ({mz} - t.z) AS x, fy >> ({mz} - t.z) AS y,
+             SUM(c) AS c
+      FROM fine, range(0, {mz + 1}) t(z)
+      GROUP BY 1, 2, 3
+    ), leaf AS (
+      SELECT ch.z, ch.x, ch.y, ch.c
+      FROM cnt ch LEFT JOIN cnt pa
+        ON pa.z = ch.z - 1 AND pa.x = ch.x >> 1 AND pa.y = ch.y >> 1
+      WHERE (ch.z = 0 OR pa.c > {cap}) AND (ch.c <= {cap} OR ch.z = {mz})
+    )
+    SELECT CAST(z AS INT) AS zoom, CAST(x AS BIGINT) AS tile_x,
+           CAST(y AS BIGINT) AS tile_y, CAST(c AS BIGINT) AS n_points
+    FROM leaf ORDER BY zoom, tile_x, tile_y
+    """
+
+
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
 from .operators import hexgrid as HEX  # noqa: E402
@@ -4936,6 +4985,8 @@ QUERIES = {
     # representative vector per tile: exact integer medoid via the
     # linear sum-of-squares decomposition (no pairwise join)
     "tile_medoid": SIM.q_tile_medoid,
+    # adaptive quadtree partition map (closed-form recursive split)
+    "quadtree_split": q_quadtree_split,
     # events / streaming (batch-equivalent plans)
     "event_windows": EV.q_event_windows,
     "event_user_stats": EV.q_event_user_stats,
@@ -5106,6 +5157,7 @@ ORACLES = {
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "embed_quantize": SIM.sql_embed_quantize(),
     "tile_medoid": SIM.sql_tile_medoid(),
+    "quadtree_split": sql_quadtree_split(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
     "event_funnel": EV.sql_event_funnel(),
