@@ -1,0 +1,150 @@
+"""Round-7 operator tests: exact DBSCAN and the leak-free
+dedup-aware train/val/test split."""
+
+import numpy as np
+
+
+def _brute_dbscan(xy, eps, min_pts):
+    """Reference DBSCAN: numpy all-pairs + union-find over core-core
+    edges; border -> min core neighbor's cluster; noise -> -1.
+    Returns (n_nbr, role, cluster) per point, matching the operator's
+    deterministic tie rules."""
+    n = len(xy)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    nbr = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    n_nbr = nbr.sum(1)
+    core = n_nbr + 1 >= min_pts
+
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and nbr[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    cluster = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        if core[i]:
+            cluster[i] = find(i)
+    role = np.zeros(n, dtype=np.int64)
+    role[core] = 2
+    for i in range(n):
+        if core[i]:
+            continue
+        cand = [cluster[j] for j in range(n) if core[j] and nbr[i, j]]
+        if cand:
+            role[i] = 1
+            cluster[i] = min(cand)
+    return n_nbr, role, cluster
+
+
+def test_dbscan_matches_bruteforce(spark):
+    """Grid-blocked DBSCAN equals the literal all-pairs reference on a
+    random integer point set sized so all three roles appear, and the
+    plan never falls back to a cartesian join."""
+    from zellige_spark.operators.dbscan import dbscan
+
+    rng = np.random.default_rng(171)
+    n, eps, min_pts = 400, 9, 5
+    xy = rng.integers(0, 160, size=(n, 2)).astype(np.int64)
+    pts = spark.createDataFrame(
+        [(i, int(xy[i, 0]), int(xy[i, 1])) for i in range(n)],
+        "point_id long, x long, y long")
+    out = dbscan(pts, eps, min_pts)
+    got = {r.point_id: (r.n_nbr, r.role, r.cluster) for r in out.collect()}
+
+    n_nbr, role, cluster = _brute_dbscan(xy, eps, min_pts)
+    want = {i: (int(n_nbr[i]), int(role[i]), int(cluster[i]))
+            for i in range(n)}
+    assert got == want
+    assert set(role) == {0, 1, 2}, "test setup must exercise all roles"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eps_pairs_each_pair_exactly_once(spark):
+    """The 3x3-cell blocking emits every qualifying ORDERED pair
+    exactly once — no .distinct() needed (the operator relies on it)."""
+    from zellige_spark.operators.dbscan import eps_pairs
+
+    rng = np.random.default_rng(29)
+    n, eps = 300, 11
+    xy = rng.integers(0, 120, size=(n, 2)).astype(np.int64)
+    pts = spark.createDataFrame(
+        [(i, int(xy[i, 0]), int(xy[i, 1])) for i in range(n)],
+        "point_id long, x long, y long")
+    got = [(r.ia, r.ib) for r in eps_pairs(pts, eps).collect()]
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    want = {(i, j) for i in range(n) for j in range(n)
+            if i != j and d2[i, j] <= eps * eps}
+    assert set(got) == want and len(got) == len(want)
+
+
+def test_leakfree_split_never_straddles_components(spark):
+    """Every near-dup component lands in ONE split; doc coverage is
+    total; singletons follow the same hash rule (so the operator
+    degrades to plain hash splitting when there are no duplicates)."""
+    import pyspark.sql.functions as F
+
+    from zellige_spark.operators.splits import leakfree_split
+
+    n = 2000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # chain clusters of size 4 over the first 800 ids: (0,1,2,3), ...
+    pairs = (spark.range(800)
+             .filter("id % 4 < 3")
+             .select(F.col("id").alias("doc_a"),
+                     (F.col("id") + 1).alias("doc_b")))
+    out = leakfree_split(docs, pairs).cache()
+    assert out.count() == n
+
+    # leak check: one split per component
+    leaky = (out.groupBy("component")
+             .agg(F.countDistinct("split").alias("k"))
+             .filter("k > 1"))
+    assert leaky.isEmpty()
+
+    # members of a cluster share the split AND the canonical id
+    first = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    for base in range(0, 800, 4):
+        vals = {first[base + o] for o in range(4)}
+        assert len(vals) == 1
+        assert vals.pop()[0] == base
+
+    # split fractions of the per-mille thresholds (hash is uniform:
+    # 1200 singleton components + 200 clusters; allow +-6% absolute)
+    frac = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert 0.74 <= frac["train"] / n <= 0.86
+    assert set(frac) == {"train", "val", "test"}
+
+
+def test_leakfree_split_pairs_share_split_end_to_end(spark):
+    """End-to-end on the augmented corpus at sf0.001: every MinHash
+    near-dup pair has both members in the same split."""
+    import pyspark.sql.functions as F
+
+    from zellige_spark.operators.dedup import q_dedup_minhash_words
+    from zellige_spark.operators.splits import q_split_leakfree
+
+    sf = "/root/testdata/sf0.001"
+    split = q_split_leakfree(spark, sf).select("doc_id", "split")
+    pairs = q_dedup_minhash_words(spark, sf)
+    assert not pairs.isEmpty(), "corpus must contain near-dup pairs"
+    joined = (pairs
+              .join(split.withColumnRenamed("doc_id", "doc_a")
+                         .withColumnRenamed("split", "split_a"), "doc_a")
+              .join(split.withColumnRenamed("doc_id", "doc_b")
+                         .withColumnRenamed("split", "split_b"), "doc_b"))
+    assert joined.filter(F.col("split_a") != F.col("split_b")).isEmpty()

@@ -4805,8 +4805,10 @@ def sql_quadtree_split() -> str:
     """
 
 
+from .operators import dbscan as DBS  # noqa: E402
 from .operators import dedup as DD  # noqa: E402
 from .operators import images as IMG  # noqa: E402
+from .operators import splits as SPL  # noqa: E402
 from .operators import hexgrid as HEX  # noqa: E402
 from .operators import s2cells as S2C  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
@@ -4973,6 +4975,11 @@ QUERIES = {
     "geo_near_dup": q_geo_near_dup,
     # pair graph -> duplicate clusters -> canonical doc per cluster
     "dedup_components": DD.q_dedup_components,
+    # dedup-aware train/val/test split: hash the CLUSTER canonical id
+    # so near-dup pairs never straddle splits (leakage guard)
+    "split_leakfree": SPL.q_split_leakfree,
+    # exact DBSCAN (grid-blocked eps-ball join; core/border/noise)
+    "dbscan": DBS.q_dbscan,
     # similarity search
     "ann_bruteforce": SIM.q_ann_bruteforce,
     "ann_lsh": SIM.q_ann_lsh,
@@ -5153,6 +5160,8 @@ ORACLES = {
     "dedup_simhash": DD.sql_dedup_simhash(),
     "geo_near_dup": sql_geo_near_dup(),
     "dedup_components": DD.sql_dedup_components(),
+    "split_leakfree": SPL.sql_split_leakfree(),
+    "dbscan": DBS.sql_dbscan(),
     "ann_bruteforce": SIM.sql_ann_bruteforce(),
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "embed_quantize": SIM.sql_embed_quantize(),
