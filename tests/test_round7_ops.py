@@ -148,3 +148,57 @@ def test_leakfree_split_pairs_share_split_end_to_end(spark):
               .join(split.withColumnRenamed("doc_id", "doc_b")
                          .withColumnRenamed("split", "split_b"), "doc_b"))
     assert joined.filter(F.col("split_a") != F.col("split_b")).isEmpty()
+
+
+def test_fps_exemplars_match_bruteforce(spark):
+    """Greedy k-center picks equal the literal reference (seed = min
+    id, then argmax of min squared distance to the chosen set, ties
+    to the smallest id), including the exact dist2 trajectory; an
+    all-duplicates group stops early instead of re-picking."""
+    import pyspark.sql.functions as F
+
+    from zellige_spark.operators.similarity import fps_per_group
+
+    rng = np.random.default_rng(88)
+    rows = []
+    vecs = {}
+    for grp in range(5):
+        for i in range(30):
+            vid = grp * 100 + i
+            v = rng.integers(-50, 50, size=8).astype(np.int64)
+            rows.append((grp, vid, [int(x) for x in v]))
+            vecs[vid] = v
+    # group 9: every member identical -> only the seed is pickable
+    for i in range(6):
+        vid = 900 + i
+        v = np.full(8, 7, dtype=np.int64)
+        rows.append((9, vid, [int(x) for x in v]))
+        vecs[vid] = v
+    df = spark.createDataFrame(rows, "grp long, vec_id long, qvec array<int>")
+    out = fps_per_group(df, ["grp"], k=3)
+    got = sorted((r.grp, r.pick, r.exemplar_id, r.dist2)
+                 for r in out.collect())
+
+    want = []
+    by_grp = {}
+    for grp, vid, _ in rows:
+        by_grp.setdefault(grp, []).append(vid)
+    for grp, ids in by_grp.items():
+        ids = sorted(ids)
+        chosen = [ids[0]]
+        want.append((grp, 1, ids[0], 0))
+        for pick in (2, 3):
+            best = None
+            for vid in ids:
+                dmin = min(int(((vecs[vid] - vecs[c]) ** 2).sum())
+                           for c in chosen)
+                if dmin > 0 and (best is None or dmin > best[0]
+                                 or (dmin == best[0] and vid < best[1])):
+                    best = (dmin, vid)
+            if best is None:
+                break
+            chosen.append(best[1])
+            want.append((grp, pick, best[1], best[0]))
+    assert got == sorted((g, p, e, d) for g, p, e, d in want)
+    # the all-duplicate group emitted exactly one row
+    assert sum(1 for g, _, _, _ in got if g == 9) == 1

@@ -733,3 +733,152 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str,
     if not recall_audit:
         return topk
     return with_recall(topk, q_ann_bruteforce(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# farthest-point-sampling exemplars (k-center greedy, Gonzalez 1985)
+# ---------------------------------------------------------------------------
+
+FPS_K = 3
+
+
+def _dist2(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two int-array columns (BIGINT
+    cast BEFORE the multiply — ANSI INT*INT would overflow first)."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            f"(p, q) -> CAST(p - q AS BIGINT) * (p - q)), "
+            f"0L, (acc, x) -> acc + x)")
+
+
+def fps_per_group(df: DataFrame, group_cols: list, k: int = FPS_K,
+                  id_col: str = "vec_id",
+                  vec_col: str = "qvec") -> DataFrame:
+    """Per-group DIVERSITY exemplars: greedy k-center (farthest-point
+    sampling).  `medoid_per_group` picks the most CENTRAL member;
+    this picks the best-SPREAD k — seed with the min id, then k-1
+    times take the member farthest from the chosen set (exact integer
+    squared L2; ties break to the smallest id).  The pair: one
+    thumbnail that typifies a tile, k exemplars that cover it —
+    the standard diverse-subset step of corpus curation.
+
+    Scale plan: k-center greedy never joins members with members.
+    Each of the k-1 rounds is (a) one groups-bounded join bringing
+    the newest center's vector to its members (AQE broadcasts the
+    center side — one row per group), (b) an O(dim) Column fold
+    updating the running min-distance, and (c) one partial-agg'd
+    max-struct argmax per group.  Total O(k * rows * dim) work and
+    O(k) shuffles, independent of group sizes — no m^2 blowup on a
+    dense group.  Members at distance 0 from the chosen set are
+    never re-picked (all-duplicate groups emit fewer than k rows —
+    coverage is already achieved).
+
+    Output: group_cols + (exemplar_id, pick 1..k, dist2) where dist2
+    is the exact squared distance to the previously-chosen set at
+    pick time (0 for the seed).
+    """
+    g = list(group_cols)
+    base = df.select(*g, F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v"))
+    seed_ids = base.groupBy(*g).agg(F.min("_id").alias("_cid"))
+    vecs = base.select(*g, F.col("_id").alias("_cid"),
+                       F.col("_v").alias("_cv"))
+    seed = (seed_ids.join(vecs, g + ["_cid"])
+            .select(*g, "_cid", "_cv", F.lit(1).alias("pick"),
+                    F.lit(0).cast("long").alias("dist2")))
+    picks = [seed]
+    cur = (base.join(seed.select(*g, F.col("_cv").alias("_c")), g)
+           .withColumn("_dmin", F.expr(_dist2("_v", "_c"))).drop("_c"))
+    for r in range(2, k + 1):
+        win = (cur.filter(F.col("_dmin") > 0)
+               .groupBy(*g)
+               .agg(F.max(F.struct(F.col("_dmin").alias("_d"),
+                                   (-F.col("_id")).alias("_n"))).alias("_m")))
+        nxt = (win.select(*g, (-F.col("_m._n")).alias("_cid"),
+                          F.col("_m._d").alias("dist2"))
+               .join(vecs, g + ["_cid"])
+               .select(*g, "_cid", "_cv", F.lit(r).alias("pick"), "dist2"))
+        picks.append(nxt)
+        if r < k:
+            cur = (cur.join(nxt.select(*g, F.col("_cv").alias("_c")), g)
+                   .withColumn("_dmin",
+                               F.least(F.col("_dmin"),
+                                       F.expr(_dist2("_v", "_c"))))
+                   .drop("_c"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(*g, F.col("_cid").alias("exemplar_id"),
+                      F.col("pick").cast("int").alias("pick"),
+                      F.col("dist2"))
+
+
+def q_tile_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity exemplars per tile: same 4x4 tile grid and int8
+    quantization as ``tile_medoid``, k=3 farthest-point picks per
+    tile.  dist2 is exact int64, so the oracle hash pins the full
+    greedy trajectory, not just the chosen ids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = (emb.filter(F.expr(_ABS_MAX) > 0)
+          .select(F.expr("vec_id * 7919 % 360000 div 90000")
+                  .alias("tile_x"),
+                  F.expr("(vec_id * 104729 + 13) % 170000 div 42500")
+                  .alias("tile_y"),
+                  "vec_id", F.expr(_QVEC).alias("qvec")))
+    return (fps_per_group(df, ["tile_x", "tile_y"], k=FPS_K)
+            .orderBy("tile_x", "tile_y", "pick"))
+
+
+def sql_tile_exemplars() -> str:
+    mx = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+    qv = (f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / {mx}"
+          f" * 127.0 + 0.5) AS INT))")
+    d = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+         "p -> CAST(p[1] - p[2] AS BIGINT) * (p[1] - p[2])), 'sum')")
+    return f"""
+    WITH q AS (
+      SELECT vec_id * 7919 % 360000 // 90000 AS tx,
+             (vec_id * 104729 + 13) % 170000 // 42500 AS ty,
+             vec_id, {qv} AS qvec
+      FROM embeddings WHERE {mx} > 0
+    ),
+    c1 AS (SELECT tx, ty, MIN(vec_id) AS cid FROM q GROUP BY tx, ty),
+    d1 AS (
+      SELECT q.tx, q.ty, q.vec_id, q.qvec,
+             {d.format(a="q.qvec", b="s.qvec")} AS dmin
+      FROM q
+      JOIN c1 ON c1.tx = q.tx AND c1.ty = q.ty
+      JOIN q s ON s.vec_id = c1.cid AND s.tx = q.tx AND s.ty = q.ty
+    ),
+    c2 AS (
+      SELECT tx, ty, vec_id AS cid, dmin FROM (
+        SELECT tx, ty, vec_id, dmin,
+               row_number() OVER (PARTITION BY tx, ty
+                                  ORDER BY dmin DESC, vec_id) AS rn
+        FROM d1 WHERE dmin > 0) WHERE rn = 1
+    ),
+    d2 AS (
+      SELECT d1.tx, d1.ty, d1.vec_id, d1.qvec,
+             LEAST(d1.dmin, {d.format(a="d1.qvec", b="s.qvec")}) AS dmin
+      FROM d1
+      JOIN c2 ON c2.tx = d1.tx AND c2.ty = d1.ty
+      JOIN q s ON s.vec_id = c2.cid AND s.tx = d1.tx AND s.ty = d1.ty
+    ),
+    c3 AS (
+      SELECT tx, ty, vec_id AS cid, dmin FROM (
+        SELECT tx, ty, vec_id, dmin,
+               row_number() OVER (PARTITION BY tx, ty
+                                  ORDER BY dmin DESC, vec_id) AS rn
+        FROM d2 WHERE dmin > 0) WHERE rn = 1
+    ),
+    allp AS (
+      SELECT tx, ty, cid, 1 AS pick, CAST(0 AS BIGINT) AS dist2 FROM c1
+      UNION ALL
+      SELECT tx, ty, cid, 2, dmin FROM c2
+      UNION ALL
+      SELECT tx, ty, cid, 3, dmin FROM c3
+    )
+    SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(cid AS BIGINT) AS exemplar_id,
+           CAST(pick AS INT) AS pick, CAST(dist2 AS BIGINT) AS dist2
+    FROM allp ORDER BY tile_x, tile_y, pick
+    """

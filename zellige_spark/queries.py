@@ -4992,6 +4992,9 @@ QUERIES = {
     # representative vector per tile: exact integer medoid via the
     # linear sum-of-squares decomposition (no pairwise join)
     "tile_medoid": SIM.q_tile_medoid,
+    # diversity exemplars per tile: greedy k-center (farthest-point
+    # sampling) with exact int64 squared distances
+    "tile_exemplars": SIM.q_tile_exemplars,
     # adaptive quadtree partition map (closed-form recursive split)
     "quadtree_split": q_quadtree_split,
     # events / streaming (batch-equivalent plans)
@@ -5166,6 +5169,7 @@ ORACLES = {
     "embed_cosine_dup": SIM.sql_embed_cosine_dup(),
     "embed_quantize": SIM.sql_embed_quantize(),
     "tile_medoid": SIM.sql_tile_medoid(),
+    "tile_exemplars": SIM.sql_tile_exemplars(),
     "quadtree_split": sql_quadtree_split(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
