@@ -202,3 +202,125 @@ def test_fps_exemplars_match_bruteforce(spark):
     assert got == sorted((g, p, e, d) for g, p, e, d in want)
     # the all-duplicate group emitted exactly one row
     assert sum(1 for g, _, _, _ in got if g == 9) == 1
+
+
+# --- emerging hot spot analysis ---------------------------------------------
+
+def _ref_emerging(counts, grid):
+    """Literal reference: per-slice Gi* (exact rational 1.96 test),
+    per-cell Mann-Kendall over the floor(l*1e6/s) share series, and
+    the category CASE — plain Python ints throughout."""
+    from collections import Counter
+
+    months = sorted({m for m, _, _ in counts})
+    N = grid * grid
+    sl = {}
+    for m in months:
+        arr = np.zeros((grid, grid), dtype=np.int64)
+        for (mm, cx, cy), v in counts.items():
+            if mm == m:
+                arr[cx, cy] = v
+        S = int(arr.sum())
+        SQ = int((arr * arr).sum())
+        for cx in range(grid):
+            for cy in range(grid):
+                w = l = 0
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nx = (cx + dx) % grid
+                        ny = cy + dy
+                        if 0 <= ny < grid:
+                            w += 1
+                            l += int(arr[nx, ny])
+                ni = N * l - w * S
+                gi2n = ni * ni * (N - 1)
+                gi2d = (N * SQ - S * S) * (N * w - w * w)
+                hot = int(ni > 0 and 10000 * gi2n > 38416 * gi2d)
+                sl.setdefault((cx, cy), []).append((m, hot, l * 1000000 // S))
+    out = {}
+    for cell, seq in sl.items():
+        seq.sort()
+        shares = [s for _, _, s in seq]
+        n = len(seq)
+        s_stat = sum(int(np.sign(shares[j] - shares[i]))
+                     for i in range(n) for j in range(i + 1, n))
+        tie_term = sum(t * (t - 1) * (2 * t + 5)
+                       for t in Counter(shares).values())
+        var_num = n * (n - 1) * (2 * n + 5) - tie_term
+        n_hot = sum(h for _, h, _ in seq)
+        hot_now = seq[-1][1]
+        a = abs(s_stat)
+        sig = (var_num > 0 and a > 0
+               and 180000 * (a - 1) * (a - 1) > 38416 * var_num)
+        trend = (1 if s_stat > 0 else -1) if sig else 0
+        if hot_now == 1 and n_hot == 1:
+            cat = "new"
+        elif hot_now == 1 and trend == 1:
+            cat = "intensifying"
+        elif hot_now == 1 and trend == -1:
+            cat = "diminishing"
+        elif hot_now == 1 and n_hot * 10 >= n * 9:
+            cat = "persistent"
+        elif hot_now == 1:
+            cat = "sporadic"
+        elif n_hot > 0:
+            cat = "formerly"
+        else:
+            cat = "none"
+        out[cell] = (n, n_hot, hot_now, s_stat, var_num, trend, cat)
+    return out
+
+
+def _emerging_cube(grid=10, months=12):
+    """Space-time cube exercising every category: a rising block
+    (intensifying), a still-hot falling block (diminishing), a flat
+    block (persistent), a final-month spike (new), an alternating
+    block (sporadic), a block that cools off (formerly), and a
+    parity wiggle cell that keeps flat cells' share series
+    non-monotone."""
+    A = [(3, 0), (3, 1), (4, 0), (4, 1)]   # rising 10 -> 43
+    B = [(0, 0), (0, 1), (1, 0), (1, 1)]   # falling 76 -> 43
+    P = [(6, 6), (6, 7), (7, 6), (7, 7)]   # flat 40
+    D = [(0, 8), (0, 9), (1, 8), (1, 9)]   # month-12 spike 60
+    G = [(6, 1), (6, 2), (7, 1), (7, 2)]   # alternating 50/2
+    counts = {}
+    for m in range(1, months + 1):
+        for cx in range(grid):
+            for cy in range(grid):
+                counts[(m, cx, cy)] = 2
+        counts[(m, 8, 4)] = 2 + (m % 2)
+        for c in A:
+            counts[(m,) + c] = 10 + 3 * (m - 1)
+        for c in B:
+            counts[(m,) + c] = 76 - 3 * (m - 1)
+        for c in P:
+            counts[(m,) + c] = 40
+        for c in G:
+            counts[(m,) + c] = 50 if m % 2 == 0 else 2
+        if m == months:
+            for c in D:
+                counts[(m,) + c] = 60
+    return counts
+
+
+def test_emerging_hotspots_matches_reference(spark):
+    """The Spark space-time composite equals the literal reference on
+    a cube designed so every one of the seven categories appears."""
+    from zellige_spark.operators.emerging import emerging_hotspots
+
+    grid = 10
+    counts = _emerging_cube(grid)
+    cw, ch = 360000 // grid, 170000 // grid
+    rows = []
+    for (m, cx, cy), v in counts.items():
+        rows.extend([(cx * cw + 5, cy * ch + 5, m)] * v)
+    pts = spark.createDataFrame(rows, "x long, y long, m long")
+    out = emerging_hotspots(pts, grid)
+    got = {(r.cell_x, r.cell_y): (r.n_slices, r.n_hot, r.hot_now,
+                                  r.s_stat, r.var_num, r.trend, r.category)
+           for r in out.collect()}
+    want = {(cx, cy): v for (cx, cy), v in _ref_emerging(counts, grid).items()}
+    assert got == want
+    cats = {v[-1] for v in got.values()}
+    assert cats == {"new", "intensifying", "diminishing", "persistent",
+                    "sporadic", "formerly", "none"}

@@ -832,6 +832,139 @@ def sql_mann_kendall() -> str:
     """
 
 
+EH_GRID = 8  # emerging-hotspot lattice: 8x8 cells over millidegree space
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot analysis (`emerging.emerging_hotspots`): the
+    space-time composite of per-month Getis-Ord Gi* and per-cell
+    Mann-Kendall over monthly orders at customer lattice points —
+    new / intensifying / persistent / diminishing / sporadic /
+    formerly / none per cell, every decision int64-exact (rational
+    1.96 tests; per-mille share series for the trend)."""
+    from .operators import emerging as EH
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"))
+    pts_m = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return (EH.emerging_hotspots(pts_m, EH_GRID)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_emerging_hotspots() -> str:
+    g = EH_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    ni = f"({n} * r.l_i - r.w_i * gl.s)"
+    gi2n = f"({ni} * {ni} * {n - 1})"
+    gi2d = f"(({n} * gl.sq - gl.s * gl.s) * ({n} * r.w_i - r.w_i * r.w_i))"
+    return f"""
+    WITH pm AS (
+      SELECT c.c_custkey * 7919 % 360000 AS x,
+             (c.c_custkey * 104729 + 13) % 170000 AS y,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    counts AS (
+      SELECT m, x // {cw} AS cell_x, y // {ch} AS cell_y,
+             COUNT(*) AS n_pts
+      FROM pm GROUP BY 1, 2, 3
+    ),
+    months AS (SELECT DISTINCT m FROM counts),
+    skel AS (
+      SELECT months.m, i % {g} AS cell_x, i // {g} AS cell_y
+      FROM months CROSS JOIN (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    cells AS (
+      SELECT s.m, s.cell_x, s.cell_y, COALESCE(c.n_pts, 0) AS n_pts
+      FROM skel s LEFT JOIN counts c USING (m, cell_x, cell_y)
+    ),
+    gstats AS (
+      SELECT m, SUM(n_pts) AS s, SUM(n_pts * n_pts) AS sq
+      FROM cells GROUP BY m
+    ),
+    recv AS (
+      SELECT c.m, (c.cell_x + o.dx + {g}) % {g} AS cell_x,
+             c.cell_y + o.dy AS cell_y,
+             COUNT(*) AS w_i, SUM(c.n_pts) AS l_i
+      FROM cells c CROSS JOIN {_SQL_QUEEN9}
+      WHERE c.cell_y + o.dy BETWEEN 0 AND {g - 1}
+      GROUP BY 1, 2, 3
+    ),
+    sl AS (
+      SELECT r.m, r.cell_x, r.cell_y,
+             CASE WHEN {ni} > 0
+                       AND 10000 * {gi2n} > 38416 * {gi2d}
+                  THEN 1 ELSE 0 END AS hot,
+             r.l_i * 1000000 // gl.s AS share6
+      FROM recv r JOIN gstats gl USING (m)
+    ),
+    stbl AS (
+      SELECT a.cell_x, a.cell_y,
+             SUM(CASE WHEN b.share6 > a.share6 THEN 1
+                      WHEN b.share6 < a.share6 THEN -1 ELSE 0 END)
+               AS s_stat
+      FROM sl a JOIN sl b
+        ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.m < b.m
+      GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT cell_x, cell_y, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM (SELECT cell_x, cell_y, share6, COUNT(*) AS t
+            FROM sl GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT cell_x, cell_y, COUNT(*) AS n_slices, SUM(hot) AS n_hot,
+             arg_max(hot, m) AS hot_now
+      FROM sl GROUP BY 1, 2
+    ),
+    mk AS (
+      SELECT per.cell_x, per.cell_y, per.n_slices, per.n_hot,
+             per.hot_now, COALESCE(stbl.s_stat, 0) AS s_stat,
+             per.n_slices * (per.n_slices - 1) * (2 * per.n_slices + 5)
+               - ties.tie_term AS var_num
+      FROM per LEFT JOIN stbl USING (cell_x, cell_y)
+      JOIN ties USING (cell_x, cell_y)
+    ),
+    tr AS (
+      SELECT mk.*,
+             CASE WHEN var_num > 0 AND abs(s_stat) > 0
+                       AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                           > 38416 * var_num
+                  THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+                  ELSE 0 END AS trend
+      FROM mk
+    )
+    SELECT CAST(cell_x AS BIGINT) AS cell_x,
+           CAST(cell_y AS BIGINT) AS cell_y,
+           CAST(n_slices AS BIGINT) AS n_slices,
+           CAST(n_hot AS BIGINT) AS n_hot,
+           CAST(hot_now AS INT) AS hot_now,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(var_num AS BIGINT) AS var_num,
+           CAST(trend AS INT) AS trend,
+           CASE WHEN hot_now = 1 AND n_hot = 1 THEN 'new'
+                WHEN hot_now = 1 AND trend = 1 THEN 'intensifying'
+                WHEN hot_now = 1 AND trend = -1 THEN 'diminishing'
+                WHEN hot_now = 1 AND n_hot * 10 >= n_slices * 9
+                  THEN 'persistent'
+                WHEN hot_now = 1 THEN 'sporadic'
+                WHEN n_hot > 0 THEN 'formerly'
+                ELSE 'none' END AS category
+    FROM tr
+    ORDER BY cell_x, cell_y
+    """
+
+
 DIV_ZOOM = 5
 
 
@@ -4872,6 +5005,9 @@ QUERIES = {
     "tile_trend": q_tile_trend,
     # per-tile Mann-Kendall trend (emerging-hotspot robust statistic)
     "mann_kendall": q_mann_kendall,
+    # space-time composite: per-month Gi* + per-cell Mann-Kendall ->
+    # new/intensifying/persistent/diminishing/... categories
+    "emerging_hotspots": q_emerging_hotspots,
     # per-z9-tile row/coverage/key metrics (two map-side streams, agg-level join)
     "coverage_tile_stats": q_coverage_tile_stats,
     # 3x3 focal neighborhood sum over the z9 tile grid (raster smoothing)
@@ -5106,6 +5242,7 @@ ORACLES = {
     "tile_diversity": sql_tile_diversity(),
     "tile_trend": sql_tile_trend(),
     "mann_kendall": sql_mann_kendall(),
+    "emerging_hotspots": sql_emerging_hotspots(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
     "tile_topk": sql_tile_topk(),
