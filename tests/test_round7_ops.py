@@ -324,3 +324,45 @@ def test_emerging_hotspots_matches_reference(spark):
     cats = {v[-1] for v in got.values()}
     assert cats == {"new", "intensifying", "diminishing", "persistent",
                     "sporadic", "formerly", "none"}
+
+
+def test_kde_heat_matches_bruteforce(spark):
+    """Grid-blocked exact Epanechnikov KDE equals the literal
+    all-pairs reference, including kernels reaching ACROSS the x
+    wrap; the whole-ring radius guard raises."""
+    import pytest
+
+    from zellige_spark.operators.hotspots import kde_heat
+
+    grid, xp, yp, radius = 8, 360000, 170000, 50000
+    cw, ch = xp // grid, yp // grid
+    rng = np.random.default_rng(314)
+    xs = rng.integers(0, xp, 250)
+    ys = rng.integers(0, yp, 250)
+    # pin events on both sides of the antimeridian so wrap kernels fire
+    xs[:10] = rng.integers(0, 2000, 10)
+    xs[10:20] = rng.integers(xp - 2000, xp, 10)
+    pts = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x long, y long")
+    out = kde_heat(pts, grid, radius)
+    got = {(r.cell_x, r.cell_y): (r.kde_num, r.n_in) for r in out.collect()}
+
+    r2d = (2 * radius) ** 2
+    want = {}
+    for cx in range(grid):
+        for cy in range(grid):
+            num = n_in = 0
+            for x, y in zip(xs, ys):
+                adx = abs(2 * int(x) - (2 * cx + 1) * cw)
+                dx = min(adx, 2 * xp - adx)
+                dy = abs(2 * int(y) - (2 * cy + 1) * ch)
+                w = max(0, r2d - dx * dx - dy * dy)
+                if w > 0:
+                    num += w
+                    n_in += 1
+            want[(cx, cy)] = (num, n_in)
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())
+
+    with pytest.raises(ValueError):
+        kde_heat(pts, grid, radius=10 * cw)

@@ -2466,6 +2466,54 @@ def sql_getis_ord() -> str:
     """
 
 
+KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
+
+
+def q_kde_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Epanechnikov KDE surface at lattice-cell centers
+    (`hotspots.kde_heat`) — the smoothed heat layer over the raw
+    per-cell counts, blocking-verified against a literal all-pairs
+    oracle."""
+    from .operators import hotspots as HOT
+
+    return (HOT.kde_heat(_lattice_points(spark, sf_dir), MORAN_GRID,
+                         KDE_RADIUS)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_kde_heat() -> str:
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    r2d = (2 * KDE_RADIUS) ** 2
+    adx = f"ABS(2 * p.x - (2 * s.cell_x + 1) * {cw})"
+    dxe = f"LEAST({adx}, 720000 - {adx})"
+    dye = f"ABS(2 * p.y - (2 * s.cell_y + 1) * {ch})"
+    w = f"GREATEST(0, {r2d} - {dxe} * {dxe} - {dye} * {dye})"
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y
+      FROM customer
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    wts AS (
+      SELECT s.cell_x, s.cell_y, {w} AS w
+      FROM skel s CROSS JOIN p
+    )
+    SELECT CAST(cell_x AS BIGINT) AS cell_x,
+           CAST(cell_y AS BIGINT) AS cell_y,
+           CAST(SUM(w) AS BIGINT) AS kde_num,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+    FROM wts GROUP BY cell_x, cell_y
+    ORDER BY cell_x, cell_y
+    """
+
+
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cliff-Ord binary join-count statistics (occupied vs empty
     cells) with exact nonfree-sampling expectations, one row
@@ -5054,6 +5102,9 @@ QUERIES = {
     "global_autocorr": q_global_autocorr,
     # Getis-Ord Gi* hot/cold-spot z-surface (exact squared fraction)
     "getis_ord": q_getis_ord,
+    # exact-integer Epanechnikov KDE heat surface (blocking vs a
+    # literal all-pairs oracle)
+    "kde_heat": q_kde_heat,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5268,6 +5319,7 @@ ORACLES = {
     "local_moran": sql_local_moran(),
     "global_autocorr": sql_global_autocorr(),
     "getis_ord": sql_getis_ord(),
+    "kde_heat": sql_kde_heat(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
