@@ -366,3 +366,34 @@ def test_kde_heat_matches_bruteforce(spark):
 
     with pytest.raises(ValueError):
         kde_heat(pts, grid, radius=10 * cw)
+
+
+def test_caption_reconcile_majority_and_ties(spark):
+    """Majority caption wins; a 2-vs-2 tie resolves to the
+    lexicographically smaller caption; agreement is the exact
+    per-mille floor; singletons pass through."""
+    from zellige_spark.operators.images import caption_reconcile
+
+    pa = 0                       # cluster A phash
+    pb = (1 << 20) - 1           # 20 bits from A (> max_hamming)
+    pc = ((1 << 8) - 1) << 45    # 8 bits from A, 28 from B
+    rows = [
+        # cluster of 4 (identical phash), 3-1 majority
+        (10, pa, "cat"), (11, pa, "cat"),
+        (12, pa, "cat"), (13, pa, "dog"),
+        # cluster of 4, 2-2 tie -> 'apple' < 'pear'
+        (20, pb, "pear"), (21, pb, "apple"),
+        (22, pb, "pear"), (23, pb, "apple"),
+        # singleton
+        (30, pc, "solo"),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string")
+    out = {r.cluster: (r.n_images, r.n_captions, r.canon_caption,
+                       r.agree_millis)
+           for r in caption_reconcile(images).collect()}
+    assert out == {
+        10: (4, 2, "cat", 750),
+        20: (4, 2, "apple", 500),
+        30: (1, 1, "solo", 1000),
+    }

@@ -899,3 +899,49 @@ def phash_threshold_sweep(images, ladder=SWEEP_LADDER, bands: int = 8,
                     (F.col("e.n_images").cast("double")
                      / F.col("n_total").cast("double")).alias("share"))
             .orderBy("h"))
+
+
+def caption_reconcile(images, max_hamming: int = 3,
+                      id_col: str = "image_id",
+                      phash_col: str = "phash",
+                      caption_col: str = "caption"):
+    """Caption reconciliation over image near-dup clusters — the
+    cross-modal curation step after image dedup: a deduplicated
+    image-text corpus keeps ONE caption per visual cluster, and the
+    disagreement rate is itself a label-quality signal (mismatched
+    captions on near-identical images flag mislabeled or spammy
+    sources).
+
+    Per cluster (from ``image_dup_clusters``'s phash-banded
+    components): n_images, n_captions (distinct), the canonical
+    caption by the deterministic (count desc, caption asc) majority
+    rule, and agree_millis = 1000 * majority_count div n_images —
+    all integers/strings, hash-exact under the oracle gate.
+
+    Scale shape: the clustering is the guarded banded-pairs +
+    O(|E| log n) component path; reconciliation adds ONE
+    partial-agg'd groupBy(cluster, caption) Exchange over the corpus
+    and a cluster-bounded min-struct argmax — no per-caption window
+    over raw rows."""
+    from pyspark.sql import functions as F
+
+    labeled = image_dup_clusters(images, max_hamming=max_hamming,
+                                 id_col=id_col, phash_col=phash_col)
+    caps = images.select(F.col(id_col).alias("image_id"),
+                         F.col(caption_col).alias("caption"))
+    cc = (labeled.select("image_id", "cluster")
+          .join(caps, "image_id")
+          .groupBy("cluster", "caption")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    per = (cc.groupBy("cluster")
+           .agg(F.sum("cnt").alias("n_images"),
+                F.count(F.lit(1)).alias("n_captions"),
+                F.min(F.struct((-F.col("cnt")).alias("_n"),
+                               F.col("caption").alias("_c"))).alias("_m")))
+    return per.select(
+        F.col("cluster").cast("long"),
+        F.col("n_images").cast("long"),
+        F.col("n_captions").cast("long"),
+        F.col("_m._c").alias("canon_caption"),
+        F.expr("(-_m._n) * 1000 div n_images").cast("long")
+         .alias("agree_millis"))

@@ -2063,6 +2063,91 @@ def sql_image_dup_clusters() -> str:
     """
 
 
+_CAPTION_SPARK = (
+    "CASE WHEN c_custkey % 3 = 2 AND (c_custkey div 3) % 2 = 0 "
+    "THEN concat('photo ', CAST(c_custkey div 3 AS STRING)) "
+    "ELSE concat('img ', CAST(c_custkey div 3 AS STRING)) END")
+
+
+def q_caption_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption reconciliation over the image near-dup clusters
+    (`images.caption_reconcile`): one canonical caption per visual
+    cluster by the (count desc, caption asc) majority rule, plus the
+    exact per-mille agreement — captions synthesized so every second
+    triplet cluster carries a dissenting caption."""
+    from .operators.images import caption_reconcile
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    images = df.select(
+        F.col("c_custkey").alias("image_id"),
+        F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"),
+        F.expr(_CAPTION_SPARK).alias("caption"))
+    return caption_reconcile(images).orderBy("cluster")
+
+
+def sql_caption_reconcile() -> str:
+    g = "(c_custkey // 3)"
+    base = f"(({g} * 2654435761) % 2305843009213693951)"
+    flip = (f"CASE WHEN c_custkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN c_custkey % 3 = 1 THEN "
+            f"(CAST(1 AS BIGINT) << CAST({g} % 60 AS INT)) "
+            f"ELSE (CAST(1 AS BIGINT) << CAST(({g} + 17) % 60 AS INT)) END")
+    caption = (f"CASE WHEN c_custkey % 3 = 2 AND {g} % 2 = 0 "
+               f"THEN concat('photo ', CAST({g} AS VARCHAR)) "
+               f"ELSE concat('img ', CAST({g} AS VARCHAR)) END")
+    return f"""
+    WITH RECURSIVE imgs AS (
+      SELECT c_custkey AS image_id, xor({base}, {flip}) AS phash,
+             {caption} AS caption
+      FROM customer
+    ),
+    prs AS (
+      SELECT a.image_id AS ia, b.image_id AS ib
+      FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       AND bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    edges AS (
+      SELECT ia AS s, ib AS d FROM prs
+      UNION ALL SELECT ib, ia FROM prs
+    ),
+    reach(node, r) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    ),
+    capd AS (
+      SELECT COALESCE(comp.component, imgs.image_id) AS cluster,
+             imgs.caption
+      FROM imgs LEFT JOIN comp ON comp.node = imgs.image_id
+    ),
+    cc AS (
+      SELECT cluster, caption, COUNT(*) AS cnt
+      FROM capd GROUP BY cluster, caption
+    ),
+    per AS (
+      SELECT cluster, SUM(cnt) AS n_images, COUNT(*) AS n_captions
+      FROM cc GROUP BY cluster
+    ),
+    canon AS (
+      SELECT cluster, caption, cnt,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY cnt DESC, caption) AS rn
+      FROM cc
+    )
+    SELECT CAST(per.cluster AS BIGINT) AS cluster,
+           CAST(per.n_images AS BIGINT) AS n_images,
+           CAST(per.n_captions AS BIGINT) AS n_captions,
+           canon.caption AS canon_caption,
+           CAST(canon.cnt * 1000 // per.n_images AS BIGINT)
+             AS agree_millis
+    FROM per JOIN canon ON canon.cluster = per.cluster AND canon.rn = 1
+    ORDER BY cluster
+    """
+
+
 def q_imagedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming cross-batch image near-dup
     (`streaming/imagedup.py`): per image, is_dup = any phash band
@@ -5121,6 +5206,9 @@ QUERIES = {
     "quadrat_chi2": q_quadrat_chi2,
     # image near-dup clustering (phash bands -> CC -> canonical)
     "image_dup_clusters": q_image_dup_clusters,
+    # one canonical caption per visual cluster (majority rule + exact
+    # per-mille agreement) — the cross-modal curation follow-up
+    "caption_reconcile": q_caption_reconcile,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -5328,6 +5416,7 @@ ORACLES = {
     "cross_k": sql_cross_k(),
     "quadrat_chi2": sql_quadrat_chi2(),
     "image_dup_clusters": sql_image_dup_clusters(),
+    "caption_reconcile": sql_caption_reconcile(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
