@@ -397,3 +397,38 @@ def test_caption_reconcile_majority_and_ties(spark):
         20: (4, 2, "apple", 500),
         30: (1, 1, "solo", 1000),
     }
+
+
+def test_knn_classify_majority_and_ties(spark, tmp_path):
+    """kNN vote on a handcrafted corpus: clear majority, a 2-2-1 tie
+    resolving to the smaller label, and correct/incorrect flags."""
+    from zellige_spark.operators.similarity import q_knn_classify
+
+    # 2 query vectors (id 0, 1) + neighbors placed by cosine on a
+    # 2-d plane; K=5, N_QUERIES=20 (only ids < 20 become queries).
+    def vec(theta):
+        import math
+        return [float(math.cos(theta)), float(math.sin(theta))]
+
+    rows = []
+    # query 0 at angle 0, label 7: nearest 5 = ids 100..104
+    rows.append((0, vec(0.0), 7))
+    for i, (ang, lab) in enumerate([(0.01, 3), (0.02, 3), (0.03, 3),
+                                    (0.04, 5), (0.05, 5)]):
+        rows.append((100 + i, vec(ang), lab))
+    # query 1 at angle 2.0, label 5: nearest 5 = 2-2-1 tie -> label 2
+    rows.append((1, vec(2.0), 5))
+    for i, (ang, lab) in enumerate([(2.01, 9), (2.02, 9), (2.03, 2),
+                                    (2.04, 2), (2.05, 5)]):
+        rows.append((200 + i, vec(ang), lab))
+    # far-away filler so nothing else gets near the queries
+    for i in range(10):
+        rows.append((300 + i, vec(4.0 + i * 0.01), 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    p = str(tmp_path / "embeddings.parquet")
+    df.write.parquet(p)
+    # q_knn_classify reads <dir>/embeddings.parquet
+    out = {r.query_id: (r.pred_label, r.votes, r.true_label, r.correct)
+           for r in q_knn_classify(spark, str(tmp_path)).collect()}
+    assert out[0] == (3, 3, 7, 0)
+    assert out[1] == (2, 2, 5, 0)

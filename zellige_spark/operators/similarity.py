@@ -882,3 +882,64 @@ def sql_tile_exemplars() -> str:
            CAST(pick AS INT) AS pick, CAST(dist2 AS BIGINT) AS dist2
     FROM allp ORDER BY tile_x, tile_y, pick
     """
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding corpus: each of the
+    N_QUERIES query vectors takes the majority label of its exact
+    top-K cosine neighbors ((count desc, label asc) tie rule — the
+    caption_reconcile argmax applied to labels), with the exact vote
+    count.  The baseline eval harness of every embedding space:
+    label agreement across the ANN index families is the quality
+    gate a production deployment trends.
+
+    Scale shape: composes the exact top-K (broadcast query side; the
+    ANN variants swap in transparently) and adds one K*N_QUERIES-row
+    label join + a query-bounded min-struct argmax — nothing touches
+    the corpus beyond the top-K path itself."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = q_ann_bruteforce(spark, sf_dir)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nbr_label"))
+    votes = (topk.join(lab, "neighbor_id")
+             .groupBy("query_id", "nbr_label")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    per = (votes.groupBy("query_id")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("_n"),
+                               F.col("nbr_label").alias("_l"))).alias("_m")))
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return (per.join(truth, "query_id")
+            .select(F.col("query_id").cast("long"),
+                    F.col("_m._l").cast("int").alias("pred_label"),
+                    (-F.col("_m._n")).cast("long").alias("votes"),
+                    F.col("true_label").cast("int"),
+                    (F.col("_m._l") == F.col("true_label"))
+                    .cast("int").alias("correct"))
+            .orderBy("query_id"))
+
+
+def sql_knn_classify() -> str:
+    return f"""
+    WITH topk AS ({sql_ann_bruteforce()}),
+    votes AS (
+      SELECT t.query_id, e.label AS nbr_label, COUNT(*) AS cnt
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY t.query_id, e.label
+    ),
+    canon AS (
+      SELECT query_id, nbr_label, cnt,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cnt DESC, nbr_label) AS rn
+      FROM votes
+    )
+    SELECT CAST(c.query_id AS BIGINT) AS query_id,
+           CAST(c.nbr_label AS INT) AS pred_label,
+           CAST(c.cnt AS BIGINT) AS votes,
+           CAST(e.label AS INT) AS true_label,
+           CAST(CASE WHEN c.nbr_label = e.label THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM canon c JOIN embeddings e ON e.vec_id = c.query_id
+    WHERE c.rn = 1
+    ORDER BY query_id
+    """

@@ -5270,6 +5270,9 @@ QUERIES = {
     # diversity exemplars per tile: greedy k-center (farthest-point
     # sampling) with exact int64 squared distances
     "tile_exemplars": SIM.q_tile_exemplars,
+    # kNN majority-label classification (exact top-K + deterministic
+    # vote) — the embedding-space eval harness
+    "knn_classify": SIM.q_knn_classify,
     # adaptive quadtree partition map (closed-form recursive split)
     "quadtree_split": q_quadtree_split,
     # events / streaming (batch-equivalent plans)
@@ -5448,6 +5451,7 @@ ORACLES = {
     "embed_quantize": SIM.sql_embed_quantize(),
     "tile_medoid": SIM.sql_tile_medoid(),
     "tile_exemplars": SIM.sql_tile_exemplars(),
+    "knn_classify": SIM.sql_knn_classify(),
     "quadtree_split": sql_quadtree_split(),
     "event_windows": EV.sql_event_windows(),
     "event_user_stats": EV.sql_event_user_stats(),
