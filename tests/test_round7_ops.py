@@ -432,3 +432,58 @@ def test_knn_classify_majority_and_ties(spark, tmp_path):
            for r in q_knn_classify(spark, str(tmp_path)).collect()}
     assert out[0] == (3, 3, 7, 0)
     assert out[1] == (2, 2, 5, 0)
+
+
+def test_areal_interp_matches_bruteforce_and_conserves(spark):
+    """Sequence-explode blocking equals the literal zones x cells
+    overlap; per-zone allocations conserve mass up to the documented
+    floor quantization (each zone's pieces sum to within
+    n_pieces ulps of total * 1e6); a zone inside ONE cell keeps its
+    exact full total (the int64-overflow case the split floor
+    exists for)."""
+    import pyspark.sql.functions as F
+
+    from zellige_spark.operators.areal import areal_interp
+
+    grid, xp, yp = 8, 360000, 170000
+    cw, ch = xp // grid, yp // grid
+    rng = np.random.default_rng(99)
+    rows = []
+    for zid in range(40):
+        x0 = int(rng.integers(0, xp - 70000))
+        y0 = int(rng.integers(0, yp - 50000))
+        w = int(rng.integers(1, 70000))
+        h = int(rng.integers(1, 50000))
+        rows.append((zid, x0, x0 + w, y0, y0 + h,
+                     int(rng.integers(1, 100000))))
+    # zone fully inside one cell, large area x large total
+    rows.append((99, 10, cw - 10, 10, ch - 10, 99999))
+    zones = spark.createDataFrame(
+        rows, "zone_id long, x0 long, x1 long, y0 long, y1 long, total long")
+    out = {(r.cell_x, r.cell_y): (r.n_zones, r.alloc_e6)
+           for r in areal_interp(zones, grid).collect()}
+
+    want = {}
+    per_zone = {zid: 0 for zid, *_ in rows}
+    pieces = {zid: 0 for zid, *_ in rows}
+    for cx in range(grid):
+        for cy in range(grid):
+            nz = alloc = 0
+            for zid, x0, x1, y0, y1, total in rows:
+                ox = min(x1, (cx + 1) * cw) - max(x0, cx * cw)
+                oy = min(y1, (cy + 1) * ch) - max(y0, cy * ch)
+                if ox > 0 and oy > 0:
+                    nz += 1
+                    zarea = (x1 - x0) * (y1 - y0)
+                    a = total * ox * oy
+                    p = (a // zarea) * 1000000 + (a % zarea) * 1000000 // zarea
+                    alloc += p
+                    per_zone[zid] += p
+                    pieces[zid] += 1
+            want[(cx, cy)] = (nz, alloc)
+    assert out == want
+    for zid, x0, x1, y0, y1, total in rows:
+        lo = total * 1000000 - pieces[zid]
+        assert lo <= per_zone[zid] <= total * 1000000
+    # the single-cell zone keeps its exact total
+    assert per_zone[99] == 99999 * 1000000

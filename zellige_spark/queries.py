@@ -2551,6 +2551,84 @@ def sql_getis_ord() -> str:
     """
 
 
+# supplier-derived rectangle zones for areal interpolation (bounds
+# chosen so x1 <= 360000 and y1 <= 170000 — no wrap, cells in-grid)
+_ZONE_SPARK = {
+    "x0": "s_suppkey * 52361 % 300000",
+    "w": "5000 + (s_suppkey * 7907) % 55000",
+    "y0": "(s_suppkey * 104729 + 7) % 130000",
+    "h": "5000 + (s_suppkey * 7919) % 35000",
+    "total": "1000 + s_suppkey % 9000",
+}
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (`areal.areal_interp`): supplier-derived
+    rectangle zones redistribute their integer totals onto the
+    MORAN_GRID lattice by exact overlap-area share (1e6-scaled floor).
+    Oracle: the LITERAL zones x cells cross join — proves the
+    sequence-explode blocking touches exactly the covered cells."""
+    from .operators.areal import areal_interp
+
+    z = _ZONE_SPARK
+    zones = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("zone_id"),
+        F.expr(z["x0"]).cast("long").alias("x0"),
+        F.expr(f"({z['x0']}) + ({z['w']})").cast("long").alias("x1"),
+        F.expr(z["y0"]).cast("long").alias("y0"),
+        F.expr(f"({z['y0']}) + ({z['h']})").cast("long").alias("y1"),
+        F.expr(z["total"]).cast("long").alias("total"))
+    return (areal_interp(zones, MORAN_GRID)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_areal_interp() -> str:
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    z = _ZONE_SPARK
+    ovx = (f"(LEAST(x1, (s.cell_x + 1) * {cw})"
+           f" - GREATEST(x0, s.cell_x * {cw}))")
+    ovy = (f"(LEAST(y1, (s.cell_y + 1) * {ch})"
+           f" - GREATEST(y0, s.cell_y * {ch}))")
+    return f"""
+    WITH zones AS (
+      SELECT CAST({z['x0']} AS BIGINT) AS x0,
+             CAST(({z['x0']}) + ({z['w']}) AS BIGINT) AS x1,
+             CAST({z['y0']} AS BIGINT) AS y0,
+             CAST(({z['y0']}) + ({z['h']}) AS BIGINT) AS y1,
+             CAST({z['total']} AS BIGINT) AS total,
+             CAST((({z['x0']}) + ({z['w']}) - ({z['x0']}))
+                  * (({z['y0']}) + ({z['h']}) - ({z['y0']})) AS BIGINT)
+               AS zarea
+      FROM supplier
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    pieces AS (
+      SELECT s.cell_x, s.cell_y,
+             {ovx} AS ox, {ovy} AS oy, total, zarea
+      FROM skel s CROSS JOIN zones
+      WHERE {ovx} > 0 AND {ovy} > 0
+    )
+    SELECT CAST(s.cell_x AS BIGINT) AS cell_x,
+           CAST(s.cell_y AS BIGINT) AS cell_y,
+           CAST(COALESCE(p.n_zones, 0) AS BIGINT) AS n_zones,
+           CAST(COALESCE(p.alloc_e6, 0) AS BIGINT) AS alloc_e6
+    FROM skel s LEFT JOIN (
+      SELECT cell_x, cell_y, COUNT(*) AS n_zones,
+             SUM((total * ox * oy // zarea) * 1000000
+                 + (total * ox * oy % zarea) * 1000000 // zarea)
+               AS alloc_e6
+      FROM pieces GROUP BY cell_x, cell_y
+    ) p USING (cell_x, cell_y)
+    ORDER BY cell_x, cell_y
+    """
+
+
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
@@ -5190,6 +5268,8 @@ QUERIES = {
     # exact-integer Epanechnikov KDE heat surface (blocking vs a
     # literal all-pairs oracle)
     "kde_heat": q_kde_heat,
+    # areal interpolation: zone totals -> grid by exact overlap share
+    "areal_interp": q_areal_interp,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5411,6 +5491,7 @@ ORACLES = {
     "global_autocorr": sql_global_autocorr(),
     "getis_ord": sql_getis_ord(),
     "kde_heat": sql_kde_heat(),
+    "areal_interp": sql_areal_interp(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
