@@ -487,3 +487,38 @@ def test_areal_interp_matches_bruteforce_and_conserves(spark):
         assert lo <= per_zone[zid] <= total * 1000000
     # the single-cell zone keeps its exact total
     assert per_zone[99] == 99999 * 1000000
+
+
+def test_pagerank_fixed_matches_reference(spark):
+    """The fixed-point PageRank equals a literal Python reference on
+    a handcrafted graph (hub + chain + dangling node): same floors,
+    same dangling self-loop patch, hub ranks highest."""
+    from zellige_spark.operators.flows import (PR_D_DEN, PR_D_NUM,
+                                               PR_SCALE, pagerank_fixed)
+
+    # 0 -> hub(9), 1 -> 9, 2 -> 9, 9 -> 0, 3 -> 4 (4 dangling)
+    raw = [(0, 9, 3), (1, 9, 1), (2, 9, 2), (9, 0, 1), (3, 4, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long, cnt long")
+    iters = 5
+    got = {r.node: r.rank for r in pagerank_fixed(edges, iters).collect()}
+
+    # literal reference with the identical integer floors
+    e = dict(((s, d), c) for s, d, c in raw)
+    nodes = sorted({s for s, _, _ in raw} | {d for _, d, _ in raw})
+    srcs = {s for s, _, _ in raw}
+    for v in nodes:
+        if v not in srcs:
+            e[(v, v)] = 1
+    out = {}
+    for (s, _), c in e.items():
+        out[s] = out.get(s, 0) + c
+    n = len(nodes)
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for (u, v), c in e.items():
+            s[v] += r[u] * c // out[u]
+        r = {v: base + PR_D_NUM * s[v] // PR_D_DEN for v in nodes}
+    assert got == r
+    assert max(got, key=got.get) == 9, "the hub must rank highest"

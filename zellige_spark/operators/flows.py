@@ -176,3 +176,90 @@ def tile_transitions(df: DataFrame, zoom: int,
                     (F.col("n_trans").cast("double")
                      / F.col("n_from").cast("double")).alias("p"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+# --- PageRank over the transition graph (exact integer fixed-point) --------
+
+PR_SCALE = 1_000_000
+PR_D_NUM = 85      # damping 0.85 as the exact rational 85/100
+PR_D_DEN = 100
+PR_ITERS = 5
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS,
+                   scale: int = PR_SCALE) -> DataFrame:
+    """PageRank over a weighted edge frame (src, dst, cnt) in EXACT
+    integer fixed-point: ranks live at ``scale`` (1e-6 units), each
+    edge contribution is the floor r(u)*cnt/out(u), and each update
+    is rank' = (1-d)*scale div (d_den*n) + d_num*sum(contrib) div
+    d_den — every floor lands at the same place in Spark and DuckDB,
+    so a fixed iteration count gives a hash-exact rank vector (the
+    deterministic answer to "which tiles do movement flows
+    concentrate in").  Dangling nodes get a unit self-loop (the
+    standard patch so their mass doesn't leak).
+
+    Scale shape: the rank vector and edge table are graph-bounded
+    (tiles, not raw events), so each iteration is one equi-join + one
+    partial-agg'd groupBy on the cell-bounded tables; iterations
+    localCheckpoint so round r never recomputes rounds < r.  The node
+    count (one scalar) is the only driver-side value."""
+    e = (edges.groupBy("src", "dst")
+         .agg(F.sum("cnt").alias("cnt"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    dang = nodes.join(e.select(F.col("src").alias("node")).distinct(),
+                      "node", "left_anti")
+    e2 = e.unionByName(dang.select(F.col("node").alias("src"),
+                                   F.col("node").alias("dst"),
+                                   F.lit(1).cast("long").alias("cnt")))
+    out = (e2.groupBy("src").agg(F.sum("cnt").alias("outc"))
+           .localCheckpoint(eager=True))
+    n = nodes.count()
+    base = (PR_D_DEN - PR_D_NUM) * scale // (PR_D_DEN * n)
+    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (e2.join(r.withColumnRenamed("node", "src"), "src")
+                   .join(out, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank * cnt div outc").alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = (nodes.join(sums, "node", "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"{PR_D_NUM} * coalesce(s, 0L)"
+                               f" div {PR_D_DEN}")).alias("rank"))
+             .localCheckpoint(eager=True))
+    return r
+
+
+def tile_pagerank(df: DataFrame, grid: int,
+                  iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over per-entity tile-transition edges: events carry
+    integer coords (x in [0,x_period), y in [0,y_period)) and an
+    (ent, ts, id) order; consecutive events form weighted src->dst
+    cell edges (self-transitions kept — they model dwell).  Output
+    one row per VISITED cell: cell_x, cell_y, out weight, rank_e6."""
+    from pyspark.sql import Window
+
+    cw = 360000 // grid
+    ch = 170000 // grid
+    cells = df.select(
+        "ent", "ts", "id",
+        (F.expr(f"(x div {cw})") * grid + F.expr(f"(y div {ch})"))
+        .alias("node"))
+    w = Window.partitionBy("ent").orderBy("ts", "id")
+    tr = (cells.withColumn("nxt", F.lead("node").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .select(F.col("node").alias("src"), F.col("nxt").alias("dst"),
+                  F.lit(1).cast("long").alias("cnt")))
+    ranks = pagerank_fixed(tr, iters=iters)
+    out = (tr.groupBy(F.col("src").alias("node"))
+           .agg(F.sum("cnt").alias("out_weight")))
+    return (ranks.join(out, "node", "left")
+            .select(F.expr(f"node div {grid}").cast("long").alias("cell_x"),
+                    (F.col("node") % grid).cast("long").alias("cell_y"),
+                    F.coalesce("out_weight", F.lit(0)).cast("long")
+                    .alias("out_weight"),
+                    F.col("rank").cast("long").alias("rank_e6")))

@@ -4661,6 +4661,92 @@ def sql_knox_test() -> str:
 MKV_ZOOM = 3
 
 
+PR_GRID = 8
+
+
+def q_tile_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the per-user tile-transition
+    graph (`flows.tile_pagerank`): which cells do movement flows
+    concentrate in — 5 exact floor-quantized iterations, hash-exact
+    rank vector (the oracle unrolls the same 5 iterations as chained
+    CTEs)."""
+    from .operators import flows as FLW
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("ent"), "ts",
+        F.col("event_id").alias("id"),
+        F.expr("event_id * 3571 % 360000").alias("x"),
+        F.expr("(event_id * 9973 + 7) % 170000").alias("y"))
+    return (FLW.tile_pagerank(df, PR_GRID)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_tile_pagerank() -> str:
+    from .operators.flows import PR_D_DEN, PR_D_NUM, PR_ITERS, PR_SCALE
+
+    g = PR_GRID
+    cw = 360000 // g
+    ch = 170000 // g
+    rs = []
+    for k in range(1, PR_ITERS + 1):
+        rs.append(f"""
+    r{k} AS (
+      SELECT nodes.node,
+             {PR_D_DEN - PR_D_NUM} * {PR_SCALE}
+               // ({PR_D_DEN} * (SELECT n FROM nn))
+             + {PR_D_NUM} * COALESCE(
+                 SUM(r{k - 1}.rank * e2.cnt // outd.outc), 0)
+               // {PR_D_DEN} AS rank
+      FROM nodes
+      LEFT JOIN e2 ON e2.dst = nodes.node
+      LEFT JOIN r{k - 1} ON r{k - 1}.node = e2.src
+      LEFT JOIN outd ON outd.src = e2.src
+      GROUP BY nodes.node
+    )""")
+    iters_sql = ",".join(rs)
+    return f"""
+    WITH cells AS (
+      SELECT user_id, ts, event_id,
+             ((event_id * 3571 % 360000) // {cw}) * {g}
+             + ((event_id * 9973 + 7) % 170000) // {ch} AS node
+      FROM events
+    ),
+    tr AS (
+      SELECT node AS src,
+             LEAD(node) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+      FROM cells
+    ),
+    e AS (
+      SELECT src, dst, COUNT(*) AS cnt FROM tr
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    dang AS (
+      SELECT node FROM nodes
+      WHERE node NOT IN (SELECT DISTINCT src FROM e)
+    ),
+    e2 AS (
+      SELECT src, dst, cnt FROM e
+      UNION ALL SELECT node, node, CAST(1 AS BIGINT) FROM dang
+    ),
+    outd AS (SELECT src, SUM(cnt) AS outc FROM e2 GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, {PR_SCALE} // n AS rank FROM nodes, nn),
+    {iters_sql},
+    ow AS (SELECT src, SUM(cnt) AS out_weight FROM e GROUP BY src)
+    SELECT CAST(r.node // {g} AS BIGINT) AS cell_x,
+           CAST(r.node % {g} AS BIGINT) AS cell_y,
+           CAST(COALESCE(ow.out_weight, 0) AS BIGINT) AS out_weight,
+           CAST(r.rank AS BIGINT) AS rank_e6
+    FROM r{PR_ITERS} r LEFT JOIN ow ON ow.src = r.node
+    ORDER BY cell_x, cell_y
+    """
+
+
 def q_tile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix between z3 tiles over
     per-user consecutive events (`operators/flows.py::
@@ -5386,6 +5472,8 @@ QUERIES = {
     "od_flows": q_od_flows,
     # first-order Markov tile-transition matrix (next-cell prediction)
     "tile_transitions": q_tile_transitions,
+    # integer fixed-point PageRank over the transition graph
+    "tile_pagerank": q_tile_pagerank,
     # Knox space-time interaction test (one-row exact pair counts)
     "knox_test": q_knox_test,
     # co-travel contact pairs ((cell, bucket) equi-join blocking)
@@ -5550,6 +5638,7 @@ ORACLES = {
     "heading_mix": sql_heading_mix(),
     "od_flows": sql_od_flows(),
     "tile_transitions": sql_tile_transitions(),
+    "tile_pagerank": sql_tile_pagerank(),
     "knox_test": sql_knox_test(),
     "co_travel": sql_co_travel(),
     "interval_join": sql_interval_join(),
