@@ -29,7 +29,7 @@ from . import tiles as T
 from .dedup import connected_components
 
 __all__ = ["dense_cells", "hotspot_clusters", "cluster_stats",
-           "local_moran", "quadrat_chi2"]
+           "local_moran", "quadrat_chi2", "kde_pieces", "kde_heat"]
 
 
 def dense_cells(pts: DataFrame, zoom: int, min_count: int) -> DataFrame:
@@ -234,27 +234,17 @@ def quadrat_chi2(pts: DataFrame, grid: int,
 # per-cell sum is an int64 and the oracle hash-pins every weight.  x
 # wraps (longitude), y clamps — lattice conventions.
 
-def kde_heat(pts: DataFrame, grid: int, radius: int,
-             x_col: str = "x", y_col: str = "y",
-             x_period: int = 360000, y_period: int = 170000) -> DataFrame:
-    """Exact Epanechnikov KDE at lattice-cell centers: one row per
-    cell with ``kde_num`` = sum over events within ``radius`` of
-    (2R)^2 - d2x - d2y (doubled coords) and ``n_in`` = contributing
-    event count.
-
-    Scale plan: each event explodes into its (2r+1)^2 candidate
-    neighbor cells (r = radius div cell_width + 1 — provably covers
-    every positive-weight cell since an event >= (|o|-0.5) cells from
-    a center is > radius away beyond that ring), weights are pure
-    Column math, and ONE partial-agg'd groupBy(cell) Exchange sums
-    them — map-side combine collapses the fan-out before the shuffle.
-    The DuckDB oracle deliberately computes the LITERAL all-pairs
-    event x cell sum, so the gate proves the blocking covers every
-    positive weight, not just that two engines share a plan."""
-    spark = pts.sparkSession
+def kde_pieces(pts: DataFrame, grid: int, radius: int,
+               x_col: str = "x", y_col: str = "y",
+               x_period: int = 360000,
+               y_period: int = 170000) -> DataFrame:
+    """(cell_x, cell_y, _w) positive Epanechnikov pieces — the shared
+    per-event candidate builder behind batch ``kde_heat`` and the
+    streaming twin (stateless narrow ops, so it composes with
+    ``readStream`` unchanged): (2r+1)^2 explode, wrap-aware doubled-
+    coordinate weight, w > 0 filter."""
     cw = x_period // grid
     ch = y_period // grid
-    n = grid * grid
     rx = radius // cw + 1
     ry = radius // ch + 1
     if 2 * rx + 1 > grid:
@@ -280,8 +270,32 @@ def kde_heat(pts: DataFrame, grid: int, radius: int,
     dy = F.abs(2 * F.col("_y") - (2 * F.col("cell_y") + 1) * F.lit(ch))
     w = F.greatest(F.lit(0).cast("long"),
                    F.lit(r2d) - dx * dx - dy * dy)
-    agg = (cand.withColumn("_w", w)
-           .filter(F.col("_w") > 0)
+    return (cand.withColumn("_w", w)
+            .filter(F.col("_w") > 0)
+            .select("cell_x", "cell_y", "_w"))
+
+
+def kde_heat(pts: DataFrame, grid: int, radius: int,
+             x_col: str = "x", y_col: str = "y",
+             x_period: int = 360000, y_period: int = 170000) -> DataFrame:
+    """Exact Epanechnikov KDE at lattice-cell centers: one row per
+    cell with ``kde_num`` = sum over events within ``radius`` of
+    (2R)^2 - d2x - d2y (doubled coords) and ``n_in`` = contributing
+    event count.
+
+    Scale plan: each event explodes into its (2r+1)^2 candidate
+    neighbor cells (r = radius div cell_width + 1 — provably covers
+    every positive-weight cell since an event >= (|o|-0.5) cells from
+    a center is > radius away beyond that ring), weights are pure
+    Column math, and ONE partial-agg'd groupBy(cell) Exchange sums
+    them — map-side combine collapses the fan-out before the shuffle.
+    The DuckDB oracle deliberately computes the LITERAL all-pairs
+    event x cell sum, so the gate proves the blocking covers every
+    positive weight, not just that two engines share a plan."""
+    spark = pts.sparkSession
+    n = grid * grid
+    agg = (kde_pieces(pts, grid, radius, x_col, y_col,
+                      x_period, y_period)
            .groupBy("cell_x", "cell_y")
            .agg(F.sum("_w").alias("kde_num"),
                 F.count(F.lit(1)).alias("n_in")))
