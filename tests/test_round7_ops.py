@@ -522,3 +522,46 @@ def test_pagerank_fixed_matches_reference(spark):
         r = {v: base + PR_D_NUM * s[v] // PR_D_DEN for v in nodes}
     assert got == r
     assert max(got, key=got.get) == 9, "the hub must rank highest"
+
+
+def test_aspect_buckets_argmin_ties_and_batches(spark):
+    """Cross-multiplied bucket argmin matches a literal reference,
+    an exact score tie resolves to the lower ladder index, and
+    batches split in id order within a bucket."""
+    from zellige_spark.operators.images import (ASPECT_LADDER,
+                                                aspect_bucket_batches)
+
+    rows = []
+    # 68:60 scores exactly 8192 against BOTH rung 0 (1024,1024) and
+    # rung 1 (1152,896) -> tie -> rung 0
+    rows.append((1, 68, 60))
+    # representative dims across the ladder
+    dims = [(1024, 1024), (1300, 1000), (896, 1152), (1216, 832),
+            (832, 1216), (1400, 790), (760, 1350), (1600, 660),
+            (600, 1500)]
+    for i, (w, h) in enumerate(dims):
+        rows.append((10 + i, w, h))
+    # one crowded bucket: 10 squares -> batch_size 4 -> batches 0,0,0,0,1,...
+    for i in range(10):
+        rows.append((100 + i, 512, 512))
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+    out = {r.image_id: (r.bucket_idx, r.bucket_w, r.bucket_h, r.batch_idx)
+           for r in aspect_bucket_batches(df, batch_size=4).collect()}
+
+    def ref_bucket(w, h):
+        scores = [(abs(w * bh - h * bw), i)
+                  for i, (bw, bh) in enumerate(ASPECT_LADDER)]
+        return min(scores)[1]
+
+    assert out[1][0] == 0, "tie must resolve to the lower ladder index"
+    for iid, w, h in rows:
+        bi = ref_bucket(w, h)
+        assert out[iid][0] == bi
+        assert (out[iid][1], out[iid][2]) == ASPECT_LADDER[bi]
+    # every ladder rung got at least one member across the dims set
+    assert {out[10 + i][0] for i in range(len(dims))} == set(range(9))
+    # the 10 squares + 1024x1024 + tie image share bucket 0: batches
+    # of 4 in id order
+    sq = sorted(iid for iid in out if out[iid][0] == 0)
+    for rank, iid in enumerate(sq):
+        assert out[iid][3] == rank // 4

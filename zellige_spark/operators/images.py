@@ -945,3 +945,56 @@ def caption_reconcile(images, max_hamming: int = 3,
         F.col("_m._c").alias("canon_caption"),
         F.expr("(-_m._n) * 1000 div n_images").cast("long")
          .alias("agree_millis"))
+
+
+# SDXL-practice aspect ladder (public training recipes): square plus
+# progressively wider/taller pairs at a ~1 Mpx budget
+ASPECT_LADDER = ((1024, 1024), (1152, 896), (896, 1152), (1216, 832),
+                 (832, 1216), (1344, 768), (768, 1344), (1536, 640),
+                 (640, 1536))
+ASPECT_BATCH = 32
+
+
+def aspect_bucket_batches(images, ladder=ASPECT_LADDER,
+                          batch_size: int = ASPECT_BATCH,
+                          id_col: str = "image_id"):
+    """Aspect-ratio bucketing — the diffusion-training batching step:
+    every image joins the ladder bucket whose aspect ratio is closest
+    to its own, then batches form WITHIN a bucket in id order so a
+    training batch never mixes shapes.
+
+    Closeness is exact-integer: bucket argmin of |w*bh - h*bw| (the
+    cross-multiplied |w/h - bw/bh| comparison — no float ratio), ties
+    to the lower ladder index.  Batch assignment is
+    (row_number within bucket - 1) div batch_size over id order —
+    deterministic, so the oracle reproduces every batch id.
+
+    Scale shape: the bucket pick is a per-row array_min over a
+    9-literal struct array (pure codegen); batching is one window
+    Exchange partitioned by bucket.  At 10^12 rows the per-bucket
+    global order is the sequence_pack caveat: shard the window key
+    (bucket, id div shard) the way `pack_buckets` does — batches only
+    need WITHIN-shard contiguity, not a global sequence."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    entries = [F.struct(
+        (F.abs(F.col("w") * F.lit(bh) - F.col("h") * F.lit(bw)))
+        .alias("score"), F.lit(i).alias("idx"))
+        for i, (bw, bh) in enumerate(ladder)]
+    best = F.array_min(F.array(*entries))
+    df = images.withColumn("_b", best).select(
+        F.col(id_col).alias("image_id"), "w", "h",
+        F.col("_b.idx").alias("bucket_idx"))
+    w = Window.partitionBy("bucket_idx").orderBy("image_id")
+    bw_map = F.array(*[F.lit(b[0]) for b in ladder])
+    bh_map = F.array(*[F.lit(b[1]) for b in ladder])
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .select(F.col("image_id").cast("long"),
+                    F.col("bucket_idx").cast("int"),
+                    bw_map[F.col("bucket_idx")].cast("int")
+                    .alias("bucket_w"),
+                    bh_map[F.col("bucket_idx")].cast("int")
+                    .alias("bucket_h"),
+                    F.expr(f"(_rn - 1) div {batch_size}").cast("long")
+                    .alias("batch_idx")))

@@ -2148,6 +2148,58 @@ def sql_caption_reconcile() -> str:
     """
 
 
+_DIM_W = "320 + c_custkey * 7919 % 1217"
+_DIM_H = "320 + (c_custkey * 104729 + 13) % 1217"
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (`images.aspect_bucket_batches`):
+    synthetic (w, h) per image spanning aspect 0.21-4.8 so every
+    ladder rung receives members; exact cross-multiplied bucket
+    argmin + deterministic in-bucket batch ids."""
+    from .operators.images import aspect_bucket_batches
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("image_id"),
+        F.expr(_DIM_W).cast("long").alias("w"),
+        F.expr(_DIM_H).cast("long").alias("h"))
+    return aspect_bucket_batches(df).orderBy("image_id")
+
+
+def sql_aspect_buckets() -> str:
+    from .operators.images import ASPECT_BATCH, ASPECT_LADDER
+
+    vals = ",".join(f"({i},{bw},{bh})"
+                    for i, (bw, bh) in enumerate(ASPECT_LADDER))
+    return f"""
+    WITH imgs AS (
+      SELECT c_custkey AS image_id,
+             CAST({_DIM_W.replace('c_custkey', 'c_custkey')} AS BIGINT) AS w,
+             CAST({_DIM_H} AS BIGINT) AS h
+      FROM customer
+    ),
+    ladder(idx, bw, bh) AS (VALUES {vals}),
+    scored AS (
+      SELECT imgs.image_id, imgs.w, imgs.h, ladder.idx, ladder.bw,
+             ladder.bh,
+             row_number() OVER (PARTITION BY imgs.image_id
+                                ORDER BY ABS(imgs.w * ladder.bh
+                                             - imgs.h * ladder.bw),
+                                         ladder.idx) AS rn
+      FROM imgs CROSS JOIN ladder
+    ),
+    picked AS (SELECT * FROM scored WHERE rn = 1)
+    SELECT CAST(image_id AS BIGINT) AS image_id,
+           CAST(idx AS INT) AS bucket_idx,
+           CAST(bw AS INT) AS bucket_w,
+           CAST(bh AS INT) AS bucket_h,
+           CAST((row_number() OVER (PARTITION BY idx ORDER BY image_id)
+                 - 1) // {ASPECT_BATCH} AS BIGINT) AS batch_idx
+    FROM picked
+    ORDER BY image_id
+    """
+
+
 def q_imagedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming cross-batch image near-dup
     (`streaming/imagedup.py`): per image, is_dup = any phash band
@@ -5375,6 +5427,8 @@ QUERIES = {
     # one canonical caption per visual cluster (majority rule + exact
     # per-mille agreement) — the cross-modal curation follow-up
     "caption_reconcile": q_caption_reconcile,
+    # aspect-ratio bucketing (diffusion-training batch formation)
+    "aspect_buckets": q_aspect_buckets,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -5589,6 +5643,7 @@ ORACLES = {
     "quadrat_chi2": sql_quadrat_chi2(),
     "image_dup_clusters": sql_image_dup_clusters(),
     "caption_reconcile": sql_caption_reconcile(),
+    "aspect_buckets": sql_aspect_buckets(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
