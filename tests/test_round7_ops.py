@@ -565,3 +565,42 @@ def test_aspect_buckets_argmin_ties_and_batches(spark):
     sq = sorted(iid for iid in out if out[iid][0] == 0)
     for rank, iid in enumerate(sq):
         assert out[iid][3] == rank // 4
+
+
+def test_voronoi_assign_matches_bruteforce(spark):
+    """Nearest-site assignment equals the literal argmin (wrap-aware
+    doubled-coordinate distance, min-id ties) and catchments
+    partition the grid."""
+    from zellige_spark.operators.geocodes import voronoi_assign
+
+    grid, xp, yp = 8, 360000, 170000
+    cw, ch = xp // grid, yp // grid
+    sites = [(0, 10000, 20000), (1, 350000, 30000),  # wrap neighbors
+             (2, 180000, 85000), (3, 180000, 85000),  # exact tie -> 2
+             (4, 90000, 150000)]
+    sdf = spark.createDataFrame(sites, "site_id long, sx long, sy long")
+    out = {(r.cell_x, r.cell_y): (r.site_id, r.d2_doubled,
+                                  r.catchment_cells)
+           for r in voronoi_assign(spark, sdf, grid).collect()}
+
+    want = {}
+    catch = {}
+    for cx in range(grid):
+        for cy in range(grid):
+            best = None
+            for sid, sx, sy in sites:
+                adx = abs((2 * cx + 1) * cw - 2 * sx)
+                dx = min(adx, 2 * xp - adx)
+                dy = abs((2 * cy + 1) * ch - 2 * sy)
+                d2 = dx * dx + dy * dy
+                if best is None or (d2, sid) < best:
+                    best = (d2, sid)
+            want[(cx, cy)] = best
+            catch[best[1]] = catch.get(best[1], 0) + 1
+    for cell, (d2, sid) in want.items():
+        assert out[cell][:2] == (sid, d2)
+        assert out[cell][2] == catch[sid]
+    assert sum(catch.values()) == grid * grid
+    assert 3 not in catch, "tie site must lose to the smaller id"
+    # site 1 must capture cells across the antimeridian wrap
+    assert any(sid == 1 and cx == 0 for (cx, _), (_, sid) in want.items())

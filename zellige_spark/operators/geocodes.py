@@ -156,3 +156,50 @@ def repartition_by_geohash_locality(df: DataFrame, precision: int = 7,
 
     df = with_geohash(df, precision, lon_col, lat_col)
     return repartition_by_cell_locality(df, "geohash", partitions)
+
+
+def voronoi_assign(spark, sites, grid: int,
+                   x_period: int = 360000, y_period: int = 170000):
+    """Discrete Voronoi surface: every lattice cell is assigned to its
+    nearest site (exact integer squared distance between the cell
+    CENTER and the site in doubled coordinates — half-cell centers
+    become integers; ties to the smallest site_id), plus each site's
+    catchment size — the "nearest facility / reverse-geocode to
+    nearest city" layer over a coverage area.
+
+    Scale plan: sites are a bounded dim (broadcast — the pip.py dim
+    contract); the cell skeleton is grid-bounded, so the crossJoin is
+    cells x sites with the site side broadcast, the argmin is one
+    partial-agg'd min-struct groupBy(cell), and the catchment count
+    is a window over the grid-bounded result.  Raw data never enters
+    — this is a pure dim x grid computation that downstream joins
+    prune against (the polygon-side twin of `pip` for point sites).
+
+    ``sites``: (site_id, sx, sy) integer coords."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cw = x_period // grid
+    ch = y_period // grid
+    n = grid * grid
+    skeleton = spark.range(n).select(
+        (F.col("id") % grid).alias("cell_x"),
+        F.expr(f"id div {grid}").alias("cell_y"))
+    # doubled coords; x wraps (nearest image), y is plain
+    adx = F.abs((2 * F.col("cell_x") + 1) * F.lit(cw) - 2 * F.col("sx"))
+    dx = F.least(adx, F.lit(2 * x_period) - adx)
+    dy = F.abs((2 * F.col("cell_y") + 1) * F.lit(ch) - 2 * F.col("sy"))
+    d2 = dx * dx + dy * dy
+    assigned = (skeleton.crossJoin(F.broadcast(sites))
+                .groupBy("cell_x", "cell_y")
+                .agg(F.min(F.struct(d2.alias("_d"),
+                                    F.col("site_id").alias("_s")))
+                     .alias("_m")))
+    w = Window.partitionBy("_m._s")
+    return (assigned
+            .select(F.col("cell_x").cast("long"),
+                    F.col("cell_y").cast("long"),
+                    F.col("_m._s").cast("long").alias("site_id"),
+                    F.col("_m._d").cast("long").alias("d2_doubled"),
+                    F.count(F.lit(1)).over(w).cast("long")
+                    .alias("catchment_cells")))

@@ -2684,6 +2684,61 @@ def sql_areal_interp() -> str:
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
+def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi surface over nation sites
+    (`geocodes.voronoi_assign`): every MORAN_GRID cell labeled with
+    its nearest site (exact doubled-coordinate squared distance,
+    x-wrap aware, min-id ties) + per-site catchment size."""
+    from .operators.geocodes import voronoi_assign
+
+    sites = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("site_id"),
+        F.expr("n_nationkey * 52361 % 360000").cast("long").alias("sx"),
+        F.expr("(n_nationkey * 7907 + 41) % 170000").cast("long")
+         .alias("sy"))
+    return (voronoi_assign(spark, sites, MORAN_GRID)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_voronoi_assign() -> str:
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    adx = f"ABS((2 * s.cell_x + 1) * {cw} - 2 * z.sx)"
+    dx = f"LEAST({adx}, 720000 - {adx})"
+    dy = f"ABS((2 * s.cell_y + 1) * {ch} - 2 * z.sy)"
+    return f"""
+    WITH sites AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS site_id,
+             CAST(n_nationkey * 52361 % 360000 AS BIGINT) AS sx,
+             CAST((n_nationkey * 7907 + 41) % 170000 AS BIGINT) AS sy
+      FROM nation
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    scored AS (
+      SELECT s.cell_x, s.cell_y, z.site_id,
+             {dx} * {dx} + {dy} * {dy} AS d2,
+             row_number() OVER (PARTITION BY s.cell_x, s.cell_y
+                                ORDER BY {dx} * {dx} + {dy} * {dy},
+                                         z.site_id) AS rn
+      FROM skel s CROSS JOIN sites z
+    ),
+    picked AS (SELECT * FROM scored WHERE rn = 1)
+    SELECT CAST(cell_x AS BIGINT) AS cell_x,
+           CAST(cell_y AS BIGINT) AS cell_y,
+           CAST(site_id AS BIGINT) AS site_id,
+           CAST(d2 AS BIGINT) AS d2_doubled,
+           CAST(COUNT(*) OVER (PARTITION BY site_id) AS BIGINT)
+             AS catchment_cells
+    FROM picked
+    ORDER BY cell_x, cell_y
+    """
+
+
 def q_kde_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Epanechnikov KDE surface at lattice-cell centers
     (`hotspots.kde_heat`) — the smoothed heat layer over the raw
@@ -5408,6 +5463,8 @@ QUERIES = {
     "kde_heat": q_kde_heat,
     # areal interpolation: zone totals -> grid by exact overlap share
     "areal_interp": q_areal_interp,
+    # discrete Voronoi: nearest-site surface + catchment sizes
+    "voronoi_assign": q_voronoi_assign,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5634,6 +5691,7 @@ ORACLES = {
     "getis_ord": sql_getis_ord(),
     "kde_heat": sql_kde_heat(),
     "areal_interp": sql_areal_interp(),
+    "voronoi_assign": sql_voronoi_assign(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
