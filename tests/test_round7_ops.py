@@ -604,3 +604,54 @@ def test_voronoi_assign_matches_bruteforce(spark):
     assert 3 not in catch, "tie site must lose to the smaller id"
     # site 1 must capture cells across the antimeridian wrap
     assert any(sid == 1 and cx == 0 for (cx, _), (_, sid) in want.items())
+
+
+def test_tile_freshness_staircase_decay(spark, tmp_path):
+    """The staircase decay halves the weight exactly at each
+    half-life boundary, ages from the corpus max epoch (not wall
+    clock), and sums are exact int64."""
+    import datetime
+
+    from zellige_spark.queries import (FRESH_HALF_S, FRESH_SCALE,
+                                       q_tile_freshness)
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(age_s):
+        return base + datetime.timedelta(seconds=1000000 - age_s)
+
+    # event_ids chosen so each row lands in a known cell; ages span
+    # 0, just-under-1, exactly-1, and 5 half-lives
+    rows = [(1, ts(0), 1, "view", 0.0, ""),
+            (2, ts(FRESH_HALF_S - 1), 1, "view", 0.0, ""),
+            (3, ts(FRESH_HALF_S), 1, "view", 0.0, ""),
+            (4, ts(5 * FRESH_HALF_S), 1, "view", 0.0, "")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path)
+    df.write.parquet(p + "/events.parquet")
+    out = {(r.cell_x, r.cell_y): (r.freshness, r.n_events, r.last_es)
+           for r in q_tile_freshness(spark, p).collect()}
+
+    cw, ch = 360000 // 16, 170000 // 16
+    want = {}
+    now = max(int(ts(a).timestamp()) for a in
+              (0, FRESH_HALF_S - 1, FRESH_HALF_S, 5 * FRESH_HALF_S))
+    for eid, t, *_ in rows:
+        cell = ((eid * 3571 % 360000) // cw,
+                ((eid * 9973 + 7) % 170000) // ch)
+        age = now - int(t.timestamp())
+        wgt = FRESH_SCALE >> min(age // FRESH_HALF_S, 62)
+        f, n, last = want.get(cell, (0, 0, 0))
+        want[cell] = (f + wgt, n + 1, max(last, int(t.timestamp())))
+    assert out == want
+    # boundary semantics are visible in the reference weights: age 0
+    # and age H-1 carry the FULL unit, age exactly H carries half,
+    # age 5H carries 1/32
+    ages = {1: 0, 2: FRESH_HALF_S - 1, 3: FRESH_HALF_S,
+            4: 5 * FRESH_HALF_S}
+    wgts = {eid: FRESH_SCALE >> (a // FRESH_HALF_S)
+            for eid, a in ages.items()}
+    assert wgts[1] == wgts[2] == FRESH_SCALE
+    assert wgts[3] == FRESH_SCALE // 2 and wgts[4] == FRESH_SCALE // 32

@@ -2684,6 +2684,70 @@ def sql_areal_interp() -> str:
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
+FRESH_GRID = 16
+FRESH_HALF_S = 604800          # 7-day half-life, seconds
+FRESH_SCALE = 1 << 40          # fixed-point unit weight
+
+
+def q_tile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted activity heat per lattice cell: each event
+    contributes SCALE >> (age div half_life) — STAIRCASE exponential
+    decay kept exact in int64 (a true exp() would be engine-float),
+    with age measured from the corpus max epoch (deterministic, no
+    wall clock).  The 'what is hot RIGHT NOW' layer over raw counts:
+    an event this week counts 2^40, one from 10 weeks ago 2^30 —
+    mergeable sums, so the streaming family could keep it as additive
+    state exactly like the KDE heat.
+
+    One partial-agg'd Exchange over raw rows after a 1-row broadcast
+    of the corpus max epoch."""
+    g = FRESH_GRID
+    cw, ch = 360000 // g, 170000 // g
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(f"(event_id * 3571 % 360000) div {cw}").alias("cell_x"),
+        F.expr(f"((event_id * 9973 + 7) % 170000) div {ch}").alias("cell_y"),
+        F.unix_timestamp("ts").alias("es"))
+    now = ev.agg(F.max("es").alias("now"))
+    w = F.expr(f"shiftright(CAST({FRESH_SCALE} AS BIGINT), "
+               f"CAST(least((now - es) div {FRESH_HALF_S}, 62) AS INT))")
+    return (ev.join(F.broadcast(now))
+            .withColumn("_w", w)
+            .groupBy("cell_x", "cell_y")
+            .agg(F.sum("_w").alias("freshness"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.max("es").alias("last_es"))
+            .select(F.col("cell_x").cast("long"),
+                    F.col("cell_y").cast("long"),
+                    F.col("freshness").cast("long"),
+                    F.col("n_events").cast("long"),
+                    F.col("last_es").cast("long"))
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_tile_freshness() -> str:
+    g = FRESH_GRID
+    cw, ch = 360000 // g, 170000 // g
+    return f"""
+    WITH ev AS (
+      SELECT (event_id * 3571 % 360000) // {cw} AS cell_x,
+             ((event_id * 9973 + 7) % 170000) // {ch} AS cell_y,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    nw AS (SELECT MAX(es) AS now FROM ev)
+    SELECT CAST(cell_x AS BIGINT) AS cell_x,
+           CAST(cell_y AS BIGINT) AS cell_y,
+           CAST(SUM(CAST({FRESH_SCALE} AS BIGINT)
+                    >> CAST(LEAST((nw.now - es) // {FRESH_HALF_S}, 62)
+                            AS INT)) AS BIGINT) AS freshness,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(es) AS BIGINT) AS last_es
+    FROM ev CROSS JOIN nw
+    GROUP BY cell_x, cell_y
+    ORDER BY cell_x, cell_y
+    """
+
+
 def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Voronoi surface over nation sites
     (`geocodes.voronoi_assign`): every MORAN_GRID cell labeled with
@@ -5465,6 +5529,8 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     # discrete Voronoi: nearest-site surface + catchment sizes
     "voronoi_assign": q_voronoi_assign,
+    # freshness-weighted heat (exact staircase exponential decay)
+    "tile_freshness": q_tile_freshness,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5692,6 +5758,7 @@ ORACLES = {
     "kde_heat": sql_kde_heat(),
     "areal_interp": sql_areal_interp(),
     "voronoi_assign": sql_voronoi_assign(),
+    "tile_freshness": sql_tile_freshness(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
