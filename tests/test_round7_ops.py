@@ -655,3 +655,52 @@ def test_tile_freshness_staircase_decay(spark, tmp_path):
             for eid, a in ages.items()}
     assert wgts[1] == wgts[2] == FRESH_SCALE
     assert wgts[3] == FRESH_SCALE // 2 and wgts[4] == FRESH_SCALE // 32
+
+
+def test_home_work_modal_cells_and_support_gate(spark, tmp_path):
+    """Handcrafted pings: home = modal night cell with (count desc,
+    cell asc) tie rule, work = modal midday cell, users under the
+    support gate emit NULL anchors, hours outside both windows are
+    ignored."""
+    import datetime
+
+    from zellige_spark.queries import q_home_work
+
+    def row(eid, user, hh):
+        ts = datetime.datetime(2024, 3, 1, hh, 30,
+                               tzinfo=datetime.timezone.utc)
+        return (eid, ts, user, "ping", 0.0, "")
+
+    rows = []
+    # user 1: 3 night pings in two cells (2 vs 1 via event ids with
+    # known cells), 4 midday pings; user 2: only 2 night pings
+    # (below HW_MIN_PINGS=3 -> home NULL), 3 midday; user 3: only
+    # 08:00 pings (neither window) -> both NULL
+    rows += [row(10, 1, 23), row(10, 1, 2), row(11, 1, 5)]
+    rows += [row(12, 1, 11), row(12, 1, 12), row(12, 1, 13),
+             row(13, 1, 15)]
+    rows += [row(20, 2, 23), row(20, 2, 0)]
+    rows += [row(21, 2, 10), row(21, 2, 11), row(22, 2, 12)]
+    rows += [row(30, 3, 8), row(30, 3, 8), row(30, 3, 8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path) + "/events.parquet")
+    out = {r.user_id: r.asDict() for r in
+           q_home_work(spark, str(tmp_path)).collect()}
+
+    g, cw, ch = 16, 360000 // 16, 170000 // 16
+
+    def cell(eid):
+        return ((eid * 3571 % 360000) // cw) * g \
+            + ((eid * 9973 + 7) % 170000) // ch
+
+    assert out[1]["home_cell"] == cell(10) and out[1]["home_n"] == 2
+    assert out[1]["night_pings"] == 3
+    assert out[1]["work_cell"] == cell(12) and out[1]["work_n"] == 3
+    assert out[1]["day_pings"] == 4
+    assert out[2]["home_cell"] is None and out[2]["night_pings"] == 0
+    assert out[2]["work_cell"] == cell(21) and out[2]["work_n"] == 2
+    assert out[2]["day_pings"] == 3
+    assert out[3]["home_cell"] is None and out[3]["work_cell"] is None
+    assert set(out) == {1, 2, 3}

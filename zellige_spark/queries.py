@@ -2684,6 +2684,117 @@ def sql_areal_interp() -> str:
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
+HW_GRID = 16
+HW_MIN_PINGS = 3
+
+
+def q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor inference — the classic mobility labeling:
+    per user, 'home' is the modal cell among NIGHT pings (hour 22-6)
+    and 'work' the modal cell among MIDDAY pings (hour 10-16), each
+    with the deterministic (count desc, cell asc) tie rule and a
+    minimum-ping support gate; users below support on a class emit
+    NULL for it (kept, flagged).  All integers + the same min-struct
+    argmax the caption/label votes use — hash-exact.
+
+    Scale shape: ONE partial-agg'd Exchange builds (user, class,
+    cell) counts from raw pings; both argmaxes and the final pivot
+    run on that user-bounded table."""
+    g = HW_GRID
+    cw, ch = 360000 // g, 170000 // g
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.expr(f"(event_id * 3571 % 360000) div {cw}") * g
+         + F.expr(f"((event_id * 9973 + 7) % 170000) div {ch}"))
+        .alias("cell"),
+        F.hour("ts").alias("hh"))
+    classed = ev.withColumn(
+        "cls",
+        F.when((F.col("hh") >= 22) | (F.col("hh") < 6), F.lit("home"))
+         .when((F.col("hh") >= 10) & (F.col("hh") < 16), F.lit("work")))
+    cnt = (classed.filter(F.col("cls").isNotNull())
+           .groupBy("user_id", "cls", "cell")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("user_id", "cls").agg(F.sum("n").alias("tot"))
+    best = (cnt.groupBy("user_id", "cls")
+            .agg(F.min(F.struct((-F.col("n")).alias("_n"),
+                                F.col("cell").alias("_c"))).alias("_m"))
+            .join(tot, ["user_id", "cls"])
+            .filter(F.col("tot") >= HW_MIN_PINGS)
+            .select("user_id", "cls",
+                    F.col("_m._c").alias("cell"),
+                    (-F.col("_m._n")).alias("n"), "tot"))
+    home = best.filter("cls = 'home'").select(
+        "user_id", F.col("cell").alias("home_cell"),
+        F.col("n").alias("home_n"), F.col("tot").alias("night_pings"))
+    work = best.filter("cls = 'work'").select(
+        "user_id", F.col("cell").alias("work_cell"),
+        F.col("n").alias("work_n"), F.col("tot").alias("day_pings"))
+    users = ev.select("user_id").distinct()
+    return (users.join(home, "user_id", "left")
+            .join(work, "user_id", "left")
+            .select(F.col("user_id").cast("long"),
+                    F.col("home_cell").cast("long"),
+                    F.coalesce("home_n", F.lit(0)).cast("long")
+                    .alias("home_n"),
+                    F.coalesce("night_pings", F.lit(0)).cast("long")
+                    .alias("night_pings"),
+                    F.col("work_cell").cast("long"),
+                    F.coalesce("work_n", F.lit(0)).cast("long")
+                    .alias("work_n"),
+                    F.coalesce("day_pings", F.lit(0)).cast("long")
+                    .alias("day_pings"))
+            .orderBy("user_id"))
+
+
+def sql_home_work() -> str:
+    g = HW_GRID
+    cw, ch = 360000 // g, 170000 // g
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             ((event_id * 3571 % 360000) // {cw}) * {g}
+             + ((event_id * 9973 + 7) % 170000) // {ch} AS cell,
+             EXTRACT(hour FROM ts) AS hh
+      FROM events
+    ),
+    classed AS (
+      SELECT user_id, cell,
+             CASE WHEN hh >= 22 OR hh < 6 THEN 'home'
+                  WHEN hh >= 10 AND hh < 16 THEN 'work' END AS cls
+      FROM ev
+    ),
+    cnt AS (
+      SELECT user_id, cls, cell, COUNT(*) AS n
+      FROM classed WHERE cls IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT user_id, cls, SUM(n) AS tot FROM cnt GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT c.user_id, c.cls, c.cell, c.n, tot.tot FROM (
+        SELECT user_id, cls, cell, n,
+               row_number() OVER (PARTITION BY user_id, cls
+                                  ORDER BY n DESC, cell) AS rn
+        FROM cnt) c
+      JOIN tot ON tot.user_id = c.user_id AND tot.cls = c.cls
+      WHERE c.rn = 1 AND tot.tot >= {HW_MIN_PINGS}
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev)
+    SELECT CAST(u.user_id AS BIGINT) AS user_id,
+           CAST(h.cell AS BIGINT) AS home_cell,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS home_n,
+           CAST(COALESCE(h.tot, 0) AS BIGINT) AS night_pings,
+           CAST(w.cell AS BIGINT) AS work_cell,
+           CAST(COALESCE(w.n, 0) AS BIGINT) AS work_n,
+           CAST(COALESCE(w.tot, 0) AS BIGINT) AS day_pings
+    FROM users u
+    LEFT JOIN best h ON h.user_id = u.user_id AND h.cls = 'home'
+    LEFT JOIN best w ON w.user_id = u.user_id AND w.cls = 'work'
+    ORDER BY user_id
+    """
+
+
 FRESH_GRID = 16
 FRESH_HALF_S = 604800          # 7-day half-life, seconds
 FRESH_SCALE = 1 << 40          # fixed-point unit weight
@@ -5531,6 +5642,8 @@ QUERIES = {
     "voronoi_assign": q_voronoi_assign,
     # freshness-weighted heat (exact staircase exponential decay)
     "tile_freshness": q_tile_freshness,
+    # home/work anchor inference (modal night/midday cell per user)
+    "home_work": q_home_work,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5759,6 +5872,7 @@ ORACLES = {
     "areal_interp": sql_areal_interp(),
     "voronoi_assign": sql_voronoi_assign(),
     "tile_freshness": sql_tile_freshness(),
+    "home_work": sql_home_work(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
