@@ -704,3 +704,24 @@ def test_home_work_modal_cells_and_support_gate(spark, tmp_path):
     assert out[2]["day_pings"] == 3
     assert out[3]["home_cell"] is None and out[3]["work_cell"] is None
     assert set(out) == {1, 2, 3}
+
+
+def test_poi_discovery_invariants(spark):
+    """The stay-point -> DBSCAN -> POI composition at sf0.001: every
+    POI has >= 2 stays (a dense neighborhood), visitor counts never
+    exceed stay counts, centroids sit inside the shifted coordinate
+    box, and noise stays are excluded (total POI stays < total
+    stays)."""
+    from zellige_spark.queries import q_poi_discovery, q_stay_points
+
+    sf = "/root/testdata/sf0.001"
+    pois = q_poi_discovery(spark, sf).collect()
+    assert len(pois) > 0
+    n_stays_total = q_stay_points(spark, sf).count()
+    assert sum(r.n_stays for r in pois) < n_stays_total, \
+        "DBSCAN must leave some noise stays out"
+    for r in pois:
+        assert r.n_stays >= 2
+        assert 1 <= r.n_users <= r.n_stays
+        assert 0 <= r.cx <= 360_000_000 and 0 <= r.cy <= 170_000_000
+        assert r.dwell_s > 0

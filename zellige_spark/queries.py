@@ -2684,6 +2684,108 @@ def sql_areal_interp() -> str:
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
+POI_EPS = 20_000_000   # microdegrees (~20 deg at this synthetic scale)
+POI_MIN_PTS = 3
+POI_ID_SHIFT = 1 << 20  # point_id = user_id * SHIFT + seg (seg << SHIFT)
+
+
+def q_poi_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI discovery — the flagship mobility COMPOSITION: stay-point
+    detection (`trajectories.stay_points`, exact integer-microdegree
+    centroids) feeds exact DBSCAN (`dbscan.dbscan`, shifted to
+    non-negative coords so both engines floor-div identically), and
+    clusters aggregate into places: per POI the stay count, DISTINCT
+    visitor count, total dwell, and the exact integer centroid-of-
+    centroids.  Noise stays (no dense neighborhood) are excluded —
+    that is DBSCAN's point.
+
+    Scale shape: stay_points is one user-keyed Exchange over raw
+    pings; DBSCAN runs on the STAY table (orders of magnitude smaller
+    than pings); the POI aggregate is cluster-bounded."""
+    from .operators.dbscan import dbscan
+
+    stays = q_stay_points(spark, sf_dir).select(
+        (F.col("user_id") * POI_ID_SHIFT + F.col("seg")).alias("point_id"),
+        F.col("user_id"), F.col("dwell_s"),
+        (F.col("c_lon_udeg") + 180_000_000).alias("x"),
+        (F.col("c_lat_udeg") + 85_000_000).alias("y"))
+    labeled = dbscan(stays.select("point_id", "x", "y"),
+                     POI_EPS, POI_MIN_PTS)
+    return (stays.join(labeled.select("point_id", "cluster"), "point_id")
+            .filter(F.col("cluster") >= 0)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_stays"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("dwell_s").alias("dwell_s"),
+                 F.expr("sum(x) div count(1)").alias("cx"),
+                 F.expr("sum(y) div count(1)").alias("cy"))
+            .select(F.col("cluster").cast("long").alias("poi_id"),
+                    F.col("n_stays").cast("long"),
+                    F.col("n_users").cast("long"),
+                    F.col("dwell_s").cast("long"),
+                    F.col("cx").cast("long"), F.col("cy").cast("long"))
+            .orderBy("poi_id"))
+
+
+def sql_poi_discovery() -> str:
+    eps2 = POI_EPS * POI_EPS
+    return f"""
+    WITH RECURSIVE sp AS ({sql_stay_points()}),
+    pts AS (
+      SELECT user_id * {POI_ID_SHIFT} + seg AS id, user_id, dwell_s,
+             c_lon_udeg + 180000000 AS x, c_lat_udeg + 85000000 AS y
+      FROM sp
+    ),
+    nbr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM pts a JOIN pts b
+        ON a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {eps2}
+    ),
+    deg AS (SELECT ia AS id, COUNT(*) AS n FROM nbr GROUP BY ia),
+    core AS (
+      SELECT p.id FROM pts p LEFT JOIN deg ON deg.id = p.id
+      WHERE COALESCE(deg.n, 0) + 1 >= {POI_MIN_PTS}
+    ),
+    ce AS (
+      SELECT ia, ib FROM nbr
+      WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+    ),
+    reach(node, r) AS (
+      SELECT ia, ib FROM ce
+      UNION
+      SELECT reach.node, ce.ib FROM reach JOIN ce ON reach.r = ce.ia
+    ),
+    comp AS (
+      SELECT node, least(node, MIN(r)) AS component FROM reach GROUP BY node
+    ),
+    corelab AS (
+      SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+      FROM core LEFT JOIN comp ON comp.node = core.id
+    ),
+    borderlab AS (
+      SELECT nbr.ia AS id, MIN(corelab.cluster) AS cluster
+      FROM nbr JOIN corelab ON corelab.id = nbr.ib
+      WHERE nbr.ia NOT IN (SELECT id FROM core)
+      GROUP BY nbr.ia
+    ),
+    lab AS (
+      SELECT id, cluster FROM corelab
+      UNION ALL SELECT id, cluster FROM borderlab
+    )
+    SELECT CAST(lab.cluster AS BIGINT) AS poi_id,
+           CAST(COUNT(*) AS BIGINT) AS n_stays,
+           CAST(COUNT(DISTINCT pts.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(pts.dwell_s) AS BIGINT) AS dwell_s,
+           CAST(SUM(pts.x) // COUNT(*) AS BIGINT) AS cx,
+           CAST(SUM(pts.y) // COUNT(*) AS BIGINT) AS cy
+    FROM lab JOIN pts ON pts.id = lab.id
+    GROUP BY lab.cluster
+    ORDER BY poi_id
+    """
+
+
 HW_GRID = 16
 HW_MIN_PINGS = 3
 
@@ -5644,6 +5746,8 @@ QUERIES = {
     "tile_freshness": q_tile_freshness,
     # home/work anchor inference (modal night/midday cell per user)
     "home_work": q_home_work,
+    # POI discovery: stay-points -> exact DBSCAN -> places
+    "poi_discovery": q_poi_discovery,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5873,6 +5977,7 @@ ORACLES = {
     "voronoi_assign": sql_voronoi_assign(),
     "tile_freshness": sql_tile_freshness(),
     "home_work": sql_home_work(),
+    "poi_discovery": sql_poi_discovery(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
