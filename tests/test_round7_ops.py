@@ -725,3 +725,27 @@ def test_poi_discovery_invariants(spark):
         assert 1 <= r.n_users <= r.n_stays
         assert 0 <= r.cx <= 360_000_000 and 0 <= r.cy <= 170_000_000
         assert r.dwell_s > 0
+
+
+def test_hrw_shards_minimal_movement_invariant(spark):
+    """Rendezvous hashing's defining property: when shard 16 joins,
+    keys either stay put or move TO shard 16 — never between old
+    shards — and roughly 1/17 of keys move; old-shard load is
+    roughly balanced."""
+    from zellige_spark.queries import HRW_SHARDS, q_hrw_shards
+
+    rows = q_hrw_shards(spark, "/root/testdata/sf0.01").collect()
+    n = len(rows)
+    assert n > 0
+    moved = [r for r in rows if r.moved == 1]
+    assert all(r.shard17 == HRW_SHARDS for r in moved), \
+        "a key moved between OLD shards"
+    assert all(r.shard16 == r.shard17 for r in rows if r.moved == 0)
+    # expected ~1/17 ~ 5.9%; allow a wide band for n=500
+    assert 0.01 <= len(moved) / n <= 0.15
+    # balance: every old shard within 3x of uniform
+    from collections import Counter
+
+    load = Counter(r.shard16 for r in rows)
+    assert set(load) == set(range(HRW_SHARDS))
+    assert max(load.values()) <= 3 * (n // HRW_SHARDS)

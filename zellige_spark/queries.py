@@ -2684,6 +2684,84 @@ def sql_areal_interp() -> str:
 KDE_RADIUS = 30000  # millidegrees: ~1.3 cells at the MORAN_GRID pitch
 
 
+HRW_SHARDS = 16
+# per-(key, shard) weight: (masked_key + shard + 1) Knuth-multiplied,
+# folded to 31 bits (the fold is what makes the weight NON-linear in
+# the shard — a single multiply-add is monotone in s and HRW
+# degenerates to "largest shard always wins"), then spread by a
+# second odd prime.  Every intermediate < 2^63 on both engines:
+# (2^31+17)*2654435761 ~ 5.7e18, (2^31)*2246822519 ~ 4.8e18.
+_HRW_W = ("(((((doc_id % 2147483648 + 2147483648) % 2147483648"
+          " + {s} + 1) * 2654435761) % 2147483648 + 1) * 2246822519)")
+
+
+def _hrw_pick(n: int) -> str:
+    """SQL argmax over ``n`` shards: highest weight wins, ties to the
+    smaller shard id (array_max over (weight, n-1-shard) structs; the
+    reversed second field makes struct-max prefer LOWER shards)."""
+    entries = ", ".join(
+        f"struct({_HRW_W.format(s=s)} AS w, {n - 1 - s} AS r)"
+        for s in range(n))
+    return f"({n - 1} - array_max(array({entries})).r)"
+
+
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding over document ids
+    — the elastic-routing primitive for a 1000-executor ingest: every
+    key independently ranks all shards by a salted hash and takes the
+    max, so adding shard N+1 moves ONLY the keys whose new weight
+    wins (~1/(N+1) of them) and they ALL move to the new shard —
+    no reshuffle storm.  Emitted per doc: the 16-shard pick, the
+    17-shard pick, and the moved flag; the invariant 'moved => new
+    shard' is test-pinned and the whole mapping is hash-exact.
+
+    Map-only Column math (two literal argmax folds per row) — zero
+    shuffles before the driver's orderBy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s16 = _hrw_pick(HRW_SHARDS)
+    s17 = _hrw_pick(HRW_SHARDS + 1)
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.expr(s16).cast("int").alias("shard16"),
+                        F.expr(s17).cast("int").alias("shard17"))
+            .withColumn("moved",
+                        (F.col("shard16") != F.col("shard17"))
+                        .cast("int"))
+            .orderBy("doc_id"))
+
+
+def sql_hrw_shards() -> str:
+    # DuckDB lacks array_max-of-structs ordering guarantees; use the
+    # classic VALUES + row_number argmax instead (same weights, same
+    # (weight desc, shard asc) rule)
+    w = _HRW_W.format(s="s.s")
+    shards16 = ", ".join(f"({s})" for s in range(HRW_SHARDS))
+    shards17 = ", ".join(f"({s})" for s in range(HRW_SHARDS + 1))
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    p16 AS (
+      SELECT doc_id, s.s AS shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY {w} DESC, s.s) AS rn
+      FROM d CROSS JOIN (VALUES {shards16}) AS s(s)
+    ),
+    p17 AS (
+      SELECT doc_id, s.s AS shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY {w} DESC, s.s) AS rn
+      FROM d CROSS JOIN (VALUES {shards17}) AS s(s)
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(a.shard AS INT) AS shard16,
+           CAST(b.shard AS INT) AS shard17,
+           CAST(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END AS INT)
+             AS moved
+    FROM d
+    JOIN p16 a ON a.doc_id = d.doc_id AND a.rn = 1
+    JOIN p17 b ON b.doc_id = d.doc_id AND b.rn = 1
+    ORDER BY doc_id
+    """
+
+
 POI_EPS = 20_000_000   # microdegrees (~20 deg at this synthetic scale)
 POI_MIN_PTS = 3
 POI_ID_SHIFT = 1 << 20  # point_id = user_id * SHIFT + seg (seg << SHIFT)
@@ -5748,6 +5826,8 @@ QUERIES = {
     "home_work": q_home_work,
     # POI discovery: stay-points -> exact DBSCAN -> places
     "poi_discovery": q_poi_discovery,
+    # rendezvous sharding (elastic routing; moved => new shard)
+    "hrw_shards": q_hrw_shards,
     # Cliff-Ord binary join counts (BB/BW/WW + exact expectations)
     "join_counts": q_join_counts,
     # empirical semivariogram ladder by exact squared lag
@@ -5978,6 +6058,7 @@ ORACLES = {
     "tile_freshness": sql_tile_freshness(),
     "home_work": sql_home_work(),
     "poi_discovery": sql_poi_discovery(),
+    "hrw_shards": sql_hrw_shards(),
     "join_counts": sql_join_counts(),
     "semivariogram": sql_semivariogram(),
     "ripley_k": sql_ripley_k(),
