@@ -749,3 +749,35 @@ def test_hrw_shards_minimal_movement_invariant(spark):
     load = Counter(r.shard16 for r in rows)
     assert set(load) == set(range(HRW_SHARDS))
     assert max(load.values()) <= 3 * (n // HRW_SHARDS)
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """Two-phase skyline equals the literal NOT-EXISTS reference on
+    anti-correlated metrics (a large skyline), across partition
+    boundaries, with duplicate metric vectors both kept."""
+    from zellige_spark.operators.text import pareto_skyline
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(600):
+        a = int(rng.integers(0, 1000))
+        b = 1000 - a + int(rng.integers(-50, 50))   # anti-correlated
+        c = int(rng.integers(0, 30))
+        rows.append((i, a, b, c))
+    rows.append((900, 1, 1100, 29))     # frontier corner
+    rows.append((901, 1, 1100, 29))     # exact duplicate: both kept
+    df = (spark.createDataFrame(rows, "doc_id long, m1 long, m2 long, m3 long")
+          .repartition(7))
+    got = sorted(r.doc_id for r in
+                 pareto_skyline(df, ("m1", "m2", "m3")).collect())
+
+    X = np.array([(a, b, c) for _, a, b, c in rows])
+    ids = [i for i, *_ in rows]
+    want = []
+    for i in range(len(X)):
+        dom = (X >= X[i]).all(1) & (X > X[i]).any(1)
+        if not dom.any():
+            want.append(ids[i])
+    assert got == sorted(want)
+    assert {900, 901} <= set(got), "duplicate optimal vectors both kept"
+    assert len(got) > 10, "anti-correlated dims must give a wide skyline"

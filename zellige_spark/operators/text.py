@@ -1012,3 +1012,105 @@ def sql_bigram_lift() -> str:
     WHERE bg.c_xy >= {BIGRAM_MIN}
     ORDER BY lhs, rhs
     """
+
+
+# --- Pareto skyline over quality metrics ------------------------------------
+
+SKYLINE_SCHEMA = "doc_id long, m_tokens long, m_negpunct long, m_stop long"
+
+
+def doc_metrics(docs: DataFrame) -> DataFrame:
+    """Three integer maximize-all quality axes per doc: whitespace
+    tokens, NEGATED punctuation count (fewer is better), and English
+    stopword hits (fluency) — the shared expression strings both
+    engines evaluate."""
+    punct = " + ".join(_occurrences("text", p) for p in PUNCT)
+    stop = " + ".join(_occurrences(_PADDED, f" {w} ")
+                      for w in STOPWORDS["en"])
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_TOKENS).cast("long").alias("m_tokens"),
+        (-F.expr(f"({punct})")).cast("long").alias("m_negpunct"),
+        F.expr(f"({stop})").cast("long").alias("m_stop"))
+
+
+def pareto_skyline(metrics: DataFrame, dims: tuple) -> DataFrame:
+    """Skyline (Pareto-optimal set, maximize every dim): rows no
+    other row weakly dominates — the multi-objective "best documents"
+    query (no single quality score ranks across conflicting axes).
+
+    Scale plan: the skyline operator distributes by ALGEBRA, not by
+    luck — skyline(U) == skyline(union of per-partition skylines), so
+    phase 1 prunes each Arrow batch to its local skyline inside
+    `mapInPandas` (vectorized numpy dominance, never leaves the
+    executor), and phase 2 verifies only the surviving candidates
+    against each other (a candidates x candidates broadcast join —
+    candidate count is output-bounded, orders of magnitude under n).
+    Equal metric vectors dominate neither way (both kept — standard
+    skyline semantics), so the result is deterministic."""
+    import numpy as np
+
+    cols = list(metrics.columns)
+    dlist = list(dims)
+
+    def local(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = pdf[dlist].to_numpy()
+            keep = np.ones(len(X), dtype=bool)
+            for i in range(len(X)):
+                dom = (X >= X[i]).all(axis=1) & (X > X[i]).any(axis=1)
+                if dom.any():
+                    keep[i] = False
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    cand = metrics.mapInPandas(local, metrics.schema)
+    other = cand.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
+    ge = [F.col(f"_o_{d}") >= F.col(d) for d in dlist]
+    gt = [F.col(f"_o_{d}") > F.col(d) for d in dlist]
+    dominated = ge[0]
+    for c in ge[1:]:
+        dominated = dominated & c
+    strictly = gt[0]
+    for c in gt[1:]:
+        strictly = strictly | c
+    hits = (cand.join(F.broadcast(other), dominated & strictly, "left_semi"))
+    return cand.join(hits, cols, "left_anti")
+
+
+def q_doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents over (tokens, -punctuation, stopword
+    fluency) — the multi-objective corpus-curation shortlist."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = doc_metrics(docs)
+    return (pareto_skyline(m, ("m_tokens", "m_negpunct", "m_stop"))
+            .orderBy("doc_id"))
+
+
+def sql_doc_skyline() -> str:
+    punct = " + ".join(_occurrences("text", p) for p in PUNCT)
+    stop = " + ".join(_occurrences(_PADDED, f" {w} ")
+                      for w in STOPWORDS["en"])
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST({_TOKENS} AS BIGINT) AS m_tokens,
+             CAST(-({punct}) AS BIGINT) AS m_negpunct,
+             CAST(({stop}) AS BIGINT) AS m_stop
+      FROM documents
+    )
+    SELECT d.doc_id, d.m_tokens, d.m_negpunct, d.m_stop
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m e
+      WHERE e.m_tokens >= d.m_tokens
+        AND e.m_negpunct >= d.m_negpunct
+        AND e.m_stop >= d.m_stop
+        AND (e.m_tokens > d.m_tokens OR e.m_negpunct > d.m_negpunct
+             OR e.m_stop > d.m_stop)
+    )
+    ORDER BY d.doc_id
+    """

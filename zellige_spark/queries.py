@@ -5880,6 +5880,9 @@ QUERIES = {
     "bigram_lift": TXT.q_bigram_lift,
     # per-doc 3-gram novelty vs the corpus prefix (re-crawl scores ~0)
     "doc_novelty": TXT.q_doc_novelty,
+    # Pareto-optimal docs over conflicting quality axes (two-phase
+    # local-skyline + candidates-only verify)
+    "doc_skyline": TXT.q_doc_skyline,
     # dedup family
     "dedup_exact": DD.q_dedup_exact,
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
@@ -6086,6 +6089,7 @@ ORACLES = {
     "vocab_growth": TXT.sql_vocab_growth(),
     "bigram_lift": TXT.sql_bigram_lift(),
     "doc_novelty": TXT.sql_doc_novelty(),
+    "doc_skyline": TXT.sql_doc_skyline(),
     "dedup_exact": DD.sql_dedup_exact(),
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
