@@ -320,3 +320,49 @@ def test_co_travel_matches_bruteforce_and_plan_has_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """The selected median pairwise slope per tile equals the
+    fraction-exact Python recompute: sort pairs by the exact rational
+    dy/dx (via Fraction), tie-break (dy, dx, m_i), take the lower
+    median — and the emitted double is the IEEE division of that
+    pair's exact integers."""
+    from fractions import Fraction
+
+    import zellige_spark.queries as Q
+
+    out = {(r.tile_x, r.tile_y): r
+           for r in Q.q_theil_sen(spark, SF).collect()}
+    assert out, "no tiles"
+    pts = Q._customer_points(spark, SF)
+    tiled = Q.T.assign_tiles(pts, [Q.TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = (orders.join(tiled, orders.o_custkey == tiled.c_custkey)
+            .selectExpr("tile_x", "tile_y",
+                        "year(o_orderdate) * 12 + month(o_orderdate) AS m")
+            .collect())
+    cells = {}
+    for r in rows:
+        cells.setdefault((r.tile_x, r.tile_y), {}).setdefault(r.m, 0)
+        cells[(r.tile_x, r.tile_y)][r.m] += 1
+    # tiles with >= 2 active months have >= 1 pair and appear
+    want_tiles = {k for k, months in cells.items() if len(months) >= 2}
+    assert set(out) == want_tiles
+    for k, months in cells.items():
+        if len(months) < 2:
+            continue
+        ms = sorted(months)
+        pairs = []
+        for i, mi in enumerate(ms):
+            for mj in ms[i + 1:]:
+                dy = months[mj] - months[mi]
+                dx = mj - mi
+                pairs.append((Fraction(dy, dx), dy, dx, mi))
+        pairs.sort()
+        med = pairs[(len(pairs) + 1) // 2 - 1]
+        r = out[k]
+        assert (r.n_pairs, r.slope_num, r.slope_den) == (
+            len(pairs), med[1], med[2])
+        assert r.sen_slope == med[1] / med[2]

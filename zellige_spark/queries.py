@@ -13,7 +13,7 @@ across JVM/libm ulp differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import encode as E
@@ -828,6 +828,112 @@ def sql_mann_kendall() -> str:
                 ELSE CAST(0 AS DOUBLE)
            END AS z_mk
     FROM per
+    ORDER BY tile_x, tile_y
+    """
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile Sen's slope (Theil-Sen estimator) over monthly order
+    counts — the robust slope that the Mann-Kendall S decides the
+    SIGN of (the Mann-Kendall + Sen pair is the published
+    emerging-hotspot trend readout; `tile_trend`'s OLS slope is the
+    outlier-sensitive baseline it replaces).  The estimator is the
+    MEDIAN of all pairwise slopes (y_j - y_i)/(m_j - m_i) over month
+    pairs i<j; we take the lower median (rank floor((n_pairs+1)/2)).
+
+    Exactness: dy and dx are exact int64; the double `sen_slope` is
+    ONE correctly-rounded IEEE division of those ints — identical on
+    both engines.  Ordering by that double is ORDER-FAITHFUL to the
+    rational order: distinct fractions with denominators <= the month
+    span (< 2^7) differ by >= 1/dx_a*dx_b >> the 2^-53 relative
+    rounding of either key, and EQUAL fractions round to EQUAL
+    doubles, where the (dy, dx, m_i) tie-break takes over — so the
+    selected median pair is engine-independent.
+
+    Scale shape: identical to `mann_kendall` until `cells` (facts
+    shuffle once onto the join key, once into (tile, month) cells);
+    the pair self-join and the median window run on the grid-bounded
+    cell table (<= ~months^2 rows per tile, months <= the calendar)."""
+    pts = _customer_points(spark, sf_dir)
+    tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
+        "c_custkey", "tile_x", "tile_y")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"))
+    j = orders.join(tiled, F.col("o_custkey") == F.col("c_custkey"))
+    cells = (j.groupBy("tile_x", "tile_y", "m")
+              .agg(F.count(F.lit(1)).alias("y")))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (a.join(b, (F.col("a.tile_x") == F.col("b.tile_x"))
+                    & (F.col("a.tile_y") == F.col("b.tile_y"))
+                    & (F.col("a.m") < F.col("b.m")))
+             .select(F.col("a.tile_x").alias("tile_x"),
+                     F.col("a.tile_y").alias("tile_y"),
+                     (F.col("b.y") - F.col("a.y")).cast("long").alias("dy"),
+                     (F.col("b.m") - F.col("a.m")).cast("long").alias("dx"),
+                     F.col("a.m").alias("mi")))
+    sl = F.col("dy").cast("double") / F.col("dx").cast("double")
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(
+        sl.asc(), F.col("dy").asc(), F.col("dx").asc(), F.col("mi").asc())
+    wc = Window.partitionBy("tile_x", "tile_y")
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+                   .withColumn("n_pairs", F.count(F.lit(1)).over(wc)))
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # CAST rounds half-even, so `(n+1)/2` must floor on BOTH engines
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("long"))
+    return (med.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("dy").alias("slope_num"),
+        F.col("dx").alias("slope_den"),
+        (F.col("dy").cast("double") / F.col("dx").cast("double"))
+        .alias("sen_slope"))
+        .orderBy("tile_x", "tile_y"))
+
+
+def sql_theil_sen() -> str:
+    tx, ty = _sql_tile(str(TREND_ZOOM))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), cells AS (
+      SELECT t.tile_x, t.tile_y,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m,
+             COUNT(*) AS y
+      FROM orders o JOIN tiled t ON o.o_custkey = t.c_custkey
+      GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.tile_x, a.tile_y,
+             CAST(b.y - a.y AS BIGINT) AS dy,
+             CAST(b.m - a.m AS BIGINT) AS dx,
+             a.m AS mi
+      FROM cells a JOIN cells b
+        ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y AND a.m < b.m
+    ), ranked AS (
+      SELECT tile_x, tile_y, dy, dx,
+             row_number() OVER (
+               PARTITION BY tile_x, tile_y
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        dy ASC, dx ASC, mi ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY tile_x, tile_y) AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           dy AS slope_num,
+           dx AS slope_den,
+           CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS sen_slope
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
     ORDER BY tile_x, tile_y
     """
 
@@ -5764,6 +5870,8 @@ QUERIES = {
     "tile_trend": q_tile_trend,
     # per-tile Mann-Kendall trend (emerging-hotspot robust statistic)
     "mann_kendall": q_mann_kendall,
+    # per-tile Sen's slope (median pairwise slope, the MK companion)
+    "theil_sen": q_theil_sen,
     # space-time composite: per-month Gi* + per-cell Mann-Kendall ->
     # new/intensifying/persistent/diminishing/... categories
     "emerging_hotspots": q_emerging_hotspots,
@@ -6029,6 +6137,7 @@ ORACLES = {
     "tile_diversity": sql_tile_diversity(),
     "tile_trend": sql_tile_trend(),
     "mann_kendall": sql_mann_kendall(),
+    "theil_sen": sql_theil_sen(),
     "emerging_hotspots": sql_emerging_hotspots(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
