@@ -3740,3 +3740,77 @@ def test_visit_profile_brute_equality(spark):
         assert (r.n_cells, r.n_pings) == (len(cells), n_pings)
         assert (r.top_cell, r.top_visits) == (top_cell, top_visits)
         assert r.top_share == top_visits / n_pings
+
+
+# --- k-anonymity spatial cloaking --------------------------------------------
+
+def test_k_anon_tiles_invariants(spark):
+    """Every user resolves to a cell holding >= K_ANON users, the
+    chosen zoom is MAXIMAL (the one-level-finer ancestor toward the
+    user's z14 cell holds < K_ANON), the chosen cell really is the
+    ancestor of the user's z14 cell, and cell_n equals the brute
+    population recount of that cell."""
+    import zellige_spark.queries as Q
+
+    rows = Q.q_k_anon_tiles(spark, SF).collect()
+    tiled = {r.c_custkey: (r.tile_x, r.tile_y)
+             for r in Q.T.assign_tiles(
+                 Q._customer_points(spark, SF),
+                 [Q.ANON_Z]).select("c_custkey", "tile_x", "tile_y")
+             .collect()}
+    assert len(rows) == len(tiled)  # corpus >= K_ANON: everyone resolves
+    # brute populations at every level
+    pop = {}
+    for x14, y14 in tiled.values():
+        for z in range(Q.ANON_Z + 1):
+            s = Q.ANON_Z - z
+            pop[(z, x14 >> s, y14 >> s)] = pop.get(
+                (z, x14 >> s, y14 >> s), 0) + 1
+    for r in rows:
+        x14, y14 = tiled[r.c_custkey]
+        s = Q.ANON_Z - r.anon_zoom
+        assert (r.cell_x, r.cell_y) == (x14 >> s, y14 >> s)  # true ancestor
+        assert r.cell_n == pop[(r.anon_zoom, r.cell_x, r.cell_y)]
+        assert r.cell_n >= Q.K_ANON
+        if r.anon_zoom < Q.ANON_Z:  # maximality: one finer level fails k
+            sf = Q.ANON_Z - (r.anon_zoom + 1)
+            assert pop[(r.anon_zoom + 1, x14 >> sf, y14 >> sf)] < Q.K_ANON
+
+
+def test_k_anon_tiles_small_corpus_empty(spark, tmp_path):
+    """A corpus smaller than K_ANON cannot anonymize at any level —
+    zero rows come back (nothing leaks)."""
+    import zellige_spark.queries as Q
+
+    cust = (spark.read.parquet(f"{SF}/customer.parquet")
+            .limit(Q.K_ANON - 1))
+    sf = str(tmp_path)
+    cust.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/customer.parquet")
+    assert Q.q_k_anon_tiles(spark, sf).count() == 0
+
+
+def test_k_anon_tiles_hot_cluster_stays_fine(spark, tmp_path):
+    """An engineered skewed corpus: the customer lattice repeats
+    exactly every 6,120,000 keys (lcm of the lon/lat periods), so 25
+    keys one period apart share ONE z14 cell — that cluster already
+    satisfies k and anonymizes at z14 itself, while 20 scattered
+    users must coarsen to low zooms.  Pins that cloaking is adaptive,
+    not a blanket coarsening."""
+    import zellige_spark.queries as Q
+
+    period = 6_120_000  # lcm(360000, 170000) for the 7919/104729 lattice
+    keys = [1 + period * j for j in range(25)] + list(range(1000, 1020))
+    sf = str(tmp_path)
+    spark.createDataFrame([(k,) for k in keys], "c_custkey long") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    rows = Q.q_k_anon_tiles(spark, sf).collect()
+    assert len(rows) == len(keys)
+    by_zoom = {}
+    for r in rows:
+        by_zoom.setdefault(r.anon_zoom, []).append(r)
+    assert Q.ANON_Z in by_zoom and len(by_zoom[Q.ANON_Z]) == 25
+    assert {r.c_custkey for r in by_zoom[Q.ANON_Z]} == {
+        1 + period * j for j in range(25)}
+    assert len({(r.cell_x, r.cell_y) for r in by_zoom[Q.ANON_Z]}) == 1
+    assert min(by_zoom) < Q.ANON_Z  # scattered users really coarsened

@@ -938,6 +938,93 @@ def sql_theil_sen() -> str:
     """
 
 
+K_ANON = 20      # minimum cell population before a location is shareable
+ANON_Z = 14      # finest zoom considered (the engine's z14 ceiling)
+
+
+def q_k_anon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity spatial cloaking: generalize each user's z14 home
+    cell UP the tile pyramid to the finest ancestor whose population
+    is >= K_ANON users — the standard location-privacy gate before
+    geotagged records leave a pipeline (Gruteser-Grunwald spatial
+    cloaking on the quadtree).  Deterministic and integer-exact:
+    ancestor cells are floor-divisions by 2^(14-z), populations are
+    exact counts, and the chosen level is the max z with count >=
+    K_ANON (z0 holds the whole corpus, so every user resolves
+    whenever the corpus itself has >= K_ANON users).
+
+    Scale shape: the pyramid walk never touches user rows — users
+    reduce ONCE into z14 cells (bounded by min(users, 4^14)); the
+    15-level ancestor explode, the (z, ax, ay) count agg, and the
+    best-level argmax all run on that cell table; users then join
+    the per-z14-cell verdict back with one hash join on the cell
+    key.  At 10^12 users the heavy stages are corpus-cardinality-
+    bounded, not row-bounded."""
+    pts = _customer_points(spark, sf_dir)
+    tiled = T.assign_tiles(pts, [ANON_Z]).select(
+        "c_custkey", "tile_x", "tile_y")
+    cells = (tiled.groupBy("tile_x", "tile_y")
+                  .agg(F.count(F.lit(1)).alias("n14")))
+    anc = (cells.select(
+        "tile_x", "tile_y", "n14",
+        F.explode(F.sequence(F.lit(0), F.lit(ANON_Z))).alias("z"))
+        .select("tile_x", "tile_y", "n14", "z",
+                F.expr(f"tile_x div shiftleft(1, {ANON_Z} - z)").alias("ax"),
+                F.expr(f"tile_y div shiftleft(1, {ANON_Z} - z)").alias("ay")))
+    counts = anc.groupBy("z", "ax", "ay").agg(F.sum("n14").alias("cnt"))
+    best = (anc.join(counts, ["z", "ax", "ay"])
+               .filter(F.col("cnt") >= K_ANON)
+               .groupBy("tile_x", "tile_y")
+               .agg(F.max(F.struct("z", "ax", "ay", "cnt")).alias("_m"))
+               .select("tile_x", "tile_y",
+                       F.col("_m.z").cast("int").alias("anon_zoom"),
+                       F.col("_m.ax").cast("long").alias("cell_x"),
+                       F.col("_m.ay").cast("long").alias("cell_y"),
+                       F.col("_m.cnt").cast("long").alias("cell_n")))
+    return (tiled.join(best, ["tile_x", "tile_y"])
+                 .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                         "anon_zoom", "cell_x", "cell_y", "cell_n")
+                 .orderBy("c_custkey"))
+
+
+def sql_k_anon_tiles() -> str:
+    tx, ty = _sql_tile(str(ANON_Z))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT c_custkey, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), tiled AS (
+      SELECT c_custkey, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), cells AS (
+      SELECT tile_x, tile_y, COUNT(*) AS n14 FROM tiled GROUP BY 1, 2
+    ), zs AS (
+      SELECT unnest(range(0, {ANON_Z + 1})) AS z
+    ), anc AS (
+      SELECT c.tile_x, c.tile_y, c.n14, zs.z,
+             c.tile_x // (1 << ({ANON_Z} - zs.z)) AS ax,
+             c.tile_y // (1 << ({ANON_Z} - zs.z)) AS ay
+      FROM cells c CROSS JOIN zs
+    ), counts AS (
+      SELECT z, ax, ay, SUM(n14) AS cnt FROM anc GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT a.tile_x, a.tile_y, a.z, a.ax, a.ay, k.cnt,
+             row_number() OVER (PARTITION BY a.tile_x, a.tile_y
+                                ORDER BY a.z DESC) AS rn
+      FROM anc a JOIN counts k ON k.z = a.z AND k.ax = a.ax AND k.ay = a.ay
+      WHERE k.cnt >= {K_ANON}
+    )
+    SELECT CAST(t.c_custkey AS BIGINT) AS c_custkey,
+           CAST(b.z AS INT) AS anon_zoom,
+           CAST(b.ax AS BIGINT) AS cell_x,
+           CAST(b.ay AS BIGINT) AS cell_y,
+           CAST(b.cnt AS BIGINT) AS cell_n
+    FROM tiled t
+    JOIN best b ON b.tile_x = t.tile_x AND b.tile_y = t.tile_y AND b.rn = 1
+    ORDER BY c_custkey
+    """
+
+
 EH_GRID = 8  # emerging-hotspot lattice: 8x8 cells over millidegree space
 
 
@@ -5872,6 +5959,8 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     # per-tile Sen's slope (median pairwise slope, the MK companion)
     "theil_sen": q_theil_sen,
+    # k-anonymity spatial cloaking (finest ancestor cell with >= k users)
+    "k_anon_tiles": q_k_anon_tiles,
     # space-time composite: per-month Gi* + per-cell Mann-Kendall ->
     # new/intensifying/persistent/diminishing/... categories
     "emerging_hotspots": q_emerging_hotspots,
@@ -6138,6 +6227,7 @@ ORACLES = {
     "tile_trend": sql_tile_trend(),
     "mann_kendall": sql_mann_kendall(),
     "theil_sen": sql_theil_sen(),
+    "k_anon_tiles": sql_k_anon_tiles(),
     "emerging_hotspots": sql_emerging_hotspots(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
