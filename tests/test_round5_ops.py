@@ -3814,3 +3814,63 @@ def test_k_anon_tiles_hot_cluster_stays_fine(spark, tmp_path):
         1 + period * j for j in range(25)}
     assert len({(r.cell_x, r.cell_y) for r in by_zoom[Q.ANON_Z]}) == 1
     assert min(by_zoom) < Q.ANON_Z  # scattered users really coarsened
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    """Per published cell: user count, distinct segments, and the
+    (count desc, segment asc) majority all equal the Python recompute
+    over the k_anon verdict joined with segments."""
+    import zellige_spark.queries as Q
+
+    anon = {r.c_custkey: (r.anon_zoom, r.cell_x, r.cell_y)
+            for r in Q.q_k_anon_tiles(spark, SF).collect()}
+    segs = {r.c_custkey: r.c_mktsegment
+            for r in spark.read.parquet(f"{SF}/customer.parquet")
+            .select("c_custkey", "c_mktsegment").collect()}
+    cells = {}
+    for k, cell in anon.items():
+        cells.setdefault(cell, []).append(segs[k])
+    out = {(r.anon_zoom, r.cell_x, r.cell_y): r
+           for r in Q.q_l_diversity(spark, SF).collect()}
+    assert set(out) == set(cells)
+    for cell, members in cells.items():
+        cnt = {}
+        for s in members:
+            cnt[s] = cnt.get(s, 0) + 1
+        top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out[cell]
+        assert (r.k_users, r.l_distinct) == (len(members), len(cnt))
+        assert (r.top_seg, r.top_seg_n) == top
+        assert r.ldiv_ok == int(len(cnt) >= Q.L_DIV)
+
+
+def test_l_diversity_homogeneity_attack_flagged(spark, tmp_path):
+    """The engineered hot cluster (one z14 cell, 25 users) made of a
+    SINGLE market segment is k-anonymous but NOT l-diverse — its cell
+    must come back ldiv_ok=0 with the attacking segment as top_seg,
+    while the scattered mixed-segment users' coarse cell passes."""
+    import zellige_spark.queries as Q
+
+    period = 6_120_000
+    rows = [(1 + period * j, "AUTOMOBILE") for j in range(25)]
+    rows += [(1000 + i, ["BUILDING", "MACHINERY", "FURNITURE"][i % 3])
+             for i in range(20)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "c_custkey long, c_mktsegment string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = Q.q_l_diversity(spark, sf).collect()
+    hot = [r for r in out if r.anon_zoom == Q.ANON_Z]
+    assert len(hot) == 1 and hot[0].ldiv_ok == 0
+    assert (hot[0].top_seg, hot[0].top_seg_n, hot[0].l_distinct) == (
+        "AUTOMOBILE", 25, 1)
+    coarse = [r for r in out if r.anon_zoom < Q.ANON_Z]
+    # the audit groups by PUBLISHED equivalence class, not raw cell
+    # population: the hot cluster publishes at z14, so a coarse cell
+    # whose >= K_ANON population leaned on the cluster can publish a
+    # tiny residual class — exactly the leak the audit must flag.
+    # The big mixed class passes; every failing coarse class is a
+    # sub-k residual.
+    assert any(r.ldiv_ok == 1 and r.k_users >= Q.L_DIV for r in coarse)
+    for r in coarse:
+        if r.ldiv_ok == 0:
+            assert r.k_users < Q.K_ANON

@@ -1025,6 +1025,87 @@ def sql_k_anon_tiles() -> str:
     """
 
 
+L_DIV = 3   # minimum distinct sensitive values per published cell
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the k-anonymized cells (Machanavajjhala
+    et al.): k-anonymity alone leaks under the homogeneity attack —
+    a cell where every user shares one sensitive value identifies it
+    for all of them even at k users.  Per published cell (the
+    `k_anon_tiles` verdict), count users, DISTINCT sensitive values
+    (market segment), and the majority segment with its exact count
+    (the attacker's best guess and its support); `ldiv_ok` flags
+    cells clearing l >= L_DIV distinct values.
+
+    The audit groups by PUBLISHED equivalence class — users who
+    publish at that exact (zoom, cell) — which can be SMALLER than
+    the cell's raw population, because co-located users can publish
+    at finer levels (their own class).  A k-anonymous release can
+    therefore still emit tiny residual classes, and flagging those
+    is the point of the audit (test-pinned by the engineered
+    hot-cluster case).
+
+    Scale shape: composes the cloaking verdict (cell-table-bounded,
+    see q_k_anon_tiles) with one segment join on the user key and one
+    cell-keyed agg pair — published cells are fewer than z14 cells,
+    so the audit is strictly cheaper than the cloaking itself."""
+    anon = q_k_anon_tiles(spark, sf_dir)
+    seg = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"))
+    j = anon.join(seg, "c_custkey")
+    per_seg = (j.groupBy("anon_zoom", "cell_x", "cell_y", "seg")
+                .agg(F.count(F.lit(1)).alias("n")))
+    top = (per_seg.groupBy("anon_zoom", "cell_x", "cell_y")
+           .agg(F.sum("n").alias("k_users"),
+                F.count(F.lit(1)).alias("l_distinct"),
+                F.min(F.struct((-F.col("n")).alias("_n"),
+                               F.col("seg").alias("_s"))).alias("_m")))
+    return (top.select(
+        F.col("anon_zoom").cast("int"),
+        F.col("cell_x").cast("long"), F.col("cell_y").cast("long"),
+        F.col("k_users").cast("long"),
+        F.col("l_distinct").cast("long"),
+        F.col("_m._s").alias("top_seg"),
+        (-F.col("_m._n")).cast("long").alias("top_seg_n"),
+        (F.col("l_distinct") >= L_DIV).cast("int").alias("ldiv_ok"))
+        .orderBy("anon_zoom", "cell_x", "cell_y"))
+
+
+def sql_l_diversity() -> str:
+    return f"""
+    WITH anon AS ({sql_k_anon_tiles()}),
+    per_seg AS (
+      SELECT a.anon_zoom, a.cell_x, a.cell_y, c.c_mktsegment AS seg,
+             COUNT(*) AS n
+      FROM anon a JOIN customer c ON c.c_custkey = a.c_custkey
+      GROUP BY 1, 2, 3, 4
+    ), canon AS (
+      SELECT anon_zoom, cell_x, cell_y, seg, n,
+             row_number() OVER (PARTITION BY anon_zoom, cell_x, cell_y
+                                ORDER BY n DESC, seg ASC) AS rn
+      FROM per_seg
+    ), stats AS (
+      SELECT anon_zoom, cell_x, cell_y,
+             SUM(n) AS k_users, COUNT(*) AS l_distinct
+      FROM per_seg GROUP BY 1, 2, 3
+    )
+    SELECT CAST(s.anon_zoom AS INT) AS anon_zoom,
+           CAST(s.cell_x AS BIGINT) AS cell_x,
+           CAST(s.cell_y AS BIGINT) AS cell_y,
+           CAST(s.k_users AS BIGINT) AS k_users,
+           CAST(s.l_distinct AS BIGINT) AS l_distinct,
+           t.seg AS top_seg,
+           CAST(t.n AS BIGINT) AS top_seg_n,
+           CAST(CASE WHEN s.l_distinct >= {L_DIV} THEN 1 ELSE 0 END AS INT)
+             AS ldiv_ok
+    FROM stats s
+    JOIN canon t ON t.anon_zoom = s.anon_zoom AND t.cell_x = s.cell_x
+                AND t.cell_y = s.cell_y AND t.rn = 1
+    ORDER BY anon_zoom, cell_x, cell_y
+    """
+
+
 EH_GRID = 8  # emerging-hotspot lattice: 8x8 cells over millidegree space
 
 
@@ -5961,6 +6042,8 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     # k-anonymity spatial cloaking (finest ancestor cell with >= k users)
     "k_anon_tiles": q_k_anon_tiles,
+    # l-diversity audit of the published cells (homogeneity attack)
+    "l_diversity": q_l_diversity,
     # space-time composite: per-month Gi* + per-cell Mann-Kendall ->
     # new/intensifying/persistent/diminishing/... categories
     "emerging_hotspots": q_emerging_hotspots,
@@ -6228,6 +6311,7 @@ ORACLES = {
     "mann_kendall": sql_mann_kendall(),
     "theil_sen": sql_theil_sen(),
     "k_anon_tiles": sql_k_anon_tiles(),
+    "l_diversity": sql_l_diversity(),
     "emerging_hotspots": sql_emerging_hotspots(),
     "coverage_tile_stats": sql_coverage_tile_stats(),
     "tile_focal": sql_tile_focal(),
