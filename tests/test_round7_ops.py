@@ -781,3 +781,52 @@ def test_pareto_skyline_matches_bruteforce(spark):
     assert got == sorted(want)
     assert {900, 901} <= set(got), "duplicate optimal vectors both kept"
     assert len(got) > 10, "anti-correlated dims must give a wide skyline"
+
+
+def test_idw_surface_matches_bruteforce(spark):
+    """Halo-blocked IDW equals the literal all-pairs reference
+    (integer weights incl. across the x wrap, exact num/den sums,
+    one-IEEE-division estimate); the whole-ring radius guard
+    raises."""
+    import pytest
+
+    from zellige_spark.operators.hotspots import IDW_SCALE, idw_surface
+
+    grid, xp, yp, radius = 8, 360000, 170000, 50000
+    cw, ch = xp // grid, yp // grid
+    d0 = cw * ch
+    rng = np.random.default_rng(271)
+    xs = rng.integers(0, xp, 250)
+    ys = rng.integers(0, yp, 250)
+    vs = rng.integers(-1000, 10000, 250)
+    xs[:10] = rng.integers(0, 2000, 10)
+    xs[10:20] = rng.integers(xp - 2000, xp, 10)
+    pts = spark.createDataFrame(
+        [(int(x), int(y), int(v)) for x, y, v in zip(xs, ys, vs)],
+        "x long, y long, v long")
+    out = idw_surface(pts, grid, radius)
+    got = {(r.cell_x, r.cell_y): (r.n_in, r.idw_num, r.idw_den, r.idw_est)
+           for r in out.collect()}
+
+    r2d = (2 * radius) ** 2
+    want = {}
+    for cx in range(grid):
+        for cy in range(grid):
+            num = den = n_in = 0
+            for x, y, v in zip(xs, ys, vs):
+                adx = abs(2 * int(x) - (2 * cx + 1) * cw)
+                dx = min(adx, 2 * xp - adx)
+                dy = abs(2 * int(y) - (2 * cy + 1) * ch)
+                d2 = dx * dx + dy * dy
+                if d2 < r2d:
+                    w = IDW_SCALE // (d2 + d0)
+                    num += w * int(v)
+                    den += w
+                    n_in += 1
+            want[(cx, cy)] = (n_in, num, den,
+                              num / den if den > 0 else 0.0)
+    assert got == want
+    assert any(v[0] > 0 for v in want.values())
+
+    with pytest.raises(ValueError):
+        idw_surface(pts, grid, radius=10 * cw)

@@ -309,3 +309,89 @@ def kde_heat(pts: DataFrame, grid: int, radius: int,
                     .alias("kde_num"),
                     F.coalesce("n_in", F.lit(0)).cast("long")
                     .alias("n_in")))
+
+
+# The value-interpolation counterpart to the KDE density: an
+# inverse-distance-weighted (IDW, Shepard) surface of a sample VALUE
+# at the cell centers.  Weights are integer floor-divisions
+# w = IDW_SCALE div (d2 + d0) with d2 the doubled-coordinate squared
+# distance (same lattice conventions as kde_heat: x wraps, y clamps)
+# and d0 = cell_w * cell_h the softening term — the standard nugget
+# regularization, which also caps w (and so every int64 sum) at
+# IDW_SCALE/d0.  Positive integer division floors identically in
+# Spark (`div`) and DuckDB (`//`), so every weight is hash-exact.
+
+IDW_SCALE = 10 ** 12
+
+
+def idw_surface(pts: DataFrame, grid: int, radius: int,
+                x_col: str = "x", y_col: str = "y", v_col: str = "v",
+                x_period: int = 360000,
+                y_period: int = 170000) -> DataFrame:
+    """Exact-integer IDW interpolation at lattice-cell centers: per
+    cell, ``idw_num`` = sum of w*v and ``idw_den`` = sum of w over
+    samples within ``radius`` (strict, the kde_heat convention),
+    ``n_in`` the contributing count, and ``idw_est`` = num/den as ONE
+    correctly-rounded IEEE division (0.0 for empty cells — den > 0
+    whenever any sample is in range since w >= 1 up to d2 <=
+    IDW_SCALE - d0, far beyond any practical radius).
+
+    Scale plan: identical to kde_heat — each sample explodes into its
+    (2r+1)^2 candidate cells, weights are pure Column math, ONE
+    partial-agg'd groupBy(cell) Exchange; the DuckDB oracle computes
+    the LITERAL all-pairs cell x sample sum so the gate proves the
+    blocking covers every in-radius sample."""
+    spark = pts.sparkSession
+    cw = x_period // grid
+    ch = y_period // grid
+    rx = radius // cw + 1
+    ry = radius // ch + 1
+    if 2 * rx + 1 > grid:
+        raise ValueError(
+            f"radius {radius} spans the whole {grid}-cell ring "
+            f"(2*{rx}+1 > {grid}): wrap offsets would double-count")
+    r2d = (2 * radius) * (2 * radius)
+    d0 = cw * ch
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-rx, rx + 1) for dy in range(-ry, ry + 1)])
+    ev = pts.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+                    F.col(v_col).alias("_v"),
+                    F.expr(f"({x_col} div {cw})").alias("_cx"),
+                    F.expr(f"({y_col} div {ch})").alias("_cy"))
+    cand = (ev.select("_x", "_y", "_v", F.explode(offs).alias("o"),
+                      "_cx", "_cy")
+            .select("_x", "_y", "_v",
+                    ((F.col("_cx") + F.col("o.dx") + grid) % grid)
+                    .alias("cell_x"),
+                    (F.col("_cy") + F.col("o.dy")).alias("cell_y"))
+            .filter((F.col("cell_y") >= 0) & (F.col("cell_y") < grid)))
+    adx = F.abs(2 * F.col("_x") - (2 * F.col("cell_x") + 1) * F.lit(cw))
+    dx = F.least(adx, F.lit(2 * x_period) - adx)
+    dy = F.abs(2 * F.col("_y") - (2 * F.col("cell_y") + 1) * F.lit(ch))
+    d2 = (dx * dx + dy * dy).cast("long")
+    pieces = (cand.withColumn("_d2", d2)
+              .filter(F.col("_d2") < F.lit(r2d))
+              .withColumn("_w", F.expr(f"CAST({IDW_SCALE} AS BIGINT)"
+                                       f" div (_d2 + {d0})")))
+    agg = (pieces.groupBy("cell_x", "cell_y")
+           .agg(F.sum(F.col("_w") * F.col("_v")).alias("idw_num"),
+                F.sum("_w").alias("idw_den"),
+                F.count(F.lit(1)).alias("n_in")))
+    skeleton = spark.range(grid * grid).select(
+        (F.col("id") % grid).alias("cell_x"),
+        F.expr(f"id div {grid}").alias("cell_y"))
+    est = F.when(F.col("idw_den") > 0,
+                 F.col("idw_num").cast("double")
+                 / F.col("idw_den").cast("double")) \
+           .otherwise(F.lit(0.0).cast("double"))
+    return (skeleton.join(agg, ["cell_x", "cell_y"], "left")
+            .select(F.col("cell_x").cast("long"),
+                    F.col("cell_y").cast("long"),
+                    F.coalesce("n_in", F.lit(0)).cast("long")
+                    .alias("n_in"),
+                    F.coalesce("idw_num", F.lit(0)).cast("long")
+                    .alias("idw_num"),
+                    F.coalesce("idw_den", F.lit(0)).cast("long")
+                    .alias("idw_den"),
+                    est.alias("idw_est")))

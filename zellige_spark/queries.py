@@ -3413,6 +3413,78 @@ def sql_kde_heat() -> str:
     """
 
 
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted (Shepard) interpolation of account
+    balance at the LISA lattice-cell centers (`hotspots.idw_surface`)
+    — the value-interpolation counterpart to the KDE density surface
+    (the classic "IDW raster" of every GIS toolbox).  Weights are
+    exact integer floor-divisions, sums exact int64, the estimate one
+    IEEE division; the oracle computes the LITERAL all-pairs cell x
+    sample sum, proving the halo blocking covers every in-radius
+    sample."""
+    from .operators import hotspots as HOT
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.expr("c_custkey * 7919 % 360000").alias("x"),
+        F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"),
+        F.expr("CAST(FLOOR(c_acctbal) AS BIGINT)").alias("v"))
+    return (HOT.idw_surface(df, MORAN_GRID, KDE_RADIUS)
+            .orderBy("cell_x", "cell_y"))
+
+
+def sql_idw_surface() -> str:
+    from .operators.hotspots import IDW_SCALE
+
+    g = MORAN_GRID
+    n = g * g
+    cw = 360000 // g
+    ch = 170000 // g
+    r2d = (2 * KDE_RADIUS) ** 2
+    d0 = cw * ch
+    adx = f"ABS(2 * p.x - (2 * s.cell_x + 1) * {cw})"
+    dxe = f"LEAST({adx}, 720000 - {adx})"
+    dye = f"ABS(2 * p.y - (2 * s.cell_y + 1) * {ch})"
+    return f"""
+    WITH p AS (
+      SELECT c_custkey * 7919 % 360000 AS x,
+             (c_custkey * 104729 + 13) % 170000 AS y,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS v
+      FROM customer
+    ),
+    skel AS (
+      SELECT i % {g} AS cell_x, i // {g} AS cell_y
+      FROM (SELECT UNNEST(range(0, {n})) AS i)
+    ),
+    wts AS (
+      SELECT s.cell_x, s.cell_y, p.v,
+             {dxe} * {dxe} + {dye} * {dye} AS d2
+      FROM skel s CROSS JOIN p
+    ),
+    pieces AS (
+      SELECT cell_x, cell_y, v, {IDW_SCALE} // (d2 + {d0}) AS w
+      FROM wts WHERE d2 < {r2d}
+    ),
+    agg AS (
+      SELECT cell_x, cell_y,
+             CAST(SUM(w * v) AS BIGINT) AS idw_num,
+             CAST(SUM(w) AS BIGINT) AS idw_den,
+             CAST(COUNT(*) AS BIGINT) AS n_in
+      FROM pieces GROUP BY cell_x, cell_y
+    )
+    SELECT CAST(s.cell_x AS BIGINT) AS cell_x,
+           CAST(s.cell_y AS BIGINT) AS cell_y,
+           COALESCE(a.n_in, 0) AS n_in,
+           COALESCE(a.idw_num, 0) AS idw_num,
+           COALESCE(a.idw_den, 0) AS idw_den,
+           CASE WHEN COALESCE(a.idw_den, 0) > 0
+                THEN CAST(a.idw_num AS DOUBLE) / CAST(a.idw_den AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS idw_est
+    FROM skel s LEFT JOIN agg a
+      ON a.cell_x = s.cell_x AND a.cell_y = s.cell_y
+    ORDER BY cell_x, cell_y
+    """
+
+
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cliff-Ord binary join-count statistics (occupied vs empty
     cells) with exact nonfree-sampling expectations, one row
@@ -6096,6 +6168,8 @@ QUERIES = {
     # exact-integer Epanechnikov KDE heat surface (blocking vs a
     # literal all-pairs oracle)
     "kde_heat": q_kde_heat,
+    # IDW value interpolation at the same lattice (Shepard surface)
+    "idw_surface": q_idw_surface,
     # areal interpolation: zone totals -> grid by exact overlap share
     "areal_interp": q_areal_interp,
     # discrete Voronoi: nearest-site surface + catchment sizes
@@ -6339,6 +6413,7 @@ ORACLES = {
     "global_autocorr": sql_global_autocorr(),
     "getis_ord": sql_getis_ord(),
     "kde_heat": sql_kde_heat(),
+    "idw_surface": sql_idw_surface(),
     "areal_interp": sql_areal_interp(),
     "voronoi_assign": sql_voronoi_assign(),
     "tile_freshness": sql_tile_freshness(),
