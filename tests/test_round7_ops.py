@@ -830,3 +830,94 @@ def test_idw_surface_matches_bruteforce(spark):
 
     with pytest.raises(ValueError):
         idw_surface(pts, grid, radius=10 * cw)
+
+
+# --- prefix-filter exact set-similarity join --------------------------------
+
+def test_prefix_join_equals_exact_pair_set(spark):
+    """The prefix-filtered join returns exactly the threshold pair set
+    (recall 1.0 by the prefix-filtering theorem) — compared against an
+    independently computed exact word-shingle Jaccard join."""
+    from zellige_spark.operators import dedup as DD
+
+    aug = DD._augmented(spark, "/root/testdata/sf0.001")
+    sh = DD._shingles_words(aug).cache()
+    sizes = {r.doc_id: r.sz for r in
+             sh.groupBy("doc_id").count()
+               .withColumnRenamed("count", "sz").collect()}
+    import collections
+    post = collections.defaultdict(list)
+    for r in sh.collect():
+        post[r.shingle].append(r.doc_id)
+    common = collections.Counter()
+    for ids in post.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                common[(ids[i], ids[j])] += 1
+    want = {(a, b) for (a, b), c in common.items()
+            if c / (sizes[a] + sizes[b] - c) >= DD.JACCARD_THRESHOLD}
+    got = {(r.doc_a, r.doc_b)
+           for r in DD.q_dedup_prefix(spark, "/root/testdata/sf0.001").collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_prefix_filter_theorem_holds_on_random_sets():
+    """Pure-python pin of the soundness argument with the EXACT integer
+    prefix length p = sz - ceil(3*sz/5) + 1: any pair with Jaccard >=
+    0.6 under any shared global order must share a prefix element."""
+    import random
+
+    rng = random.Random(7)
+    univ = list(range(200))
+    sets = []
+    for _ in range(150):
+        base = rng.sample(univ, rng.randint(3, 30))
+        sets.append(set(base))
+        # guaranteed near-dup: drop ~20% of a copy
+        keep = max(3, (len(base) * 4) // 5)
+        sets.append(set(base[:keep]))
+    order = {u: (rng.random(), u) for u in univ}  # arbitrary global order
+
+    def prefix(s):
+        arr = sorted(s, key=lambda u: order[u])
+        sz = len(arr)
+        p = sz - ((3 * sz + 4) // 5) + 1
+        return set(arr[:p])
+
+    checked = 0
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            if inter and inter / len(a | b) >= 0.6:
+                checked += 1
+                assert prefix(a) & prefix(b), (a, b)
+    assert checked > 100
+
+
+def test_prefix_index_is_sublinear_in_postings(spark):
+    """The indexed prefix volume is the ~(1-t) fraction of the full
+    posting table — the scale claim: candidates are generated from a
+    strictly smaller inverted index than the exact all-postings join."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark.operators import dedup as DD
+
+    aug = DD._augmented(spark, "/root/testdata/sf0.001")
+    arrs = DD._word_shingle_arrays(aug)
+    full = arrs.select(F.explode("shs")).count()
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (sh.join(dfreq, "shingle").groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle")))
+                    .alias("_ord")))
+    pre_n = (ordered
+             .withColumn("_sz", F.size("_ord"))
+             .withColumn("_p", F.col("_sz")
+                         - F.expr("(3 * _sz + 4) div 5") + F.lit(1))
+             .select(F.explode(F.expr("slice(_ord, 1, _p)"))).count())
+    # p/sz = sz - ceil(.6 sz) + 1 ~= .4 sz + 1; docs here are large
+    # enough that the +1 stays small
+    assert pre_n < 0.45 * full

@@ -502,6 +502,80 @@ def sql_dedup_simhash() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Prefix-filter EXACT set-similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+#
+# The deterministic exact counterpart to MinHash LSH (Chaudhuri et al.
+# ICDE'06 "A Primitive Operator for Similarity Joins"; Bayardo et al.
+# WWW'07 "Scaling Up All Pairs Similarity Search").  Order every doc's
+# shingle set by one global total order — document frequency ascending,
+# ties by shingle text — and index only each set's PREFIX of length
+# p = |S| - ceil(t*|S|) + 1.  If Jaccard(A,B) >= t then the overlap
+# o = |A∩B| satisfies o >= ceil(t*|A|) and o >= ceil(t*|B|) (since
+# J <= o/max(|A|,|B|)), and by the prefix-filtering principle two sets
+# whose prefixes are disjoint under a shared total order have
+# o <= min(|A|,|B|) - p < ceil(t*...) — so every qualifying pair shares
+# a prefix shingle.  Candidates are therefore bucket-joined on PREFIX
+# shingles only and verified by exact Jaccard: recall is 1.0 BY THEOREM
+# (LSH's 1-(1-t^r)^b is probabilistic), and the output is exactly the
+# threshold pair set.
+#
+# Scale shape vs LSH: no 64-hash signature pass at all; one extra
+# shuffle computes global df; the inverted index shrinks to the ~(1-t)
+# prefix fraction of postings, and df-ASCENDING order puts the hottest
+# (stopword-like) shingles in the never-indexed suffix — the classic
+# skew killer: bucket size is bounded by the df of RARE shingles.
+# Candidates still flow through the hot-bucket-guarded `banded_pairs`.
+
+# Jaccard threshold as an exact integer fraction (3/5 == 0.6): the
+# prefix length p = sz - ceil(3*sz/5) + 1 must NOT be computed through
+# a float (5*0.6 rounds to 3.0000000000000004 and ceil then SHORTENS
+# the prefix below the sound length — a silent recall hole).
+_T_NUM, _T_DEN = 3, 5
+assert _T_NUM / _T_DEN == JACCARD_THRESHOLD
+
+
+def prefix_candidates(arrs: DataFrame) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs sharing at least one PREFIX
+    shingle under the global (df asc, shingle asc) order.  Input is the
+    per-doc distinct-shingle array table (doc_id, shs); output feeds
+    `_verify_candidates` exactly like the LSH candidates do."""
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    # global document frequency: arrays are distinct per doc, so a
+    # plain count per shingle IS df — one partial-agg'd shuffle
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc canonical order: struct sort = (df asc, shingle asc)
+    ordered = (sh.join(dfreq, "shingle")
+                 .groupBy("doc_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle")))
+                      .alias("_ord")))
+    pre = (ordered
+           .withColumn("_sz", F.size("_ord"))
+           # p = sz - ceil(t*sz) + 1, all-integer (see _T_NUM note)
+           .withColumn("_p", F.col("_sz")
+                       - F.expr(f"({_T_NUM} * _sz + {_T_DEN - 1}) div {_T_DEN}")
+                       + F.lit(1))
+           .select("doc_id", F.explode(F.expr("slice(_ord, 1, _p)")).alias("_ps"))
+           .select("doc_id", F.col("_ps.shingle").alias("bkey")))
+    return banded_pairs(pre, "doc_id", ("bkey",), out_cols=("doc_a", "doc_b"))
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join over word-3-shingles by prefix
+    filtering: candidates from the df-ordered prefix index, exact
+    Jaccard verify.  Output == the exact threshold pair set by theorem
+    (same oracle as the word MinHash variant, which matches it only up
+    to LSH recall)."""
+    aug = _augmented(spark, sf_dir)
+    arrs = _word_shingle_arrays(aug).cache()
+    return _verify_candidates(arrs, prefix_candidates(arrs))
+
+
+# oracle: the exact word-3-shingle Jaccard pair set
+sql_dedup_prefix = sql_dedup_minhash_words
+
+
 # --- connected components over near-dup pairs ------------------------------
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",

@@ -6242,6 +6242,9 @@ QUERIES = {
     "dedup_ngram_jaccard": DD.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": DD.q_dedup_minhash_lsh,
     "dedup_minhash_words": DD.q_dedup_minhash_words,
+    # prefix-filter EXACT similarity join (recall 1.0 by theorem —
+    # the deterministic AllPairs/PPJoin counterpart to MinHash LSH)
+    "dedup_prefix": DD.q_dedup_prefix,
     "dedup_simhash": DD.q_dedup_simhash,
     # cross-modal: simhash near-dups constrained to nearby capture sites
     "geo_near_dup": q_geo_near_dup,
@@ -6452,6 +6455,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DD.sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
     "dedup_minhash_words": DD.sql_dedup_minhash_words(),
+    "dedup_prefix": DD.sql_dedup_prefix(),
     "dedup_simhash": DD.sql_dedup_simhash(),
     "geo_near_dup": sql_geo_near_dup(),
     "dedup_components": DD.sql_dedup_components(),
