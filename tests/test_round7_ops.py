@@ -921,3 +921,62 @@ def test_prefix_index_is_sublinear_in_postings(spark):
     # p/sz = sz - ceil(.6 sz) + 1 ~= .4 sz + 1; docs here are large
     # enough that the +1 stays small
     assert pre_n < 0.45 * full
+
+
+# --- Bloom membership filter -------------------------------------------------
+
+def test_bloom_merge_equals_direct_and_never_misses(spark):
+    """bloom_merge(z3 words) == bloom_words built directly at z1 (OR
+    associativity, executable); membership never false-negatives; state
+    is bounded at 8 words per key with every bit below 2^32."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark.operators import sketch as SK
+
+    rows = [(i % 7, (i * 13) % 5, f"u{i % 97}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, id string")
+    keys = ["tile_x", "tile_y"]
+    w_fine = SK.bloom_words(df, keys, "id")
+    merged = SK.bloom_merge(w_fine, {
+        "tile_x": F.expr("shiftright(tile_x, 1)"),
+        "tile_y": F.expr("shiftright(tile_y, 1)")})
+    direct = SK.bloom_words(
+        df.select(F.expr("shiftright(tile_x, 1)").alias("tile_x"),
+                  F.expr("shiftright(tile_y, 1)").alias("tile_y"), "id"),
+        keys, "id")
+    m = {(r.tile_x, r.tile_y, r.w): r.bits for r in merged.collect()}
+    d = {(r.tile_x, r.tile_y, r.w): r.bits for r in direct.collect()}
+    assert m == d and len(d) > 0
+
+    # per-key word count <= 8, every word fits in 32 bits
+    per_key = w_fine.groupBy(*keys).count().collect()
+    assert all(r["count"] <= 8 for r in per_key)
+    assert w_fine.filter((F.col("bits") < 0)
+                         | (F.col("bits") >= (1 << 32))).count() == 0
+
+    # membership: every truly-present (key, probe) reads member=1
+    probes = [f"u{i}" for i in range(0, 97, 9)] + ["absent-a", "absent-b"]
+    mem = {(r.tile_x, r.tile_y, r.probe): r.member
+           for r in SK.bloom_member(w_fine, keys, probes).collect()}
+    truth = {(x, y, i) for (x, y, i) in
+             {(r.tile_x, r.tile_y, r.id) for r in df.collect()}}
+    for (x, y, p), v in mem.items():
+        if (x, y, p) in truth:
+            assert v == 1, (x, y, p)
+    # the absent probes exist in the verdict table for every key
+    n_keys = df.select(*keys).distinct().count()
+    assert sum(1 for (x, y, p) in mem if p == "absent-a") == n_keys
+
+
+def test_bloom_probe_words_match_engine_hash(spark):
+    """Driver-side probe masks reproduce the in-plan positions: probing
+    a single-item filter with the item itself is a guaranteed hit, and
+    the filter's OR of words equals the probe's OR of need masks."""
+    from zellige_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(1, "lonely")], "k long, id string")
+    words = {(r.w): r.bits for r in SK.bloom_words(df, ["k"], "id").collect()}
+    need = {}
+    for _, w, m in SK.bloom_probe_words(["lonely"]):
+        need[w] = need.get(w, 0) | m
+    assert words == need

@@ -478,3 +478,108 @@ def cms_estimate(counters: DataFrame, key_cols: list,
                       F.coalesce("_cnt", F.lit(0)).alias("c")))
     return (joined.groupBy(*key_cols, "probe")
             .agg(F.min("c").alias("est")))
+
+
+# --- Bloom filter membership sketch ------------------------------------------
+#
+# Bloom (CACM 1970, public literature): an m-bit array; every item sets
+# k bit positions, a membership probe reads them back — all k set =>
+# "maybe present" (false positives possible, rate ~ (1-e^{-kn/m})^k),
+# any bit clear => DEFINITELY absent (false negatives impossible; the
+# query's ``fn_ok`` column asserts that guarantee per probe row).  The
+# FOURTH mergeable sketch family: HLL answers distinct, KMV set-ops,
+# CMS frequency — Bloom answers MEMBERSHIP.  The bit array is a
+# bitwise-OR monoid, so coarser keys merge children's words by OR
+# without re-reading raw rows (same cascade as hll_merge), and the
+# sketch state is (key, word, bits) integer rows a DuckDB oracle
+# recomputes bit-for-bit from the shared md5-derived 60-bit hash.
+#
+# Layout: BLOOM_M = 256 bits packed as 8x 32-bit words in BIGINTs.
+# Positions are the k = 4 disjoint 15-bit hash slices each masked to
+# 8 bits (the CMS slicing); 32-bit words keep every shift strictly
+# below 32 — DuckDB's BIGINT << overflows at 63, and the margin means
+# neither engine ever touches the sign bit.
+
+BLOOM_M = 256   # bits per filter
+BLOOM_K = 4     # positions per item: slice j = (h >> 15j) & (BLOOM_M-1)
+_BLOOM_W = 32   # bits per packed word -> BLOOM_M // _BLOOM_W = 8 words
+
+
+def bloom_words(df: DataFrame, key_cols: list, item_col: str,
+                barriers: bool = True) -> DataFrame:
+    """(key_cols..., w, bits): the non-zero Bloom words per key — one
+    partial-agg'd Exchange over the k-way explode (bit_or is an
+    ordinary partial aggregate, so map-side combine folds duplicate
+    items before any shuffle).  Per-key state is bounded at 8 words
+    however many rows arrive.  ``barriers=False`` for streaming inputs
+    (the hll/cms pattern); with barriers the 60-bit hash materializes
+    once per row and the lambda references stay O(1)."""
+    b1 = ([F.monotonically_increasing_id().alias("_b1")]
+          if barriers else [])
+    hashed = df.select(
+        *key_cols, F.md5(F.col(item_col).cast("string")).alias("_hx"), *b1)
+    b2 = ([F.monotonically_increasing_id().alias("_b2")]
+          if barriers else [])
+    hs = hashed.select(
+        *key_cols, F.expr(md5_hash60("_hx")).alias("h"), *b2)
+    pos = f"(shiftrightunsigned(h, 15 * j) & {BLOOM_M - 1})"
+    sends = hs.select(
+        *key_cols,
+        F.explode(F.expr(
+            f"transform(sequence(0, {BLOOM_K - 1}), j -> struct("
+            f"CAST({pos} div {_BLOOM_W} AS INT) AS w, "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % {_BLOOM_W} AS INT)) AS mask))"))
+        .alias("e"))
+    return (sends.groupBy(*key_cols, F.col("e.w").alias("w"))
+            .agg(F.bit_or(F.col("e.mask")).alias("bits")))
+
+
+def bloom_merge(words: DataFrame, new_keys: dict) -> DataFrame:
+    """Merge Bloom words to a coarser key: bit_or over the re-keyed
+    rows.  OR-associativity makes the merged filter IDENTICAL to one
+    built directly from the raw rows (the oracle asserts exactly that:
+    Spark merges fine-zoom state, DuckDB rebuilds coarse from raw)."""
+    keyed = words.select(
+        *[col.alias(name) for name, col in new_keys.items()], "w", "bits")
+    return keyed.groupBy(*new_keys.keys(), "w").agg(
+        F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe_words(items) -> list:
+    """Driver-side (item, w, need_mask) rows for a literal probe set —
+    hashlib.md5 reproduces the engines' md5-nibble decode exactly; the
+    k positions collapse per word into one required mask.  Shared by
+    the Column plan and the DuckDB oracle's VALUES list."""
+    import hashlib
+
+    out = []
+    for it in items:
+        h = int(hashlib.md5(str(it).encode()).hexdigest()[:15], 16)
+        need = {}
+        for j in range(BLOOM_K):
+            p = (h >> (15 * j)) & (BLOOM_M - 1)
+            need[p // _BLOOM_W] = need.get(p // _BLOOM_W, 0) | (1 << (p % _BLOOM_W))
+        out.extend((it, w, m) for w, m in sorted(need.items()))
+    return out
+
+
+def bloom_member(words: DataFrame, key_cols: list, probes: list) -> DataFrame:
+    """(key_cols..., probe, member): the Bloom membership verdict per
+    (key, probe) — member = 1 iff every required word has all its
+    probe bits set.  The probe side is a driver-computed literal
+    broadcast against the distinct-key skeleton so every (key, probe)
+    reports even when the key's words are all absent."""
+    spark = words.sparkSession
+    # schema inferred: probe keeps the caller's type (long OR string)
+    pdf = spark.createDataFrame(bloom_probe_words(probes),
+                                ["probe", "w", "need"])
+    keys = words.select(*key_cols).distinct()
+    skel = keys.join(F.broadcast(pdf))
+    joined = (skel.join(words.withColumnRenamed("bits", "_bits"),
+                        [*key_cols, "w"], "left")
+              .select(*key_cols, "probe",
+                      (F.coalesce("_bits", F.lit(0).cast("long"))
+                        .bitwiseAND(F.col("need")) == F.col("need"))
+                      .cast("int").alias("_hitw")))
+    return (joined.groupBy(*key_cols, "probe")
+            .agg(F.min("_hitw").alias("member")))

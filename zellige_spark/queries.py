@@ -4553,6 +4553,114 @@ def sql_tile_cms() -> str:
     """
 
 
+BLOOM_PROBES = list(range(1, 9)) + [1000000007, 1000000008]  # last two absent
+
+
+def q_tile_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile Bloom membership filter (the FOURTH mergeable sketch
+    family — HLL distinct / KMV set-ops / CMS frequency / Bloom
+    MEMBERSHIP): 256-bit filters of each tile's visitor set, built at
+    z3 from one raw pass, then OR-MERGED to z1 from z3 sketch state
+    alone.  Probes are a broadcast literal (8 present + 2 absent user
+    ids); each output row carries the Bloom verdict, the exact truth,
+    and the in-job ``fn_ok`` column asserting Bloom's no-false-negative
+    guarantee.  The oracle rebuilds the Z1 filter DIRECTLY from raw
+    rows, so the hash gate also proves merge == direct (OR
+    associativity made executable).
+
+    Scale shape: one partial-agg'd Exchange over the 4-position
+    explode; per-tile state <= 8 longs however many rows arrive; the
+    merge never touches raw data."""
+    from .operators import sketch as SK
+
+    t = _event_user_tiles(spark, sf_dir)
+    keys = ["tile_x", "tile_y"]
+    w3 = SK.bloom_words(t, keys, "user_id")
+    w1 = SK.bloom_merge(w3, {"tile_x": F.expr("shiftright(tile_x, 2)"),
+                             "tile_y": F.expr("shiftright(tile_y, 2)")})
+    m3 = SK.bloom_member(w3, keys, BLOOM_PROBES).withColumn("zoom", F.lit(3))
+    m1 = SK.bloom_member(w1, keys, BLOOM_PROBES).withColumn("zoom", F.lit(1))
+    mem = m3.unionByName(m1)
+    t1 = t.select(F.expr("shiftright(tile_x, 2)").alias("tile_x"),
+                  F.expr("shiftright(tile_y, 2)").alias("tile_y"), "user_id")
+    tru = (t.withColumn("zoom", F.lit(3))
+            .unionByName(t1.withColumn("zoom", F.lit(1)))
+            .filter(F.col("user_id").isin(BLOOM_PROBES))
+            .groupBy("zoom", "tile_x", "tile_y",
+                     F.col("user_id").alias("probe"))
+            .agg(F.lit(1).alias("present")))
+    return (mem.join(tru, ["zoom", "tile_x", "tile_y", "probe"], "left")
+            .select(F.col("zoom").cast("int").alias("zoom"),
+                    F.col("tile_x").cast("long").alias("tile_x"),
+                    F.col("tile_y").cast("long").alias("tile_y"),
+                    F.col("probe").cast("long").alias("probe"),
+                    F.col("member").cast("int").alias("member"),
+                    F.coalesce("present", F.lit(0)).cast("int")
+                     .alias("present"),
+                    (F.col("member") >= F.coalesce("present", F.lit(0)))
+                    .cast("int").alias("fn_ok"))
+            .orderBy("zoom", "tile_x", "tile_y", "probe"))
+
+
+def sql_tile_bloom() -> str:
+    from .operators.sketch import (BLOOM_K, BLOOM_M, _BLOOM_W,
+                                   bloom_probe_words, md5_hash60)
+
+    tx, ty = _sql_tile(str(KMV_ZOOM))
+    h = md5_hash60("md5(CAST(user_id AS VARCHAR))")
+    probes = ",".join(f"({p},{w},{m})"
+                      for p, w, m in bloom_probe_words(BLOOM_PROBES))
+    in_list = ",".join(str(p) for p in BLOOM_PROBES)
+    pos = f"((h >> (15 * j)) & {BLOOM_M - 1})"
+    return f"""
+    WITH pts AS (
+      SELECT user_id, {EVT_LON} AS lon, {EVT_LAT} AS lat FROM events
+    ), proj AS (
+      SELECT user_id, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t3 AS (
+      SELECT user_id, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), t AS (
+      SELECT 3 AS zoom, tile_x, tile_y, user_id FROM t3
+      UNION ALL
+      SELECT 1 AS zoom, tile_x // 4, tile_y // 4, user_id FROM t3
+    ), hs AS (
+      SELECT zoom, tile_x, tile_y, user_id, {h} AS h FROM t
+    ), words AS (
+      SELECT zoom, tile_x, tile_y, {pos} // {_BLOOM_W} AS w,
+             bit_or(1::BIGINT << ({pos} % {_BLOOM_W})) AS bits
+      FROM hs, UNNEST(generate_series(0, {BLOOM_K - 1})) AS u(j)
+      GROUP BY 1, 2, 3, 4
+    ), keys AS (
+      SELECT DISTINCT zoom, tile_x, tile_y FROM t
+    ), probes(probe, w, need) AS (VALUES {probes}),
+    mem AS (
+      SELECT k.zoom, k.tile_x, k.tile_y, p.probe,
+             MIN(CASE WHEN (COALESCE(wd.bits, 0) & p.need) = p.need
+                      THEN 1 ELSE 0 END) AS member
+      FROM keys k CROSS JOIN probes p
+      LEFT JOIN words wd
+        ON wd.zoom = k.zoom AND wd.tile_x = k.tile_x
+       AND wd.tile_y = k.tile_y AND wd.w = p.w
+      GROUP BY 1, 2, 3, 4
+    ), tru AS (
+      SELECT DISTINCT zoom, tile_x, tile_y, user_id AS probe, 1 AS present
+      FROM t WHERE user_id IN ({in_list})
+    )
+    SELECT CAST(m.zoom AS INT) AS zoom,
+           CAST(m.tile_x AS BIGINT) AS tile_x,
+           CAST(m.tile_y AS BIGINT) AS tile_y,
+           CAST(m.probe AS BIGINT) AS probe,
+           CAST(m.member AS INT) AS member,
+           CAST(COALESCE(tr.present, 0) AS INT) AS present,
+           CAST(CASE WHEN m.member >= COALESCE(tr.present, 0)
+                     THEN 1 ELSE 0 END AS INT) AS fn_ok
+    FROM mem m LEFT JOIN tru tr
+      ON tr.zoom = m.zoom AND tr.tile_x = m.tile_x
+     AND tr.tile_y = m.tile_y AND tr.probe = m.probe
+    ORDER BY zoom, tile_x, tile_y, probe
+    """
+
+
 def _sql_kmv_bk() -> str:
     from .operators.sketch import KMV_K, md5_hash60
 
@@ -6098,6 +6206,9 @@ QUERIES = {
     "tile_kmv": q_tile_kmv,
     # count-min sketch frequency estimates (third sketch family)
     "tile_cms": q_tile_cms,
+    # Bloom membership filter (fourth sketch family; z1 OR-merged from
+    # z3 state, no-false-negative guarantee asserted in-job)
+    "tile_bloom": q_tile_bloom,
     # sketch-space set intersection between adjacent tiles
     "tile_overlap": q_tile_overlap,
     "pip_polygon": q_pip_polygon,
@@ -6379,6 +6490,7 @@ ORACLES = {
     "polygon_full_cover": sql_polygon_full_cover(),
     "tile_kmv": sql_tile_kmv(),
     "tile_cms": sql_tile_cms(),
+    "tile_bloom": sql_tile_bloom(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
