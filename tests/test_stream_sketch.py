@@ -119,3 +119,39 @@ def test_stream_cms_final_state_equals_batch(spark, tmp_path):
     assert any(v == 2 for v in tru.values())
     for (txv, tyv, p), t in tru.items():
         assert got[(txv, tyv, p)] >= t
+
+
+def test_stream_bloom_final_state_equals_batch(spark, tmp_path):
+    """Cross-batch Bloom filter: words are an OR monoid, so the FINAL
+    streamed membership verdicts equal the batch operator over the
+    union of all micro-batches exactly — and re-sent ids (batch 2
+    replays half of batch 1) can never flip a bit back."""
+    from zellige_spark.streaming import bloom as SB
+
+    src = _batches(spark, tmp_path)
+    probes = [0, 1, 2, 450, 999999]  # 999999 absent everywhere
+    q = SB.stream_tile_bloom(spark, src, str(tmp_path / "bloom_ckpt"),
+                             probes, zoom=9, query_name="bloom_t1",
+                             max_files_per_trigger=1)
+    q.awaitTermination(180)
+    out = spark.table("bloom_t1").toPandas()
+    assert out.n_updates.max() == 2  # cross-batch state exercised
+    last = (out.sort_values("n_updates")
+            .groupby(["tile_x", "tile_y", "probe"])
+            .tail(1).reset_index(drop=True))
+
+    batch = spark.read.parquet(src)
+    a = T.assign_tiles(batch, [9]).select("id", "tile_x", "tile_y")
+    words = SK.bloom_words(a, ["tile_x", "tile_y"], "id")
+    mem = SK.bloom_member(words, ["tile_x", "tile_y"], probes)
+    want = {(r.tile_x, r.tile_y, r.probe): r.member
+            for r in mem.collect()}
+    got = {(r.tile_x, r.tile_y, r.probe): r.member
+           for r in last.itertuples()}
+    assert got == want  # bit-for-bit, batch == streamed
+    # no false negatives vs the exact truth
+    tru = {(r.tile_x, r.tile_y, r.id)
+           for r in a.filter(F.col("id").isin(probes)).distinct().collect()}
+    assert len(tru) > 0
+    for (txv, tyv, p) in tru:
+        assert got[(txv, tyv, p)] == 1
