@@ -246,3 +246,34 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
             assert v1[key] != v2[key]
         elif r.change == "added":
             assert key not in v1 and key in v2
+
+
+def test_remove_orphans_collects_crashed_commit_only(spark, tmp_path):
+    """A commit that crashed between the data write and the
+    manifest-last rename leaves orphan data/lineage dirs (and possibly
+    a .tmp manifest); remove_orphans deletes exactly those, leaves
+    every committed snapshot intact, and respects the in-flight age
+    guard."""
+    store = TileStore(str(tmp_path / "store"))
+    sid1 = encode_resumable(_assigned(spark, 100), store, "batch1")
+    before = store.latest_view(spark).count()
+
+    # simulate the crash: orphan data + lineage dirs, stale tmp manifest
+    os.makedirs(os.path.join(store.root, "data", "snapshot=deadbeef"))
+    os.makedirs(os.path.join(store.root, "lineage", "snapshot=deadbeef"))
+    with open(os.path.join(store.root, "manifests", "dead.json.tmp"), "w") as f:
+        f.write("{}")
+
+    # age guard: a "just written" orphan survives a 1-hour guard
+    assert store.remove_orphans(older_than_s=3600) == []
+    assert os.path.isdir(os.path.join(store.root, "data", "snapshot=deadbeef"))
+
+    removed = store.remove_orphans()
+    assert removed == ["deadbeef"]
+    assert not os.path.exists(os.path.join(store.root, "data", "snapshot=deadbeef"))
+    assert not os.path.exists(os.path.join(store.root, "lineage", "snapshot=deadbeef"))
+    assert not os.path.exists(os.path.join(store.root, "manifests", "dead.json.tmp"))
+    # committed snapshot untouched; latest view identical; resume works
+    assert store.snapshots() == [sid1]
+    assert store.latest_view(spark).count() == before
+    assert store.remove_orphans() == []

@@ -287,6 +287,48 @@ class TileStore:
             shutil.rmtree(self._lineage_path(s), ignore_errors=True)
         return doomed
 
+    def remove_orphans(self, older_than_s: float = 0.0) -> list:
+        """Iceberg ``remove_orphan_files``-lite: delete data/lineage
+        directories (and stale ``.tmp`` manifests) whose snapshot id
+        has NO committed manifest — exactly what a commit crashed
+        between the data write and the manifest-last rename leaves
+        behind.  Committed snapshots are untouched by construction
+        (the manifest set is the liveness authority), so the latest
+        view, resume, and the chain walk are unaffected.
+
+        ``older_than_s`` mirrors Iceberg's age guard: directories
+        modified within the last ``older_than_s`` seconds are skipped,
+        protecting a commit that is IN FLIGHT right now (its manifest
+        simply hasn't landed yet).  The default 0.0 collects
+        everything — fine for a quiesced store, wrong under concurrent
+        writers; production callers should pass hours, as Iceberg's
+        3-day default does.  Returns the orphaned snapshot ids."""
+        import shutil
+
+        have = {s for s in self.snapshots()}
+        cutoff = time.time() - older_than_s
+        removed = []
+        for kind in ("data", "lineage"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for d in sorted(os.listdir(base)):
+                if not d.startswith("snapshot="):
+                    continue
+                sid = d[len("snapshot="):]
+                path = os.path.join(base, d)
+                if sid in have or os.path.getmtime(path) > cutoff:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                if sid not in removed:
+                    removed.append(sid)
+        mdir = os.path.join(self.root, "manifests")
+        for f in os.listdir(mdir):
+            if f.endswith(".tmp") and os.path.getmtime(
+                    os.path.join(mdir, f)) <= cutoff:
+                os.remove(os.path.join(mdir, f))
+        return removed
+
     # --- checkpoint / resume -----------------------------------------------------
 
     def completed_tile_keys(self, spark: SparkSession) -> Optional[DataFrame]:
