@@ -980,3 +980,50 @@ def test_bloom_probe_words_match_engine_hash(spark):
     for _, w, m in SK.bloom_probe_words(["lonely"]):
         need[w] = need.get(w, 0) | m
     assert words == need
+
+
+def test_bloom_prune_never_drops_matches_and_prunes_most(spark):
+    """The map-only Bloom prune keeps EVERY true match (join after
+    prune == plain join) while dropping most non-matching big-side
+    rows; the filter sizing targets ~10 bits per dim key."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark.operators import sketch as SK
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    cust = (spark.read.parquet(f"{sf}/customer.parquet")
+            .filter(F.col("c_nationkey") == 7).select("c_custkey"))
+
+    got = {r.o_orderkey for r in SK.bloom_prune_join(
+        orders, cust, "o_custkey", "c_custkey", how="semi").collect()}
+    want = {r.o_orderkey for r in orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "semi").collect()}
+    assert len(want) > 0 and got == want
+
+    # prune effectiveness: nation 7 holds ~1/25 of customers, so the
+    # survivor fraction must be far below 1 (true matches + fp)
+    n_big = orders.count()
+    n_kept = SK.bloom_prune(orders, cust, "o_custkey", "c_custkey").count()
+    assert n_kept >= len(want)          # no false negatives, ever
+    assert n_kept < 0.25 * n_big        # and the prune actually bites
+
+    # sizing: power of two, >= 10 bits/key before the cap
+    assert SK.bloom_join_m_words(100) == 16        # 1024 bits
+    assert SK.bloom_join_m_words(10**9) == SK.BLOOM_JOIN_MAX_WORDS
+
+
+def test_bloom_prune_empty_dim_drops_everything(spark):
+    """An empty dim side yields an all-zero filter: every big-side row
+    is pruned map-only and the join returns nothing."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark.operators import sketch as SK
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    none = (spark.read.parquet(f"{sf}/customer.parquet")
+            .filter(F.col("c_nationkey") == -1).select("c_custkey"))
+    assert SK.bloom_prune(orders, none, "o_custkey", "c_custkey").count() == 0

@@ -583,3 +583,115 @@ def bloom_member(words: DataFrame, key_cols: list, probes: list) -> DataFrame:
                       .cast("int").alias("_hitw")))
     return (joined.groupBy(*key_cols, "probe")
             .agg(F.min("_hitw").alias("member")))
+
+
+# --- Bloom-pruned join (the bloom-join; Bratbergsengen 1984) ------------------
+#
+# The classic distributed-join prune: compress the dim side's key set
+# into an m-bit Bloom filter (~BLOOM_JOIN_BPE bits per key instead of
+# the key bytes themselves), ship it to every task, and drop big-side
+# rows that cannot possibly join BEFORE the shuffle.  False positives
+# only waste shuffle bytes — the real join removes them — so the
+# output is EXACTLY the plain join's (oracle-checkable with ordinary
+# join SQL).  False negatives are impossible, which is the property
+# that makes the prune sound.
+#
+# Positions use Kirsch-Mitzenmacher double hashing (g_i = h1 + i*h2
+# mod m) on the shared md5-derived 60-bit hash so the filter works at
+# any power-of-two m, not just the 256-bit sketch layout.  The filter
+# itself is ONE array<long> row built by a distributed bit_or
+# aggregate and broadcast; at BLOOM_JOIN_BPE = 10 bits/key the driver
+# holds ~1.25 bytes per dim key (10-100x smaller than the keys), and
+# BLOOM_JOIN_MAX_WORDS caps the array the way Spark caps its own
+# runtime bloom filters — past the cap the fp rate degrades
+# gracefully, the result never changes.
+
+BLOOM_JOIN_BPE = 10                 # target bits per distinct dim key
+BLOOM_JOIN_K = 4                    # probe positions per key
+BLOOM_JOIN_MAX_WORDS = 1 << 20     # 2^26 bits = 8 MiB filter cap
+
+
+def _bloom_join_positions(m: int) -> str:
+    """SQL fragment list: the BLOOM_JOIN_K bit positions of 60-bit
+    hash column ``h`` in an m-bit filter (m a power of two) via
+    double hashing — h2 is forced odd so it is coprime with m and the
+    k positions never collapse onto one."""
+    return [f"pmod(pmod(h, {m}) + {i} * (1 + 2 * pmod(h div {m}, {m // 2})), {m})"
+            for i in range(BLOOM_JOIN_K)]
+
+
+def bloom_filter_words(small: DataFrame, key_col: str,
+                       m_words: int) -> list:
+    """Driver-side list of ``m_words`` longs: the Bloom filter of the
+    dim side's DISTINCT keys.  Built distributed (explode k positions,
+    bit_or per word — one partial-agg'd Exchange over <= m_words
+    rows), then collected: the collect is O(m_words), bounded by the
+    cap regardless of dim cardinality."""
+    m = m_words * 64
+    hs = (small.select(F.md5(F.col(key_col).cast("string")).alias("_hx"),
+                       F.monotonically_increasing_id().alias("_b1"))
+          .select(F.expr(md5_hash60("_hx")).alias("h"),
+                  F.monotonically_increasing_id().alias("_b2")))
+    pos_exprs = ", ".join(_bloom_join_positions(m))
+    rows = (hs.select(F.explode(F.expr(f"array({pos_exprs})")).alias("p"))
+            .groupBy((F.col("p") / 64).cast("int").alias("w"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+                .alias("bits"))
+            .collect())
+    words = [0] * m_words
+    for r in rows:
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_join_m_words(n_keys: int) -> int:
+    """Power-of-two word count targeting BLOOM_JOIN_BPE bits per key,
+    capped at BLOOM_JOIN_MAX_WORDS (past the cap fp degrades, results
+    never change)."""
+    want = max(1, (n_keys * BLOOM_JOIN_BPE + 63) // 64)
+    m_words = 1
+    while m_words < want:
+        m_words *= 2
+    return min(m_words, BLOOM_JOIN_MAX_WORDS)
+
+
+def bloom_prune(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str) -> DataFrame:
+    """``big`` minus the rows whose key CANNOT be in ``small`` — the
+    map-only half of the bloom-join, exposed separately so callers
+    (and tests) can measure the prune.  Never drops a true match
+    (no-false-negative); survivors may include false positives.
+
+    The filter rides in a one-row broadcast DataFrame (array<long>
+    cell), not a plan literal: a million-word filter would otherwise
+    inflate the plan tree, and a broadcast row keeps the bit tests
+    inside whole-stage codegen via element_at."""
+    n = small.select(small_key).distinct().count()
+    m_words = bloom_join_m_words(n)
+    words = bloom_filter_words(small.select(small_key).distinct(),
+                               small_key, m_words)
+    spark = big.sparkSession
+    bf = spark.createDataFrame([(words,)], "bf: array<bigint>")
+    m = m_words * 64
+    probed = (big
+              .withColumn("_hx", F.md5(F.col(big_key).cast("string")))
+              .withColumn("_bb", F.monotonically_increasing_id())
+              .withColumn("h", F.expr(md5_hash60("_hx")))
+              .crossJoin(F.broadcast(bf)))
+    hit = None
+    for p in _bloom_join_positions(m):
+        t = F.expr(f"(element_at(bf, CAST(({p}) div 64 AS INT) + 1) "
+                   f"& shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0")
+        hit = t if hit is None else (hit & t)
+    return probed.filter(hit).drop("_hx", "_bb", "h", "bf")
+
+
+def bloom_prune_join(big: DataFrame, small: DataFrame, big_key: str,
+                     small_key: str, how: str = "semi") -> DataFrame:
+    """``big`` joined to ``small`` with the Bloom prune in front: big
+    rows whose key cannot be in the dim side are dropped MAP-ONLY
+    before any Exchange; survivors go through the ordinary join, which
+    removes the false positives — output == plain join, exactly."""
+    pruned = bloom_prune(big, small, big_key, small_key)
+    return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -4556,6 +4556,38 @@ def sql_tile_cms() -> str:
 BLOOM_PROBES = list(range(1, 9)) + [1000000007, 1000000008]  # last two absent
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (Bratbergsengen's bloom-join): orders of
+    customers in one nation, with the dim side's keys compressed into
+    a ~10-bits-per-key broadcast Bloom filter that drops non-matching
+    orders MAP-ONLY before the shuffle join.  False positives are
+    removed by the real join, false negatives are impossible — so the
+    oracle is the PLAIN semi-join SQL, and the hash gate proves the
+    prune never lost a row.  At 10^12 rows the prune is the point: a
+    1e8-key dim fits an 8 MiB filter cap, and the big side's shuffle
+    volume shrinks to roughly the true match fraction plus fp."""
+    from .operators import sketch as SK
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_nationkey") == 7).select("c_custkey"))
+    out = SK.bloom_prune_join(orders.select("o_orderkey", "o_custkey"),
+                              cust, "o_custkey", "c_custkey", how="semi")
+    return (out.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                       F.col("o_custkey").cast("long").alias("o_custkey"))
+            .orderBy("o_orderkey"))
+
+
+def sql_bloom_join() -> str:
+    return """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+    ORDER BY o_orderkey
+    """
+
+
 def q_tile_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile Bloom membership filter (the FOURTH mergeable sketch
     family — HLL distinct / KMV set-ops / CMS frequency / Bloom
@@ -6209,6 +6241,8 @@ QUERIES = {
     # Bloom membership filter (fourth sketch family; z1 OR-merged from
     # z3 state, no-false-negative guarantee asserted in-job)
     "tile_bloom": q_tile_bloom,
+    # bloom-pruned semi join (map-only big-side prune, exact output)
+    "bloom_join": q_bloom_join,
     # sketch-space set intersection between adjacent tiles
     "tile_overlap": q_tile_overlap,
     "pip_polygon": q_pip_polygon,
@@ -6491,6 +6525,7 @@ ORACLES = {
     "tile_kmv": sql_tile_kmv(),
     "tile_cms": sql_tile_cms(),
     "tile_bloom": sql_tile_bloom(),
+    "bloom_join": sql_bloom_join(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
     "pip_polygon_bucketed": sql_pip_polygon(),
