@@ -277,3 +277,35 @@ def test_remove_orphans_collects_crashed_commit_only(spark, tmp_path):
     assert store.snapshots() == [sid1]
     assert store.latest_view(spark).count() == before
     assert store.remove_orphans() == []
+
+
+def test_schema_evolution_add_column_reads_with_null_backfill(spark, tmp_path):
+    """Iceberg add-column evolution on read: a later snapshot commits
+    an extra column; latest_view keeps it (NULL for keys whose latest
+    version predates the column), the as-of view at the old snapshot
+    is unchanged, and resume still sees every key."""
+    store = TileStore(str(tmp_path / "store"))
+    a1 = _assigned(spark, 100)
+    sid1 = encode_resumable(a1, store, "batch1")
+    old_cols = set(store.latest_view(spark).columns)
+
+    # batch 2: only NEW keys (the resume path), with an extra per-tile
+    # column the v1 schema lacks
+    a2 = _assigned(spark, 500)
+    remaining = store.remaining_tiles(a2)
+    t2 = (E.assemble_point_tiles_streaming(remaining)
+          .withColumn("content_crc", F.crc32(F.col("mvt"))))
+    sid2 = store.commit_tiles(t2, "batch2-evolved", rows_in=500)
+
+    view = store.latest_view(spark)
+    assert "content_crc" in view.columns
+    rows = view.select("zoom", "tile_x", "tile_y", "content_crc").collect()
+    # batch-2 keys carry the crc; v1-era keys read NULL (backfill)
+    assert any(r.content_crc is not None for r in rows)
+    assert any(r.content_crc is None for r in rows)
+    # time travel to sid1 shows the ORIGINAL schema, untouched
+    assert set(store._view_as_of(spark, sid1).columns) == old_cols
+    # chain bookkeeping and resume survive the mixed-schema chain
+    assert store.manifest(sid2)["parent_id"] == sid1
+    assert (store.completed_tile_keys(spark).count()
+            == a2.select("zoom", "tile_x", "tile_y").distinct().count())

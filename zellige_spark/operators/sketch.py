@@ -674,17 +674,21 @@ def bloom_prune(big: DataFrame, small: DataFrame, big_key: str,
     spark = big.sparkSession
     bf = spark.createDataFrame([(words,)], "bf: array<bigint>")
     m = m_words * 64
+    # two collapse barriers (the cms_counters lesson): _bb1 pins the
+    # md5 hex, _bb2 pins the decoded h — the k*2 position references
+    # in the bit tests would otherwise re-inline the 15-term decode
     probed = (big
               .withColumn("_hx", F.md5(F.col(big_key).cast("string")))
-              .withColumn("_bb", F.monotonically_increasing_id())
+              .withColumn("_bb1", F.monotonically_increasing_id())
               .withColumn("h", F.expr(md5_hash60("_hx")))
+              .withColumn("_bb2", F.monotonically_increasing_id())
               .crossJoin(F.broadcast(bf)))
     hit = None
     for p in _bloom_join_positions(m):
         t = F.expr(f"(element_at(bf, CAST(({p}) div 64 AS INT) + 1) "
                    f"& shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0")
         hit = t if hit is None else (hit & t)
-    return probed.filter(hit).drop("_hx", "_bb", "h", "bf")
+    return probed.filter(hit).drop("_hx", "_bb1", "h", "_bb2", "bf")
 
 
 def bloom_prune_join(big: DataFrame, small: DataFrame, big_key: str,

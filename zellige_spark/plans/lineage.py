@@ -225,7 +225,12 @@ class TileStore:
                  for i, s in enumerate(sids)]
         allt = parts[0]
         for p in parts[1:]:
-            allt = allt.unionByName(p)
+            # Iceberg add/drop-column schema evolution on read: a
+            # column absent from an older (or newer) snapshot reads as
+            # NULL instead of failing the union — so a chain may mix
+            # schema versions and the view keeps every column any
+            # snapshot ever carried
+            allt = allt.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
         return (allt.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1).drop("_rn", "_age"))
