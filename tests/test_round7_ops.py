@@ -1027,3 +1027,35 @@ def test_bloom_prune_empty_dim_drops_everything(spark):
     none = (spark.read.parquet(f"{sf}/customer.parquet")
             .filter(F.col("c_nationkey") == -1).select("c_custkey"))
     assert SK.bloom_prune(orders, none, "o_custkey", "c_custkey").count() == 0
+
+
+def test_containment_join_equals_bruteforce_and_is_directional(spark):
+    """The asymmetric prefix-filtered containment join equals the
+    literal all-pairs containment set, and it is DIRECTIONAL: the
+    truncated corpus variants are contained in their originals (pair
+    present one way), while the originals are NOT contained in their
+    truncations whenever the original has enough extra shingles."""
+    from zellige_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    aug = DD._augmented(spark, sf)
+    sets = {r.doc_id: set(r.shs) for r in
+            DD._word_shingle_arrays(aug).collect()}
+    want = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * DD._C_DEN >= len(sa) * DD._C_NUM:
+                want.add((a, b))
+    got = {(r.doc_a, r.doc_b): (r.common, r.sz_a)
+           for r in DD.q_dedup_contain(spark, sf).collect()}
+    assert set(got) == want and len(want) > 0
+    # evidence columns are the exact intersection arithmetic
+    for (a, b), (common, sz_a) in got.items():
+        assert common == len(sets[a] & sets[b]) and sz_a == len(sets[a])
+    # directionality: at least one truncated->original containment
+    # whose reverse is absent
+    one_way = [(a, b) for (a, b) in want
+               if a >= 1000000 and b == a - 1000000 and (b, a) not in want]
+    assert len(one_way) > 0

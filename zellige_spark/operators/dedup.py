@@ -536,11 +536,11 @@ _T_NUM, _T_DEN = 3, 5
 assert _T_NUM / _T_DEN == JACCARD_THRESHOLD
 
 
-def prefix_candidates(arrs: DataFrame) -> DataFrame:
-    """Candidate (doc_a < doc_b) pairs sharing at least one PREFIX
-    shingle under the global (df asc, shingle asc) order.  Input is the
-    per-doc distinct-shingle array table (doc_id, shs); output feeds
-    `_verify_candidates` exactly like the LSH candidates do."""
+def _df_ordered_prefix(arrs: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """(doc_id, bkey): each doc's PREFIX shingles — the first
+    p = sz - ceil(t*sz) + 1 under the global (df asc, shingle asc)
+    order, with t = t_num/t_den kept as an exact integer fraction (see
+    the _T_NUM note)."""
     sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     # global document frequency: arrays are distinct per doc, so a
     # plain count per shingle IS df — one partial-agg'd shuffle
@@ -550,14 +550,21 @@ def prefix_candidates(arrs: DataFrame) -> DataFrame:
                  .groupBy("doc_id")
                  .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle")))
                       .alias("_ord")))
-    pre = (ordered
-           .withColumn("_sz", F.size("_ord"))
-           # p = sz - ceil(t*sz) + 1, all-integer (see _T_NUM note)
-           .withColumn("_p", F.col("_sz")
-                       - F.expr(f"({_T_NUM} * _sz + {_T_DEN - 1}) div {_T_DEN}")
-                       + F.lit(1))
-           .select("doc_id", F.explode(F.expr("slice(_ord, 1, _p)")).alias("_ps"))
-           .select("doc_id", F.col("_ps.shingle").alias("bkey")))
+    return (ordered
+            .withColumn("_sz", F.size("_ord"))
+            .withColumn("_p", F.col("_sz")
+                        - F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}")
+                        + F.lit(1))
+            .select("doc_id", F.explode(F.expr("slice(_ord, 1, _p)")).alias("_ps"))
+            .select("doc_id", F.col("_ps.shingle").alias("bkey")))
+
+
+def prefix_candidates(arrs: DataFrame) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs sharing at least one PREFIX
+    shingle under the global (df asc, shingle asc) order.  Input is the
+    per-doc distinct-shingle array table (doc_id, shs); output feeds
+    `_verify_candidates` exactly like the LSH candidates do."""
+    pre = _df_ordered_prefix(arrs, _T_NUM, _T_DEN)
     return banded_pairs(pre, "doc_id", ("bkey",), out_cols=("doc_a", "doc_b"))
 
 
@@ -574,6 +581,78 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # oracle: the exact word-3-shingle Jaccard pair set
 sql_dedup_prefix = sql_dedup_minhash_words
+
+
+# ---------------------------------------------------------------------------
+# Containment join (directional subset dedup — the boilerplate case)
+# ---------------------------------------------------------------------------
+#
+# Jaccard misses the commonest web-corpus duplication: a document
+# CONTAINED in a larger one (boilerplate wrappers, quoted articles,
+# truncated mirrors) scores low Jaccard when the container is much
+# bigger, but containment |A∩B|/|A| is ~1.  The prefix filter has an
+# asymmetric containment form: o >= ceil(t*|A|) forces A's
+# (df-ordered) prefix of length |A| - ceil(t*|A|) + 1 to intersect B —
+# so only the CONTAINED side indexes a prefix (~(1-t) of its
+# postings; at t = 9/10 that is ~10%), while the container side is
+# probed through the full posting table.  df-ASCENDING order keeps
+# probe-side postings lists short (a prefix shingle is rare by
+# construction), bounding candidate volume.  Exact and directional:
+# (doc_a contained-in doc_b), recall 1.0 by the same theorem.
+
+_C_NUM, _C_DEN = 9, 10   # containment threshold 0.9, exact fraction
+
+
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs over word-3-shingles:
+    |A∩B| / |A| >= 9/10 with A != B — the truncated variants in the
+    augmented corpus are (near-)subsets of their originals, so the
+    oracle checks real containments.  Output carries the exact
+    integer evidence (common, sz_a)."""
+    aug = _augmented(spark, sf_dir)
+    arrs = _word_shingle_arrays(aug).cache()
+    pre = _df_ordered_prefix(arrs, _C_NUM, _C_DEN)
+    sh = arrs.select(F.col("doc_id").alias("doc_b"),
+                     F.explode("shs").alias("bkey"))
+    cand = (pre.withColumnRenamed("doc_id", "doc_a")
+               .join(sh, "bkey")
+               .filter(F.col("doc_a") != F.col("doc_b"))
+               .select("doc_a", "doc_b").distinct())
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("sz_a", F.size("sh_a"))
+            .filter(F.col("common") * _C_DEN >= F.col("sz_a") * _C_NUM)
+            .select(F.col("doc_a").cast("long").alias("doc_a"),
+                    F.col("doc_b").cast("long").alias("doc_b"),
+                    F.col("common").cast("long").alias("common"),
+                    F.col("sz_a").cast("long").alias("sz_a")))
+
+
+def sql_dedup_contain() -> str:
+    return f"""
+    WITH aug AS ({_AUG_DUCK}),
+    tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END) AS shingle
+      FROM tk
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(common AS BIGINT) AS common, CAST(sa.sz AS BIGINT) AS sz_a
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE common * {_C_DEN} >= sa.sz * {_C_NUM}
+    """
 
 
 # --- connected components over near-dup pairs ------------------------------

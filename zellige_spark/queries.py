@@ -6390,6 +6390,9 @@ QUERIES = {
     # prefix-filter EXACT similarity join (recall 1.0 by theorem —
     # the deterministic AllPairs/PPJoin counterpart to MinHash LSH)
     "dedup_prefix": DD.q_dedup_prefix,
+    # directional containment join (boilerplate/truncation subsets;
+    # asymmetric prefix filter — only the contained side indexes)
+    "dedup_contain": DD.q_dedup_contain,
     "dedup_simhash": DD.q_dedup_simhash,
     # cross-modal: simhash near-dups constrained to nearby capture sites
     "geo_near_dup": q_geo_near_dup,
@@ -6603,6 +6606,7 @@ ORACLES = {
     "dedup_minhash_lsh": DD.sql_dedup_minhash_lsh(),
     "dedup_minhash_words": DD.sql_dedup_minhash_words(),
     "dedup_prefix": DD.sql_dedup_prefix(),
+    "dedup_contain": DD.sql_dedup_contain(),
     "dedup_simhash": DD.sql_dedup_simhash(),
     "geo_near_dup": sql_geo_near_dup(),
     "dedup_components": DD.sql_dedup_components(),
