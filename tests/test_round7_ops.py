@@ -1059,3 +1059,35 @@ def test_containment_join_equals_bruteforce_and_is_directional(spark):
     one_way = [(a, b) for (a, b) in want
                if a >= 1000000 and b == a - 1000000 and (b, a) not in want]
     assert len(one_way) > 0
+
+
+def test_contain_keep_decision_semantics(spark):
+    """The containment decision drops exactly the docs dominated by a
+    strictly-larger (or tie-break) container: truncated variants drop,
+    their originals stay, and untouched docs all stay kept."""
+    from zellige_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r.kept
+           for r in DD.q_contain_keep(spark, sf).collect()}
+    pairs = DD.q_dedup_contain(spark, sf).collect()
+    sets = {r.doc_id: set(r.shs) for r in
+            DD._word_shingle_arrays(DD._augmented(spark, sf)).collect()}
+    want_drop = set()
+    for r in pairs:
+        sz_b = len(sets[r.doc_b])
+        if r.sz_a < sz_b or (r.sz_a == sz_b and r.doc_a > r.doc_b):
+            want_drop.add(r.doc_a)
+    assert set(out) == set(sets)
+    for d, kept in out.items():
+        assert kept == (0 if d in want_drop else 1), d
+    # the corpus guarantees: some truncations drop, and an original is
+    # only ever dropped because it too is dominated (cross-doc
+    # containment exists in the corpus) — at least one dropped
+    # truncation must still have its original kept
+    dropped_truncs = [d for d in want_drop if d >= 1000000]
+    assert len(dropped_truncs) > 0
+    assert any(out[d - 1000000] == 1 for d in dropped_truncs)
+    for d in dropped_truncs:
+        if out[d - 1000000] == 0:
+            assert (d - 1000000) in want_drop  # dominated, not lost

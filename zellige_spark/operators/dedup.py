@@ -655,6 +655,60 @@ def sql_dedup_contain() -> str:
     """
 
 
+def q_contain_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment DECISION: every augmented doc -> kept (1) or
+    dropped (0).  A doc is dropped when it is >= 9/10 contained in ANY
+    dominating doc — strictly larger shingle set, or equal size with a
+    smaller id (the tie-break that keeps exactly one of an identical
+    pair).  The dominated-by-any rule is the standard greedy
+    subset-dedup semantics: deterministic, one anti-join past the pair
+    table, no iteration (unlike the Jaccard families' connected
+    components, containment is directional so no closure is needed)."""
+    aug = _augmented(spark, sf_dir)
+    arrs = _word_shingle_arrays(aug).cache()
+    pairs = q_dedup_contain(spark, sf_dir)
+    sizes_b = arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.size("shs").alias("sz_b"))
+    dropped = (pairs.join(sizes_b, "doc_b")
+               .filter((F.col("sz_a") < F.col("sz_b"))
+                       | ((F.col("sz_a") == F.col("sz_b"))
+                          & (F.col("doc_a") > F.col("doc_b"))))
+               .select(F.col("doc_a").alias("doc_id")).distinct())
+    return (aug.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("_d").isNull(), 1).otherwise(0)
+                     .cast("int").alias("kept"))
+            .orderBy("doc_id"))
+
+
+def sql_contain_keep() -> str:
+    pair_sql = sql_dedup_contain()
+    return f"""
+    WITH _pairs AS ({pair_sql}),
+    _aug AS ({_AUG_DUCK}),
+    _tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM _aug),
+    _sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END) AS shingle
+      FROM _tk
+    ),
+    _sizes AS (SELECT doc_id, COUNT(*) AS sz FROM _sh GROUP BY doc_id),
+    _dropped AS (
+      SELECT DISTINCT p.doc_a AS doc_id
+      FROM _pairs p JOIN _sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.sz_a < sb.sz OR (p.sz_a = sb.sz AND p.doc_a > p.doc_b)
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM _aug a LEFT JOIN _dropped d ON d.doc_id = a.doc_id
+    ORDER BY doc_id
+    """
+
+
 # --- connected components over near-dup pairs ------------------------------
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",

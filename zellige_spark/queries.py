@@ -6393,6 +6393,8 @@ QUERIES = {
     # directional containment join (boilerplate/truncation subsets;
     # asymmetric prefix filter — only the contained side indexes)
     "dedup_contain": DD.q_dedup_contain,
+    # containment decision: drop docs dominated by any container
+    "contain_keep": DD.q_contain_keep,
     "dedup_simhash": DD.q_dedup_simhash,
     # cross-modal: simhash near-dups constrained to nearby capture sites
     "geo_near_dup": q_geo_near_dup,
@@ -6607,6 +6609,7 @@ ORACLES = {
     "dedup_minhash_words": DD.sql_dedup_minhash_words(),
     "dedup_prefix": DD.sql_dedup_prefix(),
     "dedup_contain": DD.sql_dedup_contain(),
+    "contain_keep": DD.sql_contain_keep(),
     "dedup_simhash": DD.sql_dedup_simhash(),
     "geo_near_dup": sql_geo_near_dup(),
     "dedup_components": DD.sql_dedup_components(),
