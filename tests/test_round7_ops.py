@@ -1091,3 +1091,34 @@ def test_contain_keep_decision_semantics(spark):
     for d in dropped_truncs:
         if out[d - 1000000] == 0:
             assert (d - 1000000) in want_drop  # dominated, not lost
+
+
+def test_payload_audit_on_real_synth_images(spark):
+    """The quarantine gate over the REAL synthetic image corpus (raw /
+    ppm / png payloads from synth.encode_image): every well-formed row
+    passes all checks, and hand-corrupted variants trip exactly the
+    right verdict."""
+    from pyspark.sql import functions as F
+
+    from zellige_spark import synth
+    from zellige_spark.operators.images import payload_audit
+
+    imgs = synth.images_df(spark, 120).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption")
+    out = payload_audit(imgs).toPandas()
+    assert len(out) == 120
+    assert (out.quarantine == 0).all()
+    assert set(out.fmt) == {"raw", "ppm", "png"}
+
+    # corrupt: drop the last byte -> len_ok fails for raw/ppm; zero w
+    # -> dims fails everywhere; empty caption -> caption fails
+    bad = imgs.withColumn(
+        "bytes", F.expr("substring(bytes, 1, CAST(length(bytes) - 1 AS INT))")
+    ).withColumn("w", F.lit(0)).withColumn("caption", F.lit(""))
+    outb = payload_audit(bad).toPandas()
+    assert (outb.quarantine == 1).all()
+    assert (outb.dims_ok == 0).all()
+    assert (outb.caption_ok == 0).all()
+    assert (outb[outb.fmt != "png"].len_ok == 0).all()
+    # magic bytes were not touched, so magic_ok stays green
+    assert (outb.magic_ok == 1).all()

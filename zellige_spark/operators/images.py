@@ -998,3 +998,48 @@ def aspect_bucket_batches(images, ladder=ASPECT_LADDER,
                     .alias("bucket_h"),
                     F.expr(f"(_rn - 1) div {batch_size}").cast("long")
                     .alias("batch_idx")))
+
+
+# --- binary payload quarantine (ingest data-quality gate) ---------------------
+
+def payload_audit(imgs: DataFrame) -> DataFrame:
+    """Per-row corrupt-payload quarantine verdicts over (image_id,
+    bytes, w, h, fmt, caption) — the ingest gate a 10^12-image crawl
+    runs BEFORE any decode touches Python: all-JVM Column math, map
+    only, zero shuffles.
+
+    * ``magic_ok``   — declared container format matches the leading
+      bytes (png 8-byte signature, ppm 'P6'; raw has no magic and is
+      vacuously true).  Prefix-only: hex(substring(bytes, 1, k)),
+      never the whole payload.
+    * ``len_ok``     — byte length is consistent with the DECLARED
+      dims: raw == w*h*3, ppm == header(w,h) + w*h*3, png > magic.
+    * ``dims_ok``    — positive dimensions.
+    * ``caption_ok`` — non-empty caption (the image+caption contract).
+    * ``quarantine`` — 1 when any check fails; downstream joins
+      anti-join the quarantined ids away.
+    """
+    blen = F.length("bytes").cast("long")
+    whl = F.col("w").cast("long") * F.col("h").cast("long") * F.lit(3)
+    hdr = (F.lit(9) + F.length(F.col("w").cast("string"))
+           + F.length(F.col("h").cast("string"))).cast("long")
+    magic_ok = (
+        F.when(F.col("fmt") == "png",
+               F.hex(F.expr("substring(bytes, 1, 8)")) == "89504E470D0A1A0A")
+         .when(F.col("fmt") == "ppm",
+               F.hex(F.expr("substring(bytes, 1, 2)")) == "5036")
+         .otherwise(F.lit(True)))
+    len_ok = (
+        F.when(F.col("fmt") == "raw", blen == whl)
+         .when(F.col("fmt") == "ppm", blen == hdr + whl)
+         .otherwise(blen > 8))
+    dims_ok = (F.col("w") > 0) & (F.col("h") > 0)
+    caption_ok = F.length(F.col("caption")) > 0
+    ok = magic_ok & len_ok & dims_ok & caption_ok
+    return imgs.select(
+        "image_id", "fmt",
+        magic_ok.cast("int").alias("magic_ok"),
+        len_ok.cast("int").alias("len_ok"),
+        dims_ok.cast("int").alias("dims_ok"),
+        caption_ok.cast("int").alias("caption_ok"),
+        (~ok).cast("int").alias("quarantine"))

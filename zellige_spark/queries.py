@@ -2540,6 +2540,99 @@ SUPP_XI = "s_suppkey * 48271 % 360000"       # integer millidegrees
 SUPP_YI = "(s_suppkey * 16807 + 19) % 170000"
 
 
+def q_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine over a deterministically synthesized
+    binary corpus (`images.payload_audit`): per customer key, a
+    raw/ppm/png payload is CONSTRUCTED in SQL on both engines —
+    including injected corruption classes (truncated payloads, wrong
+    magic bytes, zeroed dims, empty captions, keyed on id residues) —
+    then audited map-only: magic/length/dims/caption checks, one
+    quarantine verdict per row.  The gate a 10^12-image crawl runs
+    before any decode touches Python; all-JVM, zero shuffles, and the
+    whole thing (construction AND audit) hash-matches DuckDB."""
+    from .operators.images import payload_audit
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df.createOrReplaceTempView("customer")
+    imgs = spark.sql("""
+      SELECT CAST(i AS BIGINT) AS image_id, fmt,
+             CASE WHEN i % 83 = 0 THEN 0 ELSE tw END AS w,
+             th AS h,
+             CASE
+               WHEN fmt = 'raw' THEN CAST(repeat('x', plen) AS BINARY)
+               WHEN fmt = 'ppm' THEN CAST(concat(
+                 CASE WHEN i % 89 = 0 THEN 'X6' ELSE 'P6' END, chr(10),
+                 CAST(tw AS STRING), ' ', CAST(th AS STRING), chr(10),
+                 '255', chr(10), repeat('x', plen)) AS BINARY)
+               ELSE concat(
+                 CASE WHEN i % 89 = 0 THEN X'00504E470D0A1A0A'
+                      ELSE X'89504E470D0A1A0A' END,
+                 CAST(repeat('x', plen) AS BINARY))
+             END AS bytes,
+             CASE WHEN i % 101 = 0 THEN ''
+                  ELSE concat('caption of img', CAST(i AS STRING)) END AS caption
+      FROM (
+        SELECT i, tw, th,
+               CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+               tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen
+        FROM (SELECT c_custkey AS i, 4 + c_custkey % 5 AS tw,
+                     3 + c_custkey % 4 AS th FROM customer)
+      )
+    """)
+    return payload_audit(imgs).orderBy("image_id")
+
+
+def sql_payload_audit() -> str:
+    return """
+    WITH base AS (
+      SELECT i, tw, th,
+             CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+             tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen
+      FROM (SELECT c_custkey AS i, 4 + c_custkey % 5 AS tw,
+                   3 + c_custkey % 4 AS th FROM customer)
+    ), imgs AS (
+      SELECT CAST(i AS BIGINT) AS image_id, fmt,
+             CASE WHEN i % 83 = 0 THEN 0 ELSE tw END AS w,
+             th AS h,
+             CASE
+               WHEN fmt = 'raw' THEN encode(repeat('x', plen))
+               WHEN fmt = 'ppm' THEN encode(
+                 (CASE WHEN i % 89 = 0 THEN 'X6' ELSE 'P6' END) || chr(10) ||
+                 tw || ' ' || th || chr(10) || '255' || chr(10) ||
+                 repeat('x', plen))
+               ELSE (CASE WHEN i % 89 = 0
+                          THEN '\\x00\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB
+                          ELSE '\\x89\\x50\\x4E\\x47\\x0D\\x0A\\x1A\\x0A'::BLOB END)
+                    || encode(repeat('x', plen))
+             END AS bytes,
+             CASE WHEN i % 101 = 0 THEN ''
+                  ELSE 'caption of img' || i END AS caption
+      FROM base
+    ), audited AS (
+      SELECT image_id, fmt,
+        CASE WHEN fmt = 'png' THEN substring(hex(bytes), 1, 16) = '89504E470D0A1A0A'
+             WHEN fmt = 'ppm' THEN substring(hex(bytes), 1, 4) = '5036'
+             ELSE TRUE END AS magic_ok,
+        CASE WHEN fmt = 'raw' THEN octet_length(bytes) = w * h * 3
+             WHEN fmt = 'ppm' THEN octet_length(bytes)
+                  = 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w * h * 3
+             ELSE octet_length(bytes) > 8 END AS len_ok,
+        (w > 0 AND h > 0) AS dims_ok,
+        length(caption) > 0 AS caption_ok
+      FROM imgs
+    )
+    SELECT image_id, fmt,
+           CAST(magic_ok AS INT) AS magic_ok,
+           CAST(len_ok AS INT) AS len_ok,
+           CAST(dims_ok AS INT) AS dims_ok,
+           CAST(caption_ok AS INT) AS caption_ok,
+           CAST(NOT (magic_ok AND len_ok AND dims_ok AND caption_ok) AS INT)
+             AS quarantine
+    FROM audited
+    ORDER BY image_id
+    """
+
+
 def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate cross-K between customer points (A) and supplier
     points (B) on the integer-millidegree plane: per ladder rung the
@@ -6348,6 +6441,9 @@ QUERIES = {
     "caption_reconcile": q_caption_reconcile,
     # aspect-ratio bucketing (diffusion-training batch formation)
     "aspect_buckets": q_aspect_buckets,
+    # corrupt-payload quarantine gate (magic/length/dims/caption
+    # checks over SQL-synthesized binary payloads, map-only)
+    "payload_audit": q_payload_audit,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -6585,6 +6681,7 @@ ORACLES = {
     "image_dup_clusters": sql_image_dup_clusters(),
     "caption_reconcile": sql_caption_reconcile(),
     "aspect_buckets": sql_aspect_buckets(),
+    "payload_audit": sql_payload_audit(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
