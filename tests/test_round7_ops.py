@@ -1122,3 +1122,20 @@ def test_payload_audit_on_real_synth_images(spark):
     assert (outb[outb.fmt != "png"].len_ok == 0).all()
     # magic bytes were not touched, so magic_ok stays green
     assert (outb.magic_ok == 1).all()
+
+
+def test_curated_tiles_consistent_with_audit(spark):
+    """The curation capstone's per-tile totals reconcile exactly with
+    the standalone audit: sum(n_total) = corpus size, sum(n_kept) =
+    clean rows, and quarantined rows are really excluded from the
+    byte volume."""
+    from zellige_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    tiles = Q.q_curated_tiles(spark, sf).toPandas()
+    audit = Q.q_payload_audit(spark, sf).toPandas()
+    assert tiles.n_total.sum() == len(audit)
+    assert tiles.n_kept.sum() == (audit.quarantine == 0).sum()
+    assert (tiles.n_kept <= tiles.n_total).all()
+    assert tiles.n_kept.sum() < tiles.n_total.sum()  # corruption bites
+    assert (tiles.bytes_kept[tiles.n_kept == 0] == 0).all()

@@ -1019,6 +1019,16 @@ def payload_audit(imgs: DataFrame) -> DataFrame:
     * ``quarantine`` — 1 when any check fails; downstream joins
       anti-join the quarantined ids away.
     """
+    return with_payload_audit(imgs).select(
+        "image_id", "fmt", "magic_ok", "len_ok", "dims_ok",
+        "caption_ok", "quarantine")
+
+
+def with_payload_audit(imgs: DataFrame) -> DataFrame:
+    """`payload_audit` as APPENDED columns — the composition form: a
+    downstream pipeline (tile assignment, dedup, packing) keeps every
+    payload column and prunes on ``quarantine`` inline, so the gate
+    rides the same scan instead of forcing a self-join on image_id."""
     blen = F.length("bytes").cast("long")
     whl = F.col("w").cast("long") * F.col("h").cast("long") * F.lit(3)
     hdr = (F.lit(9) + F.length(F.col("w").cast("string"))
@@ -1036,10 +1046,9 @@ def payload_audit(imgs: DataFrame) -> DataFrame:
     dims_ok = (F.col("w") > 0) & (F.col("h") > 0)
     caption_ok = F.length(F.col("caption")) > 0
     ok = magic_ok & len_ok & dims_ok & caption_ok
-    return imgs.select(
-        "image_id", "fmt",
-        magic_ok.cast("int").alias("magic_ok"),
-        len_ok.cast("int").alias("len_ok"),
-        dims_ok.cast("int").alias("dims_ok"),
-        caption_ok.cast("int").alias("caption_ok"),
-        (~ok).cast("int").alias("quarantine"))
+    return (imgs
+            .withColumn("magic_ok", magic_ok.cast("int"))
+            .withColumn("len_ok", len_ok.cast("int"))
+            .withColumn("dims_ok", dims_ok.cast("int"))
+            .withColumn("caption_ok", caption_ok.cast("int"))
+            .withColumn("quarantine", (~ok).cast("int")))

@@ -2540,21 +2540,16 @@ SUPP_XI = "s_suppkey * 48271 % 360000"       # integer millidegrees
 SUPP_YI = "(s_suppkey * 16807 + 19) % 170000"
 
 
-def q_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrupt-payload quarantine over a deterministically synthesized
-    binary corpus (`images.payload_audit`): per customer key, a
-    raw/ppm/png payload is CONSTRUCTED in SQL on both engines —
-    including injected corruption classes (truncated payloads, wrong
-    magic bytes, zeroed dims, empty captions, keyed on id residues) —
-    then audited map-only: magic/length/dims/caption checks, one
-    quarantine verdict per row.  The gate a 10^12-image crawl runs
-    before any decode touches Python; all-JVM, zero shuffles, and the
-    whole thing (construction AND audit) hash-matches DuckDB."""
-    from .operators.images import payload_audit
-
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    df.createOrReplaceTempView("customer")
-    imgs = spark.sql("""
+def _payload_corpus_spark(coords: bool = False) -> str:
+    """Spark SQL constructing the synthetic binary corpus over
+    ``customer``: one raw/ppm/png payload per key with deterministic
+    injected corruption (truncated payloads on i%97, wrong magic on
+    i%89, zeroed dims on i%83, empty captions on i%101).  ``coords``
+    adds the shared customer lon/lat so the corpus can feed the tile
+    pipeline."""
+    xtra_base = f", {CUST_LON} AS lon, {CUST_LAT} AS lat" if coords else ""
+    xtra = ", lon, lat" if coords else ""
+    return f"""
       SELECT CAST(i AS BIGINT) AS image_id, fmt,
              CASE WHEN i % 83 = 0 THEN 0 ELSE tw END AS w,
              th AS h,
@@ -2570,26 +2565,29 @@ def q_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(repeat('x', plen) AS BINARY))
              END AS bytes,
              CASE WHEN i % 101 = 0 THEN ''
-                  ELSE concat('caption of img', CAST(i AS STRING)) END AS caption
+                  ELSE concat('caption of img', CAST(i AS STRING)) END AS caption{xtra}
       FROM (
         SELECT i, tw, th,
                CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
-               tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen
+               tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen{xtra}
         FROM (SELECT c_custkey AS i, 4 + c_custkey % 5 AS tw,
-                     3 + c_custkey % 4 AS th FROM customer)
+                     3 + c_custkey % 4 AS th{xtra_base} FROM customer)
       )
-    """)
-    return payload_audit(imgs).orderBy("image_id")
+    """
 
 
-def sql_payload_audit() -> str:
-    return """
-    WITH base AS (
+def _payload_corpus_duck(coords: bool = False) -> str:
+    """The DuckDB twin of `_payload_corpus_spark` (encode/chr/||/BLOB
+    forms), emitted as a two-CTE fragment ``base`` + ``imgs``."""
+    xtra_base = f", {CUST_LON} AS lon, {CUST_LAT} AS lat" if coords else ""
+    xtra = ", lon, lat" if coords else ""
+    return f"""
+    base AS (
       SELECT i, tw, th,
              CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
-             tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen
+             tw * th * 3 - (CASE WHEN i % 97 = 0 THEN 2 ELSE 0 END) AS plen{xtra}
       FROM (SELECT c_custkey AS i, 4 + c_custkey % 5 AS tw,
-                   3 + c_custkey % 4 AS th FROM customer)
+                   3 + c_custkey % 4 AS th{xtra_base} FROM customer)
     ), imgs AS (
       SELECT CAST(i AS BIGINT) AS image_id, fmt,
              CASE WHEN i % 83 = 0 THEN 0 ELSE tw END AS w,
@@ -2606,9 +2604,13 @@ def sql_payload_audit() -> str:
                     || encode(repeat('x', plen))
              END AS bytes,
              CASE WHEN i % 101 = 0 THEN ''
-                  ELSE 'caption of img' || i END AS caption
+                  ELSE 'caption of img' || i END AS caption{xtra}
       FROM base
-    ), audited AS (
+    )"""
+
+
+# the audit CTE shared by the payload_audit and curated_tiles oracles
+_PAYLOAD_AUDIT_DUCK = """
       SELECT image_id, fmt,
         CASE WHEN fmt = 'png' THEN substring(hex(bytes), 1, 16) = '89504E470D0A1A0A'
              WHEN fmt = 'ppm' THEN substring(hex(bytes), 1, 4) = '5036'
@@ -2620,7 +2622,30 @@ def sql_payload_audit() -> str:
         (w > 0 AND h > 0) AS dims_ok,
         length(caption) > 0 AS caption_ok
       FROM imgs
-    )
+"""
+
+
+def q_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine over a deterministically synthesized
+    binary corpus (`images.payload_audit`): per customer key, a
+    raw/ppm/png payload is CONSTRUCTED in SQL on both engines —
+    including injected corruption classes (truncated payloads, wrong
+    magic bytes, zeroed dims, empty captions, keyed on id residues) —
+    then audited map-only: magic/length/dims/caption checks, one
+    quarantine verdict per row.  The gate a 10^12-image crawl runs
+    before any decode touches Python; all-JVM, zero shuffles, and the
+    whole thing (construction AND audit) hash-matches DuckDB."""
+    from .operators.images import payload_audit
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df.createOrReplaceTempView("customer")
+    imgs = spark.sql(_payload_corpus_spark())
+    return payload_audit(imgs).orderBy("image_id")
+
+
+def sql_payload_audit() -> str:
+    return f"""
+    WITH {_payload_corpus_duck()}, audited AS ({_PAYLOAD_AUDIT_DUCK})
     SELECT image_id, fmt,
            CAST(magic_ok AS INT) AS magic_ok,
            CAST(len_ok AS INT) AS len_ok,
@@ -2630,6 +2655,71 @@ def sql_payload_audit() -> str:
              AS quarantine
     FROM audited
     ORDER BY image_id
+    """
+
+
+def q_curated_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION capstone: quarantine gate -> tile pyramid, end to
+    end.  The synthetic binary corpus (with its injected corruption)
+    carries the shared customer coordinates; the payload audit runs
+    map-only, quarantined rows are dropped, survivors assign to z9
+    tiles, and each tile reports total vs curated counts plus the
+    curated byte volume.  One map-only prune before the single
+    groupBy(tile) Exchange — at 10^12 images the quarantine costs
+    nothing extra because it rides the same scan that assigns tiles.
+    The whole chain (construction + audit + projection + tile math +
+    aggregation) hash-matches DuckDB."""
+    from .operators import tiles as T
+    from .operators.images import with_payload_audit
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df.createOrReplaceTempView("customer")
+    imgs = spark.sql(_payload_corpus_spark(coords=True))
+    rows = (with_payload_audit(imgs)
+            .withColumn("blen", F.length("bytes").cast("long")))
+    a = T.assign_tiles(rows, [9])
+    return (a.groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(F.col("quarantine") == 0, 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("quarantine") == 0, F.col("blen"))
+                        .otherwise(F.lit(0).cast("long")))
+                  .alias("bytes_kept"))
+            .select(F.col("tile_x").cast("long").alias("tile_x"),
+                    F.col("tile_y").cast("long").alias("tile_y"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    F.col("bytes_kept").cast("long").alias("bytes_kept"))
+            .orderBy("tile_x", "tile_y"))
+
+
+def sql_curated_tiles() -> str:
+    tx, ty = _sql_tile("9")
+    return f"""
+    WITH {_payload_corpus_duck(coords=True)},
+    audited AS ({_PAYLOAD_AUDIT_DUCK}),
+    rows_ AS (
+      SELECT i.image_id, i.lon, i.lat, octet_length(i.bytes) AS blen,
+             CASE WHEN a.magic_ok AND a.len_ok AND a.dims_ok AND a.caption_ok
+                  THEN 0 ELSE 1 END AS quarantine
+      FROM imgs i JOIN audited a ON a.image_id = i.image_id
+    ), proj AS (
+      SELECT image_id, blen, quarantine,
+             {_SQL_X} AS x3857, {_SQL_Y} AS y3857
+      FROM rows_
+    ), t AS (
+      SELECT image_id, blen, quarantine, {tx} AS tile_x, {ty} AS tile_y
+      FROM proj
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN quarantine = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN quarantine = 0 THEN blen ELSE 0 END) AS BIGINT)
+             AS bytes_kept
+    FROM t GROUP BY tile_x, tile_y
+    ORDER BY tile_x, tile_y
     """
 
 
@@ -6444,6 +6534,8 @@ QUERIES = {
     # corrupt-payload quarantine gate (magic/length/dims/caption
     # checks over SQL-synthesized binary payloads, map-only)
     "payload_audit": q_payload_audit,
+    # curation capstone: quarantine prune -> z9 tiles, one Exchange
+    "curated_tiles": q_curated_tiles,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -6682,6 +6774,7 @@ ORACLES = {
     "caption_reconcile": sql_caption_reconcile(),
     "aspect_buckets": sql_aspect_buckets(),
     "payload_audit": sql_payload_audit(),
+    "curated_tiles": sql_curated_tiles(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
