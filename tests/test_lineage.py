@@ -309,3 +309,33 @@ def test_schema_evolution_add_column_reads_with_null_backfill(spark, tmp_path):
     assert store.manifest(sid2)["parent_id"] == sid1
     assert (store.completed_tile_keys(spark).count()
             == a2.select("zoom", "tile_x", "tile_y").distinct().count())
+
+
+def test_store_maintenance_lifecycle_end_to_end(spark, tmp_path):
+    """The full maintenance cycle in one story: incremental commits ->
+    compaction -> retention -> orphan GC, with the latest view
+    byte-identical at every step and resume intact at the end."""
+    store = TileStore(str(tmp_path / "store"))
+    a1, a2 = _assigned(spark, 200), _assigned(spark, 500)
+    encode_resumable(a1, store, "batch1")
+    encode_resumable(a2, store, "batch2")
+    want = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()}
+
+    store.compact(spark, target_file_bytes=1 << 20)
+    assert {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()} == want
+
+    expired = store.expire_snapshots(keep_last=1)
+    assert len(expired) == 2  # both deltas behind the full snapshot
+    assert {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()} == want
+
+    # a crashed write plus the GC; committed data untouched
+    os.makedirs(os.path.join(store.root, "data", "snapshot=feedface"))
+    assert store.remove_orphans() == ["feedface"]
+    assert {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()} == want
+
+    # resume over the maintained store: nothing left to encode
+    assert store.remaining_tiles(a2).isEmpty()
