@@ -1139,3 +1139,34 @@ def test_curated_tiles_consistent_with_audit(spark):
     assert (tiles.n_kept <= tiles.n_total).all()
     assert tiles.n_kept.sum() < tiles.n_total.sum()  # corruption bites
     assert (tiles.bytes_kept[tiles.n_kept == 0] == 0).all()
+
+
+def test_payload_audit_runs_on_streams(spark, tmp_path):
+    """The quarantine gate is stateless Column math, so the SAME
+    operator runs unchanged on a Structured Stream — verdicts equal
+    the batch run row for row."""
+    import os
+    import pandas as pd
+
+    from zellige_spark import synth
+    from zellige_spark.operators.images import payload_audit
+
+    src = str(tmp_path / "pa_in")
+    os.makedirs(src)
+    batch = synth.images_df(spark, 60).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption")
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (payload_audit(stream).writeStream
+         .outputMode("append").format("memory").queryName("pa_stream")
+         .option("checkpointLocation", str(tmp_path / "pa_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.image_id: (r.magic_ok, r.len_ok, r.dims_ok, r.caption_ok,
+                        r.quarantine)
+           for r in spark.table("pa_stream").collect()}
+    want = {r.image_id: (r.magic_ok, r.len_ok, r.dims_ok, r.caption_ok,
+                         r.quarantine)
+            for r in payload_audit(batch).collect()}
+    assert got == want and len(want) == 60
