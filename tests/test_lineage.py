@@ -339,3 +339,158 @@ def test_store_maintenance_lifecycle_end_to_end(spark, tmp_path):
 
     # resume over the maintained store: nothing left to encode
     assert store.remaining_tiles(a2).isEmpty()
+
+
+def test_delete_tombstones_latest_view_and_time_travel(spark, tmp_path):
+    """commit_deletes (Iceberg v2 equality-delete shape): tombstoned
+    keys vanish from the latest view and from snapshot_diff's new side
+    (classified 'removed'), while time travel to the pre-delete
+    snapshot still shows their bytes; a younger append re-adds a key."""
+    store = TileStore(str(tmp_path / "store"))
+    tiles = E.assemble_point_tiles_streaming(_assigned(spark, 300))
+    s1 = store.commit_tiles(tiles, "batch1")
+    pre = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+           for r in store.latest_view(spark).collect()}
+    doomed = sorted(pre)[:5]
+
+    dkeys = spark.createDataFrame(
+        [{"zoom": z, "tile_x": x, "tile_y": y} for z, x, y in doomed])
+    dsid = store.commit_deletes(dkeys, "revoke 5 tiles")
+    assert store.manifest(dsid)["operation"] == "delete"
+    assert store.manifest(dsid)["metrics"]["keys_deleted"] == 5
+    assert store.manifest(s1)["operation"] == "append"
+
+    view = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()}
+    assert set(view) == set(pre) - set(doomed)
+    for k in view:
+        assert view[k] == pre[k]
+    # time travel BEFORE the delete: untouched
+    old = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+           for r in store._view_as_of(spark, s1).collect()}
+    assert old == pre
+    # diff across the delete: exactly the tombstoned keys are removed
+    d = store.snapshot_diff(spark, s1, dsid).toPandas()
+    removed = {(r.zoom, r.tile_x, r.tile_y)
+               for r in d.itertuples() if r.change == "removed"}
+    assert removed == set(doomed)
+    assert (d.change == "same").sum() == len(pre) - 5
+
+    # a younger append re-adds one deleted key (newest action wins)
+    z, x, y = doomed[0]
+    readd = store.read_tiles(spark, s1).filter(
+        (F.col("zoom") == z) & (F.col("tile_x") == x)
+        & (F.col("tile_y") == y)).drop("partition_id")
+    store.commit_tiles(readd, "re-add 1 tile")
+    view2 = {(r.zoom, r.tile_x, r.tile_y)
+             for r in store.latest_view(spark).collect()}
+    assert (z, x, y) in view2
+    assert len(view2) == len(pre) - 4
+
+
+def test_delete_does_not_resurrect_on_resume(spark, tmp_path):
+    """Resume contract with deletes: a deliberately tombstoned key
+    stays 'completed', so re-running the same plan encodes nothing."""
+    store = TileStore(str(tmp_path / "store"))
+    a = _assigned(spark, 300).cache()
+    encode_resumable(a, store, "batch1")
+    keys = store.latest_view(spark).select("zoom", "tile_x", "tile_y").limit(3)
+    store.commit_deletes(keys, "revoke 3")
+    assert store.remaining_tiles(a).count() == 0
+    sid = encode_resumable(a, store, "resume after delete")
+    assert store.read_tiles(spark, sid).count() == 0
+    # and the deleted keys are STILL gone (no resurrection)
+    assert store.latest_view(spark).count() == \
+        store.completed_tile_keys(spark).count() - 3
+
+
+def test_delete_compact_expire_is_the_hard_delete_path(spark, tmp_path):
+    """delete -> compact -> expire: the compacted snapshot materializes
+    the tombstones, and after expiry the revoked bytes are physically
+    absent from every parquet file left on disk (GDPR revocation)."""
+    import glob
+
+    store = TileStore(str(tmp_path / "store"))
+    store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 300)), "batch1")
+    pre = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+           for r in store.latest_view(spark).collect()}
+    doomed = sorted(pre)[:4]
+    dsid = store.commit_deletes(spark.createDataFrame(
+        [{"zoom": z, "tile_x": x, "tile_y": y} for z, x, y in doomed]),
+        "revoke 4")
+
+    csid = store.compact(spark)
+    assert store.manifest(csid)["operation"] == "replace"
+    got = {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+           for r in store.read_tiles(spark, csid).collect()}
+    assert set(got) == set(pre) - set(doomed)
+
+    expired = store.expire_snapshots(keep_last=1)
+    assert dsid in expired
+    assert not os.path.exists(store._deletes_path(dsid))
+    # nothing on disk carries a revoked key anymore
+    live = set()
+    for f in glob.glob(os.path.join(store.root, "data", "snapshot=*",
+                                    "part-*.parquet")):
+        for r in (spark.read.parquet(f)
+                  .select("zoom", "tile_x", "tile_y").collect()):
+            live.add((r.zoom, r.tile_x, r.tile_y))
+    assert live == set(pre) - set(doomed)
+    # view unchanged by the maintenance
+    assert {(r.zoom, r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in store.latest_view(spark).collect()} == got
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a staged snapshot is fully written and
+    auditable by sid but invisible to the table head, resume, and the
+    orphan GC; publish promotes it atomically and is idempotent."""
+    store = TileStore(str(tmp_path / "store"))
+    a1 = _assigned(spark, 200).cache()
+    s1 = encode_resumable(a1, store, "batch1")
+    head_view = store.latest_view(spark).count()
+
+    a2 = _assigned(spark, 500).cache()
+    t2 = E.assemble_point_tiles_streaming(store.remaining_tiles(a2))
+    staged = store.commit_tiles(t2, "batch2 (staged)", staged=True)
+    assert store.current_snapshot() == s1
+    assert store.latest_view(spark).count() == head_view
+    assert store.remaining_tiles(a2).count() > 0  # staged != completed
+    assert store.remove_orphans() == []           # manifest = liveness
+    # audit the staged snapshot directly
+    audit = store.read_tiles(spark, staged)
+    assert audit.count() > 0
+    assert store._view_as_of(spark, staged).count() > head_view
+
+    assert store.publish(staged) == staged
+    assert store.current_snapshot() == staged
+    m = store.manifest(staged)
+    assert m["staged"] is False and "published_ms" in m
+    assert store.remaining_tiles(a2).count() == 0
+    assert store.publish(staged) == staged  # idempotent
+
+
+def test_wap_stale_parent_refused_and_abandon(spark, tmp_path):
+    """A commit that lands after the stage makes the staged snapshot
+    stale: publish refuses instead of silently dropping the commit;
+    abandon removes the staged snapshot entirely and refuses on a
+    published one."""
+    import pytest
+
+    store = TileStore(str(tmp_path / "store"))
+    s1 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 100)), "a")
+    staged = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 200)),
+        "b (staged)", staged=True)
+    s2 = store.commit_tiles(
+        E.assemble_point_tiles_streaming(_assigned(spark, 300)), "c")
+    with pytest.raises(ValueError):
+        store.publish(staged)
+    store.abandon(staged)
+    assert staged not in store.snapshots()
+    assert not os.path.exists(store._data_path(staged))
+    assert store.current_snapshot() == s2
+    with pytest.raises(ValueError):
+        store.abandon(s2)

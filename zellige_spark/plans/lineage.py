@@ -9,8 +9,14 @@ the snapshot model on plain parquet + JSON:
     <root>/
       data/snapshot=<sid>/part-*.parquet     -- tile rows
       lineage/snapshot=<sid>/part-*.parquet  -- per-partition lineage
+      deletes/snapshot=<sid>/part-*.parquet  -- tombstoned tile keys
       manifests/<sid>.json                   -- snapshot manifest
       manifests/CURRENT                      -- pointer to latest sid
+
+Snapshot operations mirror Iceberg's: ``append`` (commit_tiles),
+``replace`` (compact), ``delete`` (commit_deletes — v2 equality-delete
+shape, applied on read until a compaction materializes them), plus the
+write-audit-publish staging flow (``staged=True`` -> publish/abandon).
 
 Swapping in real Iceberg is a config change (write.format("iceberg") +
 catalog conf) — the commit/resume logic below only relies on
@@ -63,17 +69,31 @@ class TileStore:
     def _lineage_path(self, sid: str) -> str:
         return os.path.join(self.root, "lineage", f"snapshot={sid}")
 
+    def _deletes_path(self, sid: str) -> str:
+        return os.path.join(self.root, "deletes", f"snapshot={sid}")
+
     # --- commit ----------------------------------------------------------------
 
     def commit_tiles(self, tiles: DataFrame, input_desc: str,
                      sid: Optional[str] = None, rows_in: Optional[int] = None,
-                     full: bool = False) -> str:
+                     full: bool = False, staged: bool = False,
+                     operation: str = "append") -> str:
         """Write tile rows + per-partition lineage, then the manifest
         (manifest-last = atomic commit point).  ``tiles`` must carry
         (zoom, tile_x, tile_y, mvt, feature_count, bytes_len).
         ``full=True`` marks a snapshot that carries EVERY live tile key
         (a compaction does) — the safe truncation point for
-        ``expire_snapshots``."""
+        ``expire_snapshots``.
+
+        ``staged=True`` is the write-audit-publish (WAP) pattern
+        (Iceberg's audit branch / ``spark.wap.id``): the snapshot is
+        fully written and manifest-committed but CURRENT does not
+        advance, so readers, ``latest_view`` and resume cannot see it.
+        Audit it by ``read_tiles(sid)`` / ``_view_as_of(sid)``, then
+        ``publish(sid)`` to make it the table head atomically, or
+        ``abandon(sid)`` to drop it.  ``remove_orphans`` never collects
+        a staged snapshot (its manifest exists — manifests are the
+        liveness authority)."""
         spark = tiles.sparkSession
         sid = sid or uuid.uuid4().hex[:16]
         data_path = self._data_path(sid)
@@ -99,7 +119,9 @@ class TileStore:
             "parent_id": self.current_snapshot(),
             "timestamp_ms": int(time.time() * 1000),
             "input": input_desc,
+            "operation": operation,
             "full": bool(full),
+            "staged": bool(staged),
             "metrics": {
                 "rows_in": rows_in,
                 "tiles_out": int(totals["tiles"]),
@@ -109,13 +131,111 @@ class TileStore:
             "data_path": data_path,
             "lineage_path": self._lineage_path(sid),
         }
-        mpath = os.path.join(self.root, "manifests", f"{sid}.json")
+        self._write_manifest(manifest)
+        if not staged:
+            self._advance_current(sid)
+        return sid
+
+    def _write_manifest(self, manifest: dict) -> None:
+        mpath = os.path.join(self.root, "manifests",
+                             f"{manifest['snapshot_id']}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
         os.rename(mpath + ".tmp", mpath)
-        with open(os.path.join(self.root, "manifests", "CURRENT"), "w") as f:
+
+    def _advance_current(self, sid: str) -> None:
+        cur = os.path.join(self.root, "manifests", "CURRENT")
+        with open(cur + ".tmp", "w") as f:
             f.write(sid)
+        os.rename(cur + ".tmp", cur)
+
+    # --- write-audit-publish -----------------------------------------------------
+
+    def publish(self, sid: str) -> str:
+        """Promote a staged (WAP) snapshot to the table head.  Refuses
+        (ValueError) when another commit advanced CURRENT after the
+        stage was written — the staged snapshot's parent pointer would
+        silently drop that commit from the chain (real Iceberg rebases
+        with a retry loop; here the caller re-stages).  Idempotent: a
+        crash between the manifest rewrite and the CURRENT advance is
+        healed by calling publish again."""
+        m = self.manifest(sid)
+        head = self.current_snapshot()
+        if head not in (m.get("parent_id"), sid):
+            raise ValueError(
+                f"stale staged snapshot {sid}: parent {m.get('parent_id')} "
+                f"is no longer the table head ({head}); abandon and re-stage")
+        if m.get("staged"):
+            m["staged"] = False
+            m["published_ms"] = int(time.time() * 1000)
+            self._write_manifest(m)
+        if head != sid:
+            self._advance_current(sid)
         return sid
+
+    def abandon(self, sid: str) -> None:
+        """Drop a staged snapshot that failed its audit: delete the
+        manifest FIRST (the liveness authority — the data dirs become
+        orphans even if deletion dies mid-way), then its directories.
+        Refuses to touch a published snapshot."""
+        import shutil
+
+        if not self.manifest(sid).get("staged"):
+            raise ValueError(f"snapshot {sid} is published, not staged")
+        os.remove(os.path.join(self.root, "manifests", f"{sid}.json"))
+        for p in (self._data_path(sid), self._lineage_path(sid),
+                  self._deletes_path(sid)):
+            shutil.rmtree(p, ignore_errors=True)
+
+    # --- row-level deletes ---------------------------------------------------------
+
+    def commit_deletes(self, keys: DataFrame, input_desc: str,
+                       sid: Optional[str] = None) -> str:
+        """Commit a DELETE snapshot — the Iceberg v2 equality-delete
+        shape at tile granularity: ``keys`` (zoom, tile_x, tile_y) are
+        tombstoned, so every read THROUGH the chain (``latest_view``,
+        ``_view_as_of``, ``snapshot_diff``) drops them, while time
+        travel to any pre-delete snapshot still shows the bytes.  The
+        tombstones are logical until ``compact()`` materializes the
+        delete-applied state and ``expire_snapshots()`` drops the
+        ancestor data files — the delete -> compact -> expire sequence
+        is the hard-delete (imagery-revocation / GDPR) path, after
+        which the bytes are physically gone from disk.
+
+        Resume semantics (no resurrection): deleted keys stay
+        "completed" in ``completed_tile_keys`` — a deliberate delete
+        must not be undone by the next resume run re-encoding the key."""
+        spark = keys.sparkSession
+        sid = sid or uuid.uuid4().hex[:16]
+        dpath = self._deletes_path(sid)
+        (keys.select("zoom", "tile_x", "tile_y").distinct()
+             .write.mode("errorifexists").parquet(dpath))
+        n = spark.read.parquet(dpath).count()
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": self.current_snapshot(),
+            "timestamp_ms": int(time.time() * 1000),
+            "input": input_desc,
+            "operation": "delete",
+            "full": False,
+            "staged": False,
+            "metrics": {"keys_deleted": int(n)},
+            "deletes_path": dpath,
+        }
+        self._write_manifest(manifest)
+        self._advance_current(sid)
+        return sid
+
+    def delete_where(self, spark: SparkSession, predicate) -> str:
+        """Tombstone every tile key of the CURRENT view matching a
+        Column predicate (e.g. a zoom band, a tile_x/tile_y box over a
+        revoked region) — ``DELETE FROM tiles WHERE ...``."""
+        keys = (self.latest_view(spark).filter(predicate)
+                .select("zoom", "tile_x", "tile_y"))
+        return self.commit_deletes(keys, input_desc=f"delete where {predicate}")
+
+    def read_deletes(self, spark: SparkSession, sid: str) -> DataFrame:
+        return spark.read.parquet(self._deletes_path(sid))
 
     # --- read ------------------------------------------------------------------
 
@@ -151,7 +271,11 @@ class TileStore:
         BLOCK within its zoom rather than a row-major x-strip, and any
         tile-range predicate keeps pruning files after compaction), and
         commit the result as a NEW snapshot whose parent is the current
-        head.  Per-key tile bytes are preserved exactly; history stays
+        head.  Per-key tile bytes are preserved exactly and pending
+        tombstones are MATERIALIZED (a deleted key is absent from the
+        compacted files — expire behind this snapshot is the
+        hard-delete point, after which the bytes are physically gone
+        from disk); history stays
         readable for time travel; resume keeps working unchanged (the
         compacted snapshot carries every key, and the chain walk in
         ``completed_tile_keys`` dedups).  Real Iceberg swaps this for
@@ -176,7 +300,7 @@ class TileStore:
                   .drop("_zk"))
         return self.commit_tiles(
             packed, input_desc=f"{input_desc} of {len(sids)} snapshots",
-            full=True)
+            full=True, operation="replace")
 
     def snapshot_diff(self, spark: SparkSession, sid_old: str,
                       sid_new: str) -> DataFrame:
@@ -211,7 +335,10 @@ class TileStore:
 
     def _view_as_of(self, spark: SparkSession, sid: str) -> DataFrame:
         """Chain-resolved latest version of every tile key AS OF
-        ``sid`` (walking parents from there)."""
+        ``sid`` (walking parents from there).  The newest ACTION per
+        key wins — an append contributes its bytes, a delete snapshot
+        contributes a tombstone that drops the key (until a younger
+        append re-adds it)."""
         from pyspark.sql import Window
 
         sids = []
@@ -219,21 +346,29 @@ class TileStore:
         while cur is not None:
             sids.append(cur)
             cur = self.manifest(cur).get("parent_id")
-        parts = [self.read_tiles(spark, s)
-                     .drop("partition_id")
-                     .withColumn("_age", F.lit(i))
-                 for i, s in enumerate(sids)]
+        parts = []
+        for i, s in enumerate(sids):
+            if self.manifest(s).get("operation") == "delete":
+                parts.append(self.read_deletes(spark, s)
+                             .withColumn("_age", F.lit(i))
+                             .withColumn("_del", F.lit(True)))
+            else:
+                parts.append(self.read_tiles(spark, s)
+                             .drop("partition_id")
+                             .withColumn("_age", F.lit(i))
+                             .withColumn("_del", F.lit(False)))
         allt = parts[0]
         for p in parts[1:]:
             # Iceberg add/drop-column schema evolution on read: a
             # column absent from an older (or newer) snapshot reads as
             # NULL instead of failing the union — so a chain may mix
             # schema versions and the view keeps every column any
-            # snapshot ever carried
+            # snapshot ever carried (tombstone rows carry only the key)
             allt = allt.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy("zoom", "tile_x", "tile_y").orderBy("_age")
         return (allt.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn", "_age"))
+                    .filter((F.col("_rn") == 1) & (~F.col("_del")))
+                    .drop("_rn", "_age", "_del"))
 
     # --- retention ----------------------------------------------------------------
 
@@ -290,6 +425,7 @@ class TileStore:
                 pass
             shutil.rmtree(self._data_path(s), ignore_errors=True)
             shutil.rmtree(self._lineage_path(s), ignore_errors=True)
+            shutil.rmtree(self._deletes_path(s), ignore_errors=True)
         return doomed
 
     def remove_orphans(self, older_than_s: float = 0.0) -> list:
@@ -313,7 +449,7 @@ class TileStore:
         have = {s for s in self.snapshots()}
         cutoff = time.time() - older_than_s
         removed = []
-        for kind in ("data", "lineage"):
+        for kind in ("data", "lineage", "deletes"):
             base = os.path.join(self.root, kind)
             if not os.path.isdir(base):
                 continue
@@ -343,11 +479,15 @@ class TileStore:
             return None
         seen = None
         while sid is not None:
-            df = (spark.read.parquet(self._data_path(sid))
-                  .select("zoom", "tile_x", "tile_y"))
-            seen = df if seen is None else seen.unionAll(df)
-            sid = self.manifest(sid).get("parent_id")
-        return seen.distinct()
+            m = self.manifest(sid)
+            if m.get("operation") != "delete":
+                df = (spark.read.parquet(self._data_path(sid))
+                      .select("zoom", "tile_x", "tile_y"))
+                seen = df if seen is None else seen.unionAll(df)
+            sid = m.get("parent_id")
+        # delete snapshots do NOT un-complete a key: a tombstoned key
+        # was deliberately removed and resume must not resurrect it
+        return seen.distinct() if seen is not None else None
 
     def remaining_tiles(self, planned: DataFrame) -> DataFrame:
         """Anti-join the planned tile-keyed work against completed keys —
