@@ -214,3 +214,54 @@ def test_sequence_pack_matches_duckdb_and_respects_cap(spark):
     # doc order within a (bucket, seq) is contiguous in doc_id order
     for (_b, _s), grp in sp.groupby(["bucket", "seq_idx"]):
         assert grp.doc_id.is_monotonic_increasing
+
+
+def test_pii_scrub_handcrafted(spark):
+    """Every PII class is replaced by its typed token, counts bill each
+    hit to exactly one class (emails scrubbed BEFORE phones so a digit
+    run inside an email local part is never double-billed), and clean
+    text passes through untouched."""
+    from zellige_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "mail me at jane.doe+spam@sub.example.org today"),
+        (1, "server 192.168.10.254 and backup 10.0.0.7 are up"),
+        (2, "call +44 20 7946 0958 or +1 555 867 5309"),
+        (3, "plain caption, nothing sensitive in 2024"),
+        (4, "x +15558675309@relay.example.com y"),  # email wins, no phone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert out[0]["scrubbed"] == "mail me at <EMAIL> today"
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 0, 0)
+    assert out[1]["scrubbed"] == "server <IP> and backup <IP> are up"
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["scrubbed"] == rows[3][1]
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["scrubbed"] == "x <EMAIL> y"
+    assert (out[4]["n_email"], out[4]["n_phone"]) == (1, 0)
+
+
+def test_pii_scrub_query_matches_duckdb(spark):
+    """Value-exact parity of the full planted-PII driver query vs the
+    DuckDB oracle at sf0.001 (the driver gate re-checks at sf0.01)."""
+    import duckdb
+    from zellige_spark.operators.text import q_pii_scrub, sql_pii_scrub
+
+    sdf = (q_pii_scrub(spark, SF).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    odf = (con.execute(sql_pii_scrub()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(sorted(sdf.columns)) == list(sorted(odf.columns))
+    for c in sdf.columns:
+        assert (sdf[c] == odf[c]).all(), c
+    # every planted class fires on its quarter of the corpus
+    assert (sdf["n_email"] >= (sdf["doc_id"] % 4 == 0)).all()
+    assert sdf["n_phone"].sum() >= (sdf["doc_id"] % 4 == 1).sum()
+    assert sdf["n_ipv4"].sum() >= (sdf["doc_id"] % 4 == 2).sum()

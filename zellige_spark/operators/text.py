@@ -1114,3 +1114,100 @@ def sql_doc_skyline() -> str:
     )
     ORDER BY d.doc_id
     """
+
+
+# --- PII redaction --------------------------------------------------------------
+
+# Web-scale caption/document corpora are scrubbed of contact details
+# before training.  Patterns are spelled WITHOUT backslashes
+# ('[0-9]', '[.]', '[+]' instead of \d, \., \+) so the IDENTICAL
+# literal parses to the identical regex on both engines: Spark SQL
+# escape-processes backslashes inside string literals while DuckDB
+# takes them raw, so any '\\d'-style spelling means different regexes
+# on the two sides.  Within this subset (no lookaround, no backrefs,
+# greedy bounded quantifiers) Java regex and RE2 produce the same
+# leftmost-greedy match set.
+#
+# Order matters and is part of the contract: emails first (their local
+# parts can contain digit runs a later pattern would nibble), then
+# dotted quads, then international-format phones (a leading '[+]'
+# keeps arbitrary in-corpus digit runs — years, ids — out of scope).
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[+][0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_stages(text_expr: str, engine: str):
+    """[(name, count_expr, scrubbed_expr_so_far)] — each class is
+    counted on the text with every EARLIER class already scrubbed, so
+    the count equals the number of replacements that stage performs
+    (an email's digits can't also be billed as a phone)."""
+    stages = []
+    e = text_expr
+    for name, pat, repl in PII_PATTERNS:
+        if engine == "duckdb":
+            cnt = f"CAST(length(regexp_extract_all({e}, '{pat}')) AS INT)"
+            e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+        else:
+            cnt = f"CAST(regexp_count({e}, '{pat}') AS INT)"
+            e = f"regexp_replace({e}, '{pat}', '{repl}')"
+        stages.append((name, cnt, e))
+    return stages
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-class PII hit counts and a fully scrubbed text column —
+    map-only JVM Column math (regexp in codegen), no shuffle: the
+    100-TB shape is a pure projection ahead of any tokenize/pack."""
+    stages = pii_stages(text_col, "spark")
+    out = df
+    for name, cnt, _ in stages:
+        out = out.withColumn(f"n_{name}", F.expr(cnt))
+    return out.withColumn("scrubbed", F.expr(stages[-1][2]))
+
+
+# deterministic planted PII for the driver query: every 4th doc gets an
+# email / phone / dotted-quad / nothing appended, derived from doc_id
+# with integer-exact arithmetic (identical expression on both engines)
+_PII_PLANT = (
+    "(text || CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN ' Contact user' || CAST(doc_id AS STRING) ||"
+    " '@mail.example.com for originals.' "
+    "WHEN 1 THEN ' Call +1 555 01' || CAST(doc_id % 89 + 10 AS STRING) ||"
+    " ' 23 45 now.' "
+    "WHEN 2 THEN ' Uploaded from 10.' || CAST(doc_id % 256 AS STRING) ||"
+    " '.3.' || CAST(doc_id % 250 AS STRING) || ' last night.' "
+    "ELSE ' No contact details.' END)"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus (emails, dotted quads,
+    international phone numbers -> typed placeholder tokens), with
+    deterministic planted PII so every class is exercised; outputs the
+    per-class hit counts and the md5 + length of the scrubbed text."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stages = pii_stages(_PII_PLANT, "spark")
+    scrubbed = stages[-1][2]
+    return df.select(
+        "doc_id",
+        *[F.expr(cnt).alias(f"n_{name}") for name, cnt, _ in stages],
+        F.length(F.expr(scrubbed)).alias("scrub_len"),
+        F.md5(F.expr(scrubbed)).alias("scrub_md5"),
+    )
+
+
+def sql_pii_scrub() -> str:
+    stages = pii_stages(_PII_PLANT, "duckdb")
+    scrubbed = stages[-1][2]
+    cnts = ",\n           ".join(f"{cnt} AS n_{name}"
+                                 for name, cnt, _ in stages)
+    return f"""
+    SELECT doc_id,
+           {cnts},
+           CAST(length({scrubbed}) AS INT) AS scrub_len,
+           md5({scrubbed}) AS scrub_md5
+    FROM documents
+    """

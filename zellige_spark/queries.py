@@ -6547,6 +6547,8 @@ QUERIES = {
     "text_quality": TXT.q_quality,
     "lang_id": TXT.q_lang_id,
     "fingerprint": TXT.q_fingerprint,
+    # PII redaction (emails / dotted quads / intl phones -> tokens)
+    "pii_scrub": TXT.q_pii_scrub,
     # quality gate + lang-ID + deterministic per-language downsampling
     "training_mix": TXT.q_training_mix,
     # greedy fixed-capacity sequence packing, sharded by bucket
@@ -6782,6 +6784,7 @@ ORACLES = {
     "text_quality": TXT.sql_quality(),
     "lang_id": TXT.sql_lang_id(),
     "fingerprint": TXT.sql_fingerprint(),
+    "pii_scrub": TXT.sql_pii_scrub(),
     "training_mix": TXT.sql_training_mix(),
     "sequence_pack": TXT.sql_sequence_pack(),
     "doc_repetition": TXT.sql_doc_repetition(),
