@@ -2723,6 +2723,65 @@ def sql_curated_tiles() -> str:
     """
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the audited streaming publish (streaming/wap.py):
+    the synthetic corrupt corpus splits into 4 deterministic micro-
+    batches (image_id % 4), the payload audit quarantines corrupt rows,
+    survivors assign to z9 tiles, and the FINAL published view reports
+    per tile the clean feature count plus its snapshot lifecycle —
+    n_batches (how many staged->published snapshots re-encoded it) and
+    the first/last batch that touched it.  The streaming run over the
+    same corpus is pytest-pinned equal (test_stream_wap.py), so the
+    oracle transitively checks the stream's publish decisions."""
+    from .operators.images import with_payload_audit
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df.createOrReplaceTempView("customer")
+    imgs = spark.sql(_payload_corpus_spark(coords=True))
+    clean = (with_payload_audit(imgs)
+             .filter(F.col("quarantine") == 0)
+             .withColumn("batch_id", F.col("image_id") % F.lit(4)))
+    a = T.assign_tiles(clean, [9])
+    return (a.groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.countDistinct("batch_id").alias("n_batches"),
+                 F.min("batch_id").alias("first_batch"),
+                 F.max("batch_id").alias("last_batch"))
+            .select(F.col("tile_x").cast("long").alias("tile_x"),
+                    F.col("tile_y").cast("long").alias("tile_y"),
+                    F.col("n_features").cast("long").alias("n_features"),
+                    F.col("n_batches").cast("long").alias("n_batches"),
+                    F.col("first_batch").cast("long").alias("first_batch"),
+                    F.col("last_batch").cast("long").alias("last_batch"))
+            .orderBy("tile_x", "tile_y"))
+
+
+def sql_wap_publish() -> str:
+    tx, ty = _sql_tile("9")
+    return f"""
+    WITH {_payload_corpus_duck(coords=True)},
+    audited AS ({_PAYLOAD_AUDIT_DUCK}),
+    clean AS (
+      SELECT i.image_id, i.lon, i.lat, i.image_id % 4 AS batch_id
+      FROM imgs i JOIN audited a ON a.image_id = i.image_id
+      WHERE a.magic_ok AND a.len_ok AND a.dims_ok AND a.caption_ok
+    ), proj AS (
+      SELECT image_id, batch_id, {_SQL_X} AS x3857, {_SQL_Y} AS y3857
+      FROM clean
+    ), t AS (
+      SELECT image_id, batch_id, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+           CAST(MIN(batch_id) AS BIGINT) AS first_batch,
+           CAST(MAX(batch_id) AS BIGINT) AS last_batch
+    FROM t GROUP BY tile_x, tile_y
+    ORDER BY tile_x, tile_y
+    """
+
+
 def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate cross-K between customer points (A) and supplier
     points (B) on the integer-millidegree plane: per ladder rung the
@@ -6536,6 +6595,9 @@ QUERIES = {
     "payload_audit": q_payload_audit,
     # curation capstone: quarantine prune -> z9 tiles, one Exchange
     "curated_tiles": q_curated_tiles,
+    # batch twin of the audited streaming publish (streaming/wap.py):
+    # quarantine -> staged snapshot -> decoder audit -> publish
+    "wap_publish": q_wap_publish,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -6777,6 +6839,7 @@ ORACLES = {
     "aspect_buckets": sql_aspect_buckets(),
     "payload_audit": sql_payload_audit(),
     "curated_tiles": sql_curated_tiles(),
+    "wap_publish": sql_wap_publish(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
