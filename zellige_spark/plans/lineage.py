@@ -345,6 +345,12 @@ class TileStore:
         cur = sid
         while cur is not None:
             sids.append(cur)
+            if self.manifest(cur).get("full"):
+                # a full snapshot carries EVERY live tile key (compaction,
+                # dirty refresh), so older history is redundant for
+                # resolution — and keys it omits are deleted, not
+                # resurrected from older appends
+                break
             cur = self.manifest(cur).get("parent_id")
         parts = []
         for i, s in enumerate(sids):
@@ -513,3 +519,58 @@ def encode_resumable(assigned: DataFrame, store: TileStore, input_desc: str,
         remaining, layer_name=layer_name, extent=extent,
         quantize=quantize, buffer=buffer)
     return store.commit_tiles(tiles, input_desc)
+
+
+def refresh_dirty_tiles(store: TileStore, new_points: DataFrame,
+                        delta_points: DataFrame, zooms,
+                        layer_name: str = "images", extent: int = 4096,
+                        quantize: int = 1, buffer: int = 128,
+                        input_desc: str = "dirty refresh") -> str:
+    """Incremental pyramid maintenance: given the NEW full point set and
+    the DELTA rows (inserted rows, deleted rows at their old positions,
+    and both positions of moved rows), re-encode ONLY the tiles the
+    delta touches and splice them into the previous snapshot — byte-
+    identical to a full rebuild (test-pinned), at the cost of the dirty
+    tiles only.
+
+    The dirty set is the delta's BUFFERED assignment (a point near a
+    tile edge dirties the neighbor whose 128/4096 edge band contains
+    it) across every requested zoom — exactly the tiles whose MVT bytes
+    can change.  Untouched tiles are carried forward from
+    ``latest_view`` without re-reading any input rows; dirty tiles that
+    end up empty simply vanish (they are excluded from the carry and
+    produce no new rows).  Committed ``full=True`` (the snapshot holds
+    every live tile), so it is also a safe ``expire_snapshots``
+    truncation point.
+
+    Scale shape: at 10^12 rows a daily delta touches a tiny fraction of
+    tiles; the cost is one buffered assignment of the delta (map-only),
+    one semi join of the new assignment against the dirty keys, the
+    re-encode of those tiles, and one anti join over the COMMITTED tile
+    table (~10^8 rows of keys+bytes, not 10^12 input rows).  The
+    zellige reference re-encodes the world every run (single-shot
+    app/Main.hs); this is the engine-side answer to incremental
+    publish, composing with ``snapshot_diff`` for the push set."""
+    from ..operators import encode as E
+    from ..operators import tiles as T
+
+    spark = new_points.sparkSession
+    keys = ["zoom", "tile_x", "tile_y"]
+    dirty = (T.assign_tiles_buffered(delta_points, zooms=list(zooms),
+                                     extent=extent, buffer=buffer)
+             .select(*keys).distinct())
+    assigned = T.assign_tiles_buffered(new_points, zooms=list(zooms),
+                                       extent=extent, buffer=buffer)
+    touched = assigned.join(dirty, keys, "left_semi")
+    fresh = E.assemble_point_tiles_streaming(
+        touched, layer_name=layer_name, extent=extent,
+        quantize=quantize, buffer=buffer)
+    kept = (store.latest_view(spark)
+            .select("zoom", "tile_x", "tile_y", "mvt", "feature_count",
+                    "bytes_len")
+            .join(dirty, keys, "left_anti"))
+    merged = kept.unionByName(fresh.select("zoom", "tile_x", "tile_y",
+                                           "mvt", "feature_count",
+                                           "bytes_len"))
+    return store.commit_tiles(merged, input_desc, full=True,
+                              operation="dirty-refresh")

@@ -2782,6 +2782,76 @@ def sql_wap_publish() -> str:
     """
 
 
+def q_dirty_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-tile closure for incremental pyramid maintenance
+    (plans/lineage.refresh_dirty_tiles): a deterministic delta subset
+    (c_custkey % 17 == 0 — the rows an update batch touched) is pushed
+    through the BUFFERED assignment at every pyramid zoom, and each
+    zoom reports how many occupied tiles the delta dirties — the
+    re-encode amplification an incremental refresh pays (at z0
+    everything is one tile => 1000 permille; at z14 the delta touches
+    a tiny slice).  Single scan: one buffered fan-out carries the
+    is_delta flag, per-tile max(flag) marks dirty, one rollup per zoom.
+    Byte-level refresh equality is pinned in test_lineage.py."""
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "is_delta", (F.col("c_custkey") % 17 == 0).cast("int"))
+    a = T.assign_tiles_buffered(pts, zooms=list(ZOOMS),
+                                extent=ENC_EXTENT, buffer=ENC_BUFFER)
+    per_tile = (a.groupBy("zoom", "tile_x", "tile_y")
+                .agg(F.max("is_delta").alias("dirty")))
+    return (per_tile.groupBy("zoom")
+            .agg(F.count(F.lit(1)).alias("n_occupied"),
+                 F.sum("dirty").alias("n_dirty"))
+            .select(F.col("zoom").cast("long").alias("zoom"),
+                    F.col("n_occupied").cast("long").alias("n_occupied"),
+                    F.col("n_dirty").cast("long").alias("n_dirty"),
+                    F.expr("CAST(n_dirty * 1000 AS BIGINT) DIV n_occupied")
+                    .alias("dirty_permille"))
+            .orderBy("zoom"))
+
+
+def sql_dirty_pyramid() -> str:
+    pad = float(ENC_BUFFER) / float(ENC_EXTENT)
+    blocks = []
+    for z in ZOOMS:
+        n = 2 ** z
+        res = 2.0 * MAX_EXTENTS / n
+        blocks.append(f"""
+      SELECT {z} AS zoom, bx + s.dx AS tile_x, by + s.dy AS tile_y, is_delta
+      FROM (
+        SELECT is_delta,
+               (x3857 + {MAX_EXTENTS}) / {res} AS fx,
+               ({MAX_EXTENTS} - y3857) / {res} AS fy,
+               least(cast(floor((x3857 + {MAX_EXTENTS}) / {res}) as bigint), {n - 1}) AS bx,
+               least(cast(floor(({MAX_EXTENTS} - y3857) / {res}) as bigint), {n - 1}) AS by
+        FROM proj
+      ) f CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS s(dx, dy)
+      WHERE bx + s.dx >= 0 AND by + s.dy >= 0
+        AND bx + s.dx < {n} AND by + s.dy < {n}
+        AND fx >= (bx + s.dx) - {pad} AND fx <= (bx + s.dx) + 1 + {pad}
+        AND fy >= (by + s.dy) - {pad} AND fy <= (by + s.dy) + 1 + {pad}""")
+    fanned = "\n      UNION ALL\n".join(blocks)
+    return f"""
+    WITH pts AS (
+      SELECT CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE 0 END AS is_delta,
+             {CUST_LON} AS lon, {CUST_LAT} AS lat
+      FROM customer
+    ), proj AS (
+      SELECT is_delta, {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), fanned AS ({fanned}
+    ), per_tile AS (
+      SELECT zoom, tile_x, tile_y, MAX(is_delta) AS dirty
+      FROM fanned GROUP BY zoom, tile_x, tile_y
+    )
+    SELECT CAST(zoom AS BIGINT) AS zoom,
+           CAST(COUNT(*) AS BIGINT) AS n_occupied,
+           CAST(SUM(dirty) AS BIGINT) AS n_dirty,
+           CAST(SUM(dirty) * 1000 // COUNT(*) AS BIGINT) AS dirty_permille
+    FROM per_tile GROUP BY zoom
+    ORDER BY zoom
+    """
+
+
 def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate cross-K between customer points (A) and supplier
     points (B) on the integer-millidegree plane: per ladder rung the
@@ -6598,6 +6668,9 @@ QUERIES = {
     # batch twin of the audited streaming publish (streaming/wap.py):
     # quarantine -> staged snapshot -> decoder audit -> publish
     "wap_publish": q_wap_publish,
+    # dirty-tile closure across the pyramid (incremental maintenance
+    # amplification; refresh_dirty_tiles is byte-equality pinned)
+    "dirty_pyramid": q_dirty_pyramid,
     # phash threshold-calibration sweep (exact blast radius per rung)
     "phash_threshold_sweep": q_phash_threshold_sweep,
     # streaming cross-batch image near-dup (batch twin, full oracle)
@@ -6840,6 +6913,7 @@ ORACLES = {
     "payload_audit": sql_payload_audit(),
     "curated_tiles": sql_curated_tiles(),
     "wap_publish": sql_wap_publish(),
+    "dirty_pyramid": sql_dirty_pyramid(),
     "phash_threshold_sweep": sql_phash_threshold_sweep(),
     "imagedup_verdicts": sql_imagedup_verdicts(),
     "convex_hull": sql_convex_hull(),
