@@ -319,3 +319,127 @@ def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("query_id").cast("long").alias("query_id"),
                       F.col("neighbor_id").cast("long").alias("neighbor_id"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+# --- polyfill: polygon -> hex cells (H3's polyfill, center containment) -------
+
+def _merc_xy(lon: float, lat: float) -> tuple:
+    """Project one polygon vertex to 3857 in PYTHON — the result is a
+    shared float literal, so neither engine runs any trig."""
+    x = T.WGS84_MAJOR_RADIUS * math.radians(lon)
+    y = T.WGS84_MAJOR_RADIUS * math.log(
+        math.tan(0.25 * math.pi + 0.5 * math.radians(lat)))
+    return x, y
+
+
+def hex_polyfill_sql(level: int, verts, engine: str) -> str:
+    """One SELECT producing (hq, hr, hex_key) for every hex cell whose
+    CENTER lies inside the polygon — H3's published polyfill semantics
+    (center containment, even-odd), evaluated on the 3857 plane this
+    grid is defined on.  ``verts`` is a closed lon/lat ring; vertices
+    are projected in Python so BOTH engines see identical float
+    literals, and every arithmetic fragment (candidate ranges from the
+    bbox, cell centers, ray-cast terms) is the same expression text.
+    ``engine`` picks only the integer-range generator syntax: Spark
+    ``explode(sequence(..))`` vs DuckDB ``unnest(range(..))``.
+
+    Scale shape: the fill never scans data — candidates come from the
+    polygon bbox (O(area / cell_area) rows from a literal generator),
+    the ray cast is O(edges) Column math per candidate, and the result
+    is a broadcastable dim for cell-key equi-joins (the hex analogue
+    of tiles.polygon_cover / the S2 covering)."""
+    if verts[0] != verts[-1]:
+        raise ValueError("polygon ring must be closed")
+    pts = [_merc_xy(x, y) for x, y in verts]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    R = hex_size(level)
+    S = R * 1.7320508075688772   # sqrt(3)*R: axial column pitch
+    H = R * 1.5                  # axial row pitch
+    r0 = math.floor(min(ys) / H) - 1
+    r1 = math.ceil(max(ys) / H) + 1
+    qlo = f"(CAST(floor({min(xs)!r} / {S!r} - hr / 2.0) AS BIGINT) - 1)"
+    qhi = f"(CAST(ceil({max(xs)!r} / {S!r} - hr / 2.0) AS BIGINT) + 1)"
+    cx = f"({S!r} * (hq + hr / 2.0))"
+    cy = f"({H!r} * hr)"
+    terms = []
+    for (x1, y1), (x2, y2) in zip(pts[:-1], pts[1:]):
+        if y1 == y2:
+            continue
+        t = f"(({cy} - {y1!r}) / ({y2!r} - {y1!r}))"
+        xint = f"({x1!r} + {t} * ({x2!r} - {x1!r}))"
+        cond = (f"({cy} >= least({y1!r},{y2!r}) AND "
+                f"{cy} < greatest({y1!r},{y2!r}) AND {xint} > {cx})")
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    crossings = " + ".join(terms)
+    if engine == "spark":
+        gen = (f"SELECT hr, explode(sequence({qlo}, {qhi})) AS hq "
+               f"FROM (SELECT explode(sequence({r0}, {r1})) AS hr)")
+    elif engine == "duckdb":
+        gen = (f"SELECT hr, unnest(range({qlo}, {qhi} + 1)) AS hq "
+               f"FROM generate_series({r0}, {r1}) AS g(hr)")
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return (f"SELECT hq, hr, {hex_key_sql('hq', 'hr')} AS hex_key "
+            f"FROM ({gen}) WHERE ({crossings}) % 2 = 1")
+
+
+def hex_polyfill(spark: SparkSession, zones: dict, level: int) -> DataFrame:
+    """Polyfill a dict of {zone_name: closed lon/lat ring} into one
+    (zone, hq, hr, hex_key) DataFrame — a broadcastable covering dim."""
+    parts = [f"SELECT '{z}' AS zone, * FROM ({hex_polyfill_sql(level, v, 'spark')})"
+             for z, v in sorted(zones.items())]
+    return spark.sql("\nUNION ALL\n".join(parts))
+
+
+POLYFILL_LEVEL = 6
+
+
+def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex polyfill + zonal join: the five translated coverage polygons
+    fill to level-6 hex cells (center containment), then every covered
+    cell reports its customer-point count (0 for covered-but-empty
+    cells) — the hex analogue of polygon_cover composed with
+    zonal_stats.  The covering is a literal-generated dim (no data
+    scan); the point side aggregates per cell BEFORE the broadcast
+    join, so the shuffle carries cell aggregates, never raw rows."""
+    from ..queries import _customer_points, _zonal_polys
+
+    cells = hex_polyfill(spark, _zonal_polys(), POLYFILL_LEVEL)
+    pts = with_hex_cell(_customer_points(spark, sf_dir), POLYFILL_LEVEL)
+    cnt = pts.groupBy("hex_key").agg(F.count(F.lit(1)).alias("n_points"))
+    return (cells.join(cnt, "hex_key", "left")
+            .select("zone",
+                    F.col("hq").cast("long").alias("hq"),
+                    F.col("hr").cast("long").alias("hr"),
+                    F.coalesce(F.col("n_points"), F.lit(0)).cast("long")
+                    .alias("n_points"))
+            .orderBy("zone", "hq", "hr"))
+
+
+def sql_hex_polyfill() -> str:
+    from ..queries import CUST_LAT, CUST_LON, MAX_EXTENTS, _zonal_polys
+
+    fills = "\nUNION ALL\n".join(
+        f"SELECT '{z}' AS zone, * FROM ({hex_polyfill_sql(POLYFILL_LEVEL, v, 'duckdb')})"
+        for z, v in sorted(_zonal_polys().items()))
+    x = f"least({T.WGS84_MAJOR_RADIUS} * radians(lon), {MAX_EXTENTS})"
+    y = f"greatest({T.WGS84_MAJOR_RADIUS} * ln(tan(0.25 * pi() + 0.5 * radians(lat))), -{MAX_EXTENTS})"
+    hq, hr = hex_qr_sql(POLYFILL_LEVEL)
+    return f"""
+    WITH cells AS (
+      {fills}
+    ), pts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT {x} AS x3857, {y} AS y3857 FROM pts
+    ), cnt AS (
+      SELECT {hex_key_sql(hq, hr)} AS hex_key, COUNT(*) AS n_points
+      FROM proj GROUP BY 1
+    )
+    SELECT cells.zone, CAST(cells.hq AS BIGINT) AS hq,
+           CAST(cells.hr AS BIGINT) AS hr,
+           CAST(COALESCE(cnt.n_points, 0) AS BIGINT) AS n_points
+    FROM cells LEFT JOIN cnt USING (hex_key)
+    ORDER BY zone, hq, hr
+    """

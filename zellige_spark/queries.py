@@ -6599,6 +6599,9 @@ QUERIES = {
     # honest non-bit-compatible stand-in — see operators/hexgrid.py)
     "hex_cell_assign": HEX.q_hex_cell_assign,
     "knn_hex": HEX.q_knn_hex,
+    # H3-style polyfill (center containment on the 3857 plane) composed
+    # with zonal point counts — third-backend parity for polygon_cover
+    "hex_polyfill": HEX.q_hex_polyfill,
     "mvt_tile_stats": q_mvt_tile_stats,
     "mvt_encode": q_mvt_encode,
     # z5 tiles derived from z4 tile BYTES (map-only overzoom), decoded
@@ -6879,6 +6882,7 @@ ORACLES = {
     # the S2 index must not change the kNN answer: same brute oracle
     "knn_s2": sql_knn(),
     "hex_cell_assign": HEX.sql_hex_cell_assign(),
+    "hex_polyfill": HEX.sql_hex_polyfill(),
     # nor the hex index: same brute oracle again
     "knn_hex": sql_knn(),
     "mvt_tile_stats": sql_mvt_tile_stats(),
