@@ -197,3 +197,44 @@ def test_knn_s2_driver_query_matches_brute_oracle(spark):
                     F.col("rank").cast("int"))
             .orderBy("query_id", "rank").toPandas())
     assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+def test_s2_polygon_cover_matches_kernel_and_uncompacts(spark):
+    """The lattice-sampled S2 covering equals the numpy kernel run over
+    the same lattice (triple-equality extension: the DuckDB twin is the
+    driver oracle), and the compacted cover uncompacts back to exactly
+    the level-6 cell set."""
+    from zellige_spark.queries import (PIP_POLY, S2_COVER_LEVEL,
+                                       _S2_COVER_LAT0, _S2_COVER_LON0,
+                                       _S2_COVER_NI, _S2_COVER_NJ,
+                                       q_s2_polygon_cover)
+
+    # numpy twin: same lattice, even-odd ray cast, kernel cell ids
+    ii, jj = np.meshgrid(np.arange(_S2_COVER_NI + 1),
+                         np.arange(_S2_COVER_NJ + 1))
+    lon = _S2_COVER_LON0 + 0.25 * ii.ravel()
+    lat = _S2_COVER_LAT0 + 0.25 * jj.ravel()
+    verts = np.asarray(PIP_POLY)
+    cross = np.zeros(lon.shape, dtype=np.int64)
+    for (x1, y1), (x2, y2) in zip(verts[:-1], verts[1:]):
+        if y1 == y2:
+            continue
+        t = (lat - y1) / (y2 - y1)
+        xint = x1 + t * (x2 - x1)
+        cross += ((lat >= min(y1, y2)) & (lat < max(y1, y2))
+                  & (xint > lon)).astype(np.int64)
+    ins = (cross % 2) == 1
+    want = set(np.unique(
+        K.lonlat_to_cid(lon[ins], lat[ins], S2_COVER_LEVEL)).tolist())
+
+    cover = q_s2_polygon_cover(spark, SF).collect()
+    assert len(cover) > 0
+    levels = {r.level for r in cover}
+    assert len(levels) > 1, "cover should be genuinely mixed-level"
+    # uncompact to level 6: every cell expands to its 4^(6-l) leaves
+    got = set()
+    for r in cover:
+        span = 4 ** (S2_COVER_LEVEL - r.level)
+        base = r.s2_cid * span
+        got.update(range(base, base + span))
+    assert got == want

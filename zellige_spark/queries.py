@@ -4517,6 +4517,68 @@ def sql_s2_compact() -> str:
     """
 
 
+S2_COVER_LEVEL = 6
+# quarter-degree interior lattice over PIP_POLY's bbox: 0.25 deg ~ 28 km,
+# well under the 69.7 km level-6 min cell width, so every cell with
+# interior lattice presence is found; quarter-integers never hit the
+# 3-decimal polygon vertices, the 45-deg face diagonals, or lat 45
+_S2_COVER_LON0, _S2_COVER_NI = -28.25, 284
+_S2_COVER_LAT0, _S2_COVER_NJ = -25.75, 255
+
+
+def q_s2_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 covering of the fixture polygon — third-backend parity for
+    polygon_cover (XYZ) / hex_polyfill (hex): a deterministic interior
+    lattice (finer than the level-6 cell width) ray-casts against the
+    polygon, surviving points fold to S2 cells through the Hilbert
+    Column fold, and the distinct cell set compacts to the minimal
+    mixed-level cover (`compact_s2`, parent = cid >> 2).  Defined as
+    the lattice-sampled covering (the honest construction without the
+    real library's region coverer — the `CellIndex` seam takes that
+    drop-in); both engines run the identical lattice, ray cast, cell
+    fold, and compaction, so the cover is hash-exact.  No data scan:
+    the lattice is a literal generator, the output a broadcastable
+    dim, same scale shape as hex_polyfill."""
+    from .operators import s2cells as S2C
+
+    lattice = spark.sql(f"""
+      SELECT {_S2_COVER_LON0} + 0.25 * i AS lon,
+             {_S2_COVER_LAT0} + 0.25 * j AS lat
+      FROM (SELECT explode(sequence(0, {_S2_COVER_NI})) AS i)
+      CROSS JOIN (SELECT explode(sequence(0, {_S2_COVER_NJ})) AS j)""")
+    inside = lattice.filter(F.expr(f"({_sql_pip_crossings()}) % 2 = 1"))
+    cells = (S2C.with_s2_cell(inside, S2_COVER_LEVEL)
+             .select("s2_cid").distinct())
+    out = S2C.compact_s2(cells, S2_COVER_LEVEL)
+    return (out.select(F.col("level").cast("int").alias("level"),
+                       F.col("s2_cid").cast("long").alias("s2_cid"))
+            .orderBy("level", "s2_cid"))
+
+
+def sql_s2_polygon_cover() -> str:
+    from .operators.s2cells import sql_s2_cell_cte
+
+    s2 = sql_s2_cell_cte("_pts", S2_COVER_LEVEL, "lon")
+    ctes, union = _sql_compact_ctes(
+        S2_COVER_LEVEL,
+        "SELECT DISTINCT s2_cid AS cid FROM _s2_out",
+        keys=("cid",), parents=("cid // 4",),
+        out_names=("s2_cid",), level_name="level")
+    return f"""
+    WITH _pts AS (
+      SELECT lon, lat FROM (
+        SELECT {_S2_COVER_LON0} + 0.25 * i AS lon,
+               {_S2_COVER_LAT0} + 0.25 * j AS lat
+        FROM generate_series(0, {_S2_COVER_NI}) g1(i)
+        CROSS JOIN generate_series(0, {_S2_COVER_NJ}) g2(j)
+      ) WHERE ({_sql_pip_crossings()}) % 2 = 1
+    ),
+    {s2},
+    {ctes}
+    {union}
+    """
+
+
 # ---------------------------------------------------------------------------
 # q: polygon_cover — H3-polyfill shape: polygon -> compacted cell cover
 # ---------------------------------------------------------------------------
@@ -6540,6 +6602,9 @@ QUERIES = {
     "leg_cover": q_leg_cover,
     # the same compact recursion on the S2 hierarchy (cid >> 2 parent)
     "s2_compact": q_s2_compact,
+    # lattice-sampled S2 polygon covering + compaction (covering parity
+    # across all three CellIndex backends)
+    "s2_polygon_cover": q_s2_polygon_cover,
     # polygon -> compacted cell cover (H3 polyfill shape)
     "polygon_cover": q_polygon_cover,
     # cover dilated one ring then compacted (grid polygon buffering)
@@ -6852,6 +6917,7 @@ ORACLES = {
     "tile_compact": sql_tile_compact(),
     "leg_cover": sql_leg_cover(),
     "s2_compact": sql_s2_compact(),
+    "s2_polygon_cover": sql_s2_polygon_cover(),
     "polygon_cover": sql_polygon_cover(),
     "polygon_buffer": sql_polygon_buffer(),
     "polygon_full_cover": sql_polygon_full_cover(),
