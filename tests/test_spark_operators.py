@@ -159,3 +159,48 @@ def test_distributed_generation_matches_local(spark):
     assert (df["caption"] == local["caption"]).all()
     assert (df["phash"] == local["phash"]).all()
     assert [bytes(b) for b in df["bytes"]] == [bytes(b) for b in local["bytes"]]
+
+
+def test_tile_moments_decomposable_and_match_numpy(spark, images):
+    """The moment sketch must (a) merge: moments of two disjoint halves
+    sum to the whole corpus' moments per tile, and (b) agree with an
+    independent numpy recompute of the quantized offsets."""
+    import pandas as pd
+
+    pts = images.select("image_id", "lon", "lat")
+    whole = T.tile_moments(pts, 5).toPandas() \
+        .set_index(["tile_x", "tile_y"]).sort_index()
+
+    # (a) decomposability
+    h1 = T.tile_moments(pts.filter(F.col("image_id") < "img-000300"), 5) \
+        .toPandas().set_index(["tile_x", "tile_y"])
+    h2 = T.tile_moments(pts.filter(F.col("image_id") >= "img-000300"), 5) \
+        .toPandas().set_index(["tile_x", "tile_y"])
+    cols = ["n", "sum_dx", "sum_dy", "sum_xx", "sum_yy", "sum_xy"]
+    merged = h1[cols].add(h2[cols], fill_value=0).astype("int64").sort_index()
+    assert merged.equals(whole[cols])
+
+    # (b) numpy oracle on the offsets
+    pdf = pts.toPandas()
+    R = 6378137.0
+    x = R * np.radians(pdf["lon"].to_numpy())
+    y = R * np.log(np.tan(0.25 * np.pi + 0.5 * np.radians(pdf["lat"].to_numpy())))
+    MAXE = 20037508.342789244
+    x = np.minimum(x, MAXE)
+    y = np.maximum(y, -MAXE)
+    n = 32
+    res = 2.0 * MAXE / n
+    tx = np.clip(np.floor((x + MAXE) / res), 0, n - 1).astype(np.int64)
+    ty = np.clip(np.floor((MAXE - y) / res), 0, n - 1).astype(np.int64)
+    dx = np.floor((x + MAXE - tx * res) / 10).astype(np.int64)
+    dy = np.floor((MAXE - y - ty * res) / 10).astype(np.int64)
+    brute = (pd.DataFrame({"tile_x": tx, "tile_y": ty, "dx": dx, "dy": dy})
+             .groupby(["tile_x", "tile_y"])
+             .agg(n=("dx", "size"), sum_dx=("dx", "sum"),
+                  sum_dy=("dy", "sum")).sort_index())
+    assert (whole["n"].to_numpy() == brute["n"].to_numpy()).all()
+    assert (whole["sum_dx"].to_numpy() == brute["sum_dx"].to_numpy()).all()
+    assert (whole["sum_dy"].to_numpy() == brute["sum_dy"].to_numpy()).all()
+    # derived mean is the integer div of the sums
+    assert (whole["mean_dx"].to_numpy()
+            == whole["sum_dx"].to_numpy() // whole["n"].to_numpy()).all()

@@ -763,3 +763,53 @@ def quadtree_assign(pts: DataFrame, leaves: DataFrame, max_zoom: int,
         leaves.select(F.col("zoom").cast("int").alias("zoom"),
                       "tile_x", "tile_y"),
         ["zoom", "tile_x", "tile_y"], "inner")
+
+
+def tile_moments(df: DataFrame, zoom: int, quant_m: int = 10,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-tile second-moment sketch (centrography raw moments): for
+    every occupied tile at ``zoom``, the DECOMPOSABLE integer moments
+    (n, Σdx, Σdy, Σdx², Σdy², Σdx·dy) of the within-tile point offsets
+    — everything mean center, standard distance, and the standard
+    deviational ellipse derive from, in the mergeable form a rollup
+    or an incremental refresh can re-aggregate without touching rows.
+
+    Exactness & overflow by construction: offsets are taken from the
+    TILE ORIGIN (never the world origin), quantized to ``quant_m``
+    meters and floored to BIGINT, so dx < 2·MAX/2^zoom/quant_m (at z5,
+    dam units: ≤ 1.25e5) and Σdx² stays inside int64 up to ~5.9e8
+    points per tile; beyond that, raise ``quant_m`` or the zoom — the
+    moments themselves stay sum-decomposable either way.  All outputs
+    integer, so the sketch sits under the exact hash gate (float
+    variance would be reduction-order-dependent).
+
+    Scale shape: map-only projection + offset math, ONE shuffle with
+    map-side partial aggregation — a 100-TB table ships one partial
+    moment row per (map partition, occupied tile).  Derived display
+    means use DIV on the already-aggregated sums."""
+    n = 2 ** int(zoom)
+    res = 2.0 * MAX_EXTENTS / n
+    a = assign_tiles(df, [zoom], lon_col, lat_col)  # keeps x3857/y3857
+    dx = F.expr(f"CAST(floor((x3857 + {MAX_EXTENTS!r} - tile_x * {res!r}) "
+                f"/ {int(quant_m)}) AS BIGINT)")
+    dy = F.expr(f"CAST(floor(({MAX_EXTENTS!r} - y3857 - tile_y * {res!r}) "
+                f"/ {int(quant_m)}) AS BIGINT)")
+    a = a.withColumn("_dx", dx).withColumn("_dy", dy)
+    g = (a.groupBy("tile_x", "tile_y")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_dx").alias("sum_dx"),
+              F.sum("_dy").alias("sum_dy"),
+              F.sum(F.col("_dx") * F.col("_dx")).alias("sum_xx"),
+              F.sum(F.col("_dy") * F.col("_dy")).alias("sum_yy"),
+              F.sum(F.col("_dx") * F.col("_dy")).alias("sum_xy")))
+    return g.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_dx").cast("long").alias("sum_dx"),
+        F.col("sum_dy").cast("long").alias("sum_dy"),
+        F.col("sum_xx").cast("long").alias("sum_xx"),
+        F.col("sum_yy").cast("long").alias("sum_yy"),
+        F.col("sum_xy").cast("long").alias("sum_xy"),
+        F.expr("sum_dx DIV n").alias("mean_dx"),
+        F.expr("sum_dy DIV n").alias("mean_dy"))

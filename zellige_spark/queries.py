@@ -4517,6 +4517,54 @@ def sql_s2_compact() -> str:
     """
 
 
+TM_ZOOM = 5
+TM_QUANT = 10  # decameter offset quantization (see tiles.tile_moments)
+
+
+def q_tile_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile centrography moment sketch at z5 over customers
+    (`tiles.tile_moments`): decomposable integer raw moments (n, Σdx,
+    Σdy, Σdx², Σdy², Σdx·dy) of within-tile decameter offsets — the
+    mergeable form of mean center / standard distance / deviational
+    ellipse.  One shuffle, map-side partials; all-integer outputs."""
+    pts = _customer_points(spark, sf_dir)
+    return T.tile_moments(pts, TM_ZOOM, quant_m=TM_QUANT) \
+        .orderBy("tile_x", "tile_y")
+
+
+def sql_tile_moments() -> str:
+    tx, ty = _sql_tile(str(TM_ZOOM))
+    n = 2 ** TM_ZOOM
+    res = 2.0 * MAX_EXTENTS / n
+    dx = (f"CAST(floor((x3857 + {MAX_EXTENTS!r} - tile_x * {res!r}) "
+          f"/ {TM_QUANT}) AS BIGINT)")
+    dy = (f"CAST(floor(({MAX_EXTENTS!r} - y3857 - tile_y * {res!r}) "
+          f"/ {TM_QUANT}) AS BIGINT)")
+    return f"""
+    WITH pts AS (
+      SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ), proj AS (
+      SELECT {_SQL_X} AS x3857, {_SQL_Y} AS y3857 FROM pts
+    ), t AS (
+      SELECT x3857, y3857, {tx} AS tile_x, {ty} AS tile_y FROM proj
+    ), d AS (
+      SELECT tile_x, tile_y, {dx} AS dx, {dy} AS dy FROM t
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dx) AS BIGINT) AS sum_dx,
+           CAST(SUM(dy) AS BIGINT) AS sum_dy,
+           CAST(SUM(dx * dx) AS BIGINT) AS sum_xx,
+           CAST(SUM(dy * dy) AS BIGINT) AS sum_yy,
+           CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+           CAST(SUM(dx) // COUNT(*) AS BIGINT) AS mean_dx,
+           CAST(SUM(dy) // COUNT(*) AS BIGINT) AS mean_dy
+    FROM d GROUP BY tile_x, tile_y
+    ORDER BY tile_x, tile_y
+    """
+
+
 S2_COVER_LEVEL = 6
 # quarter-degree interior lattice over PIP_POLY's bbox: 0.25 deg ~ 28 km,
 # well under the 69.7 km level-6 min cell width, so every cell with
@@ -6605,6 +6653,8 @@ QUERIES = {
     # lattice-sampled S2 polygon covering + compaction (covering parity
     # across all three CellIndex backends)
     "s2_polygon_cover": q_s2_polygon_cover,
+    # per-tile centrography moment sketch (mergeable integer moments)
+    "tile_moments": q_tile_moments,
     # polygon -> compacted cell cover (H3 polyfill shape)
     "polygon_cover": q_polygon_cover,
     # cover dilated one ring then compacted (grid polygon buffering)
@@ -6918,6 +6968,7 @@ ORACLES = {
     "leg_cover": sql_leg_cover(),
     "s2_compact": sql_s2_compact(),
     "s2_polygon_cover": sql_s2_polygon_cover(),
+    "tile_moments": sql_tile_moments(),
     "polygon_cover": sql_polygon_cover(),
     "polygon_buffer": sql_polygon_buffer(),
     "polygon_full_cover": sql_polygon_full_cover(),
