@@ -204,3 +204,36 @@ def test_tile_moments_decomposable_and_match_numpy(spark, images):
     # derived mean is the integer div of the sums
     assert (whole["mean_dx"].to_numpy()
             == whole["sum_dx"].to_numpy() // whole["n"].to_numpy()).all()
+
+
+def test_pip_holes_excludes_hole_interior(spark):
+    """The multi-ring even-odd path: matches(holed) == matches(outer)
+    minus points inside the hole ring, and the excluded set is
+    non-empty at the fixture scale."""
+    from zellige_spark.queries import (PIP_HOLE, q_pip_holes,
+                                       q_pip_polygon, _customer_points)
+
+    # sf0.01: the hole actually swallows points (sf0.001 has none there)
+    sf = "/root/testdata/sf0.01"
+    outer = {r.c_custkey for r in q_pip_polygon(spark, sf).collect()}
+    holed = {r.c_custkey for r in q_pip_holes(spark, sf).collect()}
+    assert holed <= outer
+    # numpy ray cast of the hole ring over the outer matches
+    pdf = (_customer_points(spark, sf)
+           .filter(F.col("c_custkey").isin(list(outer)))
+           .select("c_custkey", F.col("lon").cast("double").alias("lon"),
+                   F.col("lat").cast("double").alias("lat")).toPandas())
+    verts = np.asarray(PIP_HOLE)
+    cross = np.zeros(len(pdf), dtype=np.int64)
+    lon = pdf["lon"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    for (x1, y1), (x2, y2) in zip(verts[:-1], verts[1:]):
+        if y1 == y2:
+            continue
+        t = (lat - y1) / (y2 - y1)
+        xint = x1 + t * (x2 - x1)
+        cross += ((lat >= min(y1, y2)) & (lat < max(y1, y2))
+                  & (xint > lon)).astype(np.int64)
+    in_hole = set(pdf["c_custkey"].to_numpy()[(cross % 2) == 1].tolist())
+    assert in_hole, "fixture hole should contain some matched points"
+    assert holed == outer - in_hole

@@ -1375,6 +1375,46 @@ def sql_pip_polygon() -> str:
 # q: knn — 25 nation query points, k=5 nearest customers via k-ring
 # ---------------------------------------------------------------------------
 
+# interior hole ring (closed, fully inside PIP_POLY): even-odd parity
+# must EXCLUDE points inside the hole
+PIP_HOLE = [(0.0, 5.0), (12.0, 2.0), (14.0, 14.0), (2.0, 12.0), (0.0, 5.0)]
+
+
+def _poly_hole_df(spark: SparkSession) -> DataFrame:
+    import numpy as np
+
+    outer = [[float(x), float(y)] for x, y in PIP_POLY]
+    hole = [[float(x), float(y)] for x, y in PIP_HOLE]
+    arr = np.asarray(outer)
+    return spark.createDataFrame(
+        [("holed0", "holed", [outer, hole],
+          float(arr[:, 0].min()), float(arr[:, 1].min()),
+          float(arr[:, 0].max()), float(arr[:, 1].max()))],
+        "polygon_id string, name string, rings array<array<array<double>>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double")
+
+
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a polygon WITH an interior hole — the multi-
+    ring even-odd path of the CSR refine (holes flip parity), which no
+    other oracle exercises: points inside the hole must NOT match.
+    Same broadcast bbox-join + Arrow refine plan as pip_polygon."""
+    pts = _customer_points(spark, sf_dir)
+    out = PIP.pip_join_broadcast(pts, _poly_hole_df(spark))
+    return out.select("c_custkey", "polygon_id")
+
+
+def sql_pip_holes() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    )
+    SELECT c_custkey, 'holed0' AS polygon_id
+    FROM pts
+    WHERE (({_sql_pip_crossings()}) + ({_sql_pip_crossings(PIP_HOLE)})) % 2 = 1
+    """
+
+
 def q_pip_polygon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join as q_pip_polygon through the NON-broadcast path
     (cell-bucketed equi-join, both sides shuffle once) — the strategy a
@@ -6673,6 +6713,8 @@ QUERIES = {
     # sketch-space set intersection between adjacent tiles
     "tile_overlap": q_tile_overlap,
     "pip_polygon": q_pip_polygon,
+    # multi-ring even-odd: polygon with an interior hole
+    "pip_holes": q_pip_holes,
     "pip_polygon_bucketed": q_pip_polygon_bucketed,
     # per-polygon zonal statistics over the PIP join (5-zone dim)
     "zonal_stats": q_zonal_stats,
@@ -6978,6 +7020,7 @@ ORACLES = {
     "bloom_join": sql_bloom_join(),
     "tile_overlap": sql_tile_overlap(),
     "pip_polygon": sql_pip_polygon(),
+    "pip_holes": sql_pip_holes(),
     "pip_polygon_bucketed": sql_pip_polygon(),
     "zonal_stats": sql_zonal_stats(),
     "tile_diversity": sql_tile_diversity(),
