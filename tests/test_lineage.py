@@ -554,3 +554,37 @@ def test_refresh_dirty_tiles_matches_full_rebuild(spark, tmp_path):
     dirty = (T.assign_tiles_buffered(delta, zooms=zooms)
              .select("zoom", "tile_x", "tile_y").distinct().count())
     assert dirty < len(want)
+
+
+def test_abandon_stale_staged_collects_only_orphans(spark, tmp_path):
+    """WAP-stage GC: a stage orphaned by a competing publish is
+    collected; a fresh publishable stage survives; TTL collects it."""
+    import time as _time
+
+    from zellige_spark.plans.lineage import refresh_dirty_tiles  # noqa: F401
+
+    store = TileStore(str(tmp_path / "store"))
+    t0 = E.assemble_point_tiles_streaming(_assigned(spark, 200))
+    base = store.commit_tiles(t0, "base")
+
+    t1 = E.assemble_point_tiles_streaming(_assigned(spark, 250))
+    orphan = store.commit_tiles(t1, "stage A", staged=True)
+    # competing writer publishes: head moves past orphan's parent
+    t2 = E.assemble_point_tiles_streaming(_assigned(spark, 300))
+    head2 = store.commit_tiles(t2, "B")
+    assert store.current_snapshot() == head2
+    # a fresh stage on the NEW head
+    fresh = store.commit_tiles(t1, "stage C", staged=True)
+
+    gone = store.abandon_stale_staged()
+    assert gone == [orphan]
+    assert orphan not in store.snapshots()
+    assert fresh in store.snapshots()
+    assert not os.path.exists(store._data_path(orphan))
+
+    # TTL sweep collects the fresh one too once it ages out
+    _time.sleep(0.05)
+    gone2 = store.abandon_stale_staged(older_than_ms=10)
+    assert gone2 == [fresh]
+    assert store.current_snapshot() == head2  # head untouched
+    assert base in store.snapshots()

@@ -187,6 +187,33 @@ class TileStore:
                   self._deletes_path(sid)):
             shutil.rmtree(p, ignore_errors=True)
 
+    def abandon_stale_staged(self, older_than_ms: int = 0) -> list:
+        """Garbage-collect orphaned WAP stages.  A staged snapshot
+        whose parent is no longer the table head can never publish
+        (``publish`` refuses — its parent pointer would drop a commit
+        from the chain), and a writer crash between stage and publish
+        leaves exactly that; ``expire_snapshots`` walks only the
+        CURRENT chain and ``remove_orphans`` treats manifests as
+        liveness, so without this sweep stale stages leak forever.
+        Abandons every staged snapshot that is stale (parent != head)
+        or older than ``older_than_ms``; a fresh, publishable stage
+        (parent == head, younger than the TTL) is never touched.
+        Returns the abandoned ids."""
+        now_ms = int(time.time() * 1000)
+        head = self.current_snapshot()
+        out = []
+        for sid in self.snapshots():
+            m = self.manifest(sid)
+            if not m.get("staged"):
+                continue
+            stale = m.get("parent_id") != head
+            aged = older_than_ms > 0 and \
+                now_ms - int(m.get("timestamp_ms", 0)) >= older_than_ms
+            if stale or aged:
+                self.abandon(sid)
+                out.append(sid)
+        return out
+
     # --- row-level deletes ---------------------------------------------------------
 
     def commit_deletes(self, keys: DataFrame, input_desc: str,
