@@ -353,7 +353,7 @@ def test_giant_tile_streaming_fold_bounded_rss(tmp_path):
 
     script = textwrap.dedent("""
         import resource, sys
-        import numpy as np, pandas as pd
+        import numpy as np, pyarrow as pa
         from zellige_spark.operators.encode import point_tile_fold
 
         key = (8 << 56) | (57 << 28) | 93  # one z8 tile
@@ -362,21 +362,22 @@ def test_giant_tile_streaming_fold_bounded_rss(tmp_path):
         def batches():
             rng = np.random.default_rng(5)
             for b in range(NB):
-                yield pd.DataFrame({
-                    "tile_key": np.full(N, key, dtype=np.int64),
-                    "image_id": np.char.add("img", np.arange(
-                        b * N, (b + 1) * N).astype(str)),
-                    "px": rng.uniform(0, 4096, N),
-                    "py": rng.uniform(0, 4096, N)})
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(np.full(N, key, dtype=np.int64)),
+                    pa.array(np.char.add("img", np.arange(
+                        b * N, (b + 1) * N).astype(str))),
+                    pa.array(rng.uniform(0, 4096, N)),
+                    pa.array(rng.uniform(0, 4096, N))],
+                    names=["tile_key", "image_id", "px", "py"])
 
         out = list(point_tile_fold("images", 4096)(batches()))
-        total = sum(len(o) for o in out)
+        total = sum(o.num_rows for o in out)
         assert total == 1, total
-        row = out[-1].iloc[0]
-        assert row.feature_count == NB * N
-        assert row.bytes_len == len(row.mvt) > NB * N  # >1 byte/feature
+        row = out[-1].to_pylist()[0]
+        assert row["feature_count"] == NB * N
+        assert row["bytes_len"] == len(row["mvt"]) > NB * N  # >1 byte/feature
         peak_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        print("PEAK_KIB", peak_kib, "BYTES", row.bytes_len)
+        print("PEAK_KIB", peak_kib, "BYTES", row["bytes_len"])
         # interpreter+numpy+pandas baseline is ~150 MiB; the single
         # open-tile accumulator (1e6 ids + px/py) plus the encoded
         # blob is ~200 MiB more.  1 GiB catches any quadratic or

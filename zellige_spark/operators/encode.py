@@ -65,23 +65,44 @@ def _varints_concat(vals: np.ndarray) -> tuple:
     intermediates dominate the fold's DRAM traffic, which is the scaling
     ceiling on multi-core hosts."""
     v = np.asarray(vals, dtype=np.uint64)
-    vmax = int(v.max()) if len(v) else 0
+    n = len(v)
+    vmax = int(v.max()) if n else 0
     nb = max(1, (vmax.bit_length() + 6) // 7)
-    shifts = (np.uint64(7) * np.arange(nb, dtype=np.uint64))[None, :]
-    chunks = (v[:, None] >> shifts) & np.uint64(0x7F)
-    sig = np.maximum(nb - (chunks[:, ::-1] != 0).argmax(axis=1), 1)
-    sig = np.where(v == 0, 1, sig).astype(np.int64)
+    if nb == 1:  # every value fits one byte: no matrix, no lengths math
+        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+    # significant-byte count via a comparison ladder (nb-1 bool passes)
+    # instead of building a reversed nonzero matrix + argmax
+    sig = np.ones(n, dtype=np.int64)
+    for k in range(1, nb):
+        sig += v >= np.uint64(1 << (7 * k))
+    chunks = np.empty((n, nb), dtype=np.uint8)
+    for k in range(nb):
+        np.bitwise_and(v >> np.uint64(7 * k), np.uint64(0x7F),
+                       out=chunks[:, k], casting="unsafe")
     idx = np.arange(nb)[None, :]
     used = idx < sig[:, None]
     cont = idx < (sig - 1)[:, None]
-    out = (chunks | (np.uint64(0x80) * cont)).astype(np.uint8)
-    return out[used].tobytes(), sig
+    chunks |= np.uint8(0x80) * cont
+    return chunks[used].tobytes(), sig
 
 
 def _varint_field(vals: np.ndarray):
     """(concatenated varint bytes as uint8 array, per-value lengths)."""
     blob, lens = _varints_concat(vals)
     return np.frombuffer(blob, dtype=np.uint8), lens
+
+
+_ARANGE32 = np.arange(0, dtype=np.int32)  # grow-only scratch (per worker)
+
+
+def _arange32(m: int) -> np.ndarray:
+    """First m of a cached int32 arange — the assembly scatter below
+    needs a fresh-looking arange per variable field and allocating +
+    filling it each time was measured DRAM traffic, not compute."""
+    global _ARANGE32
+    if len(_ARANGE32) < m:
+        _ARANGE32 = np.arange(max(m, 2 * len(_ARANGE32)), dtype=np.int32)
+    return _ARANGE32[:m]
 
 
 def _assemble_records(n: int, parts) -> tuple:
@@ -91,40 +112,62 @@ def _assemble_records(n: int, parts) -> tuple:
     every record) or (uint8 array, per-record lengths) for a
     variable-length field.  Returns (big uint8 buffer, per-record
     lengths) with record i = concat of its segments — zero per-record
-    Python.  The scatter works by computing each source byte's
-    destination index from record starts + within-record offsets.
+    Python.  The scatter computes each source byte's destination as
+    arange(len(data)) + repeat(per-record shift): ONE O(bytes) repeat
+    per variable field (the naive two-repeat form — field starts plus
+    within-field offsets — doubled the index traffic), with int32
+    indexes whenever the output fits (it always does per Arrow batch):
+    the index arrays are the fold's main DRAM load, and this fold is
+    bandwidth-bound at high core counts (BENCH/BASELINE.md knee).
     """
-    seg_lens = []  # per-part (n,) int64 lengths
+    const_total = 0
+    rec_lens = np.zeros(n, dtype=np.int64)
     for p in parts:
         if isinstance(p, (bytes, bytearray)):
-            seg_lens.append(np.full(n, len(p), dtype=np.int64))
+            const_total += len(p)
         else:
-            seg_lens.append(p[1].astype(np.int64))
-    rec_lens = np.sum(seg_lens, axis=0) if seg_lens else np.zeros(n, dtype=np.int64)
+            rec_lens += p[1]
+    if const_total:
+        rec_lens += const_total
     rec_starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(rec_lens, out=rec_starts[1:])
-    out = np.empty(int(rec_starts[-1]), dtype=np.uint8)
-    # running within-record offset of each part
-    prefix = np.zeros(n, dtype=np.int64)
-    for p, lens in zip(parts, seg_lens):
-        starts = rec_starts[:-1] + prefix
+    total = int(rec_starts[-1])
+    small = total < 2**31 - 1
+    idx_t = np.int32 if small else np.int64
+    starts0 = rec_starts[:-1].astype(idx_t) if small else rec_starts[:-1]
+    out = np.empty(total, dtype=np.uint8)
+    # running within-record offset of each part: constant segments
+    # contribute a SCALAR (no per-record array traffic), variable ones
+    # an array added lazily only when the next part needs it
+    prefix_const = 0
+    prefix_var = None  # lazily-allocated (n,) idx_t
+    for p in parts:
+        starts = starts0 if prefix_var is None else starts0 + prefix_var
+        if prefix_const:
+            starts = starts + prefix_const
         if isinstance(p, (bytes, bytearray)):
             src = np.frombuffer(bytes(p), dtype=np.uint8)
             if len(src) == 1:  # the common case: one scatter, no index matrix
                 out[starts] = src[0]
             else:
                 # broadcast the constant into every record
-                idx = starts[:, None] + np.arange(len(src))[None, :]
+                idx = starts[:, None] + np.arange(len(src), dtype=idx_t)[None, :]
                 out[idx.reshape(-1)] = np.tile(src, n)
+            prefix_const += len(src)
         else:
-            data = p[0]
-            # dest = start_of_field_in_record + within-field position
-            field_starts = np.repeat(starts, lens)
-            offs = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            within = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
-            out[field_starts + within] = data
-        prefix += lens
+            data, lens = p
+            # per-record shift from data coords to output coords
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            shift = (starts - offs.astype(idx_t) if small
+                     else starts - offs)
+            if small:
+                dest = _arange32(len(data)) + np.repeat(shift, lens)
+            else:
+                dest = np.arange(len(data), dtype=np.int64) + np.repeat(shift, lens)
+            out[dest] = data
+            lv = lens if lens.dtype == idx_t else lens.astype(idx_t)
+            prefix_var = lv if prefix_var is None else prefix_var + lv
     return out, rec_lens
 
 
@@ -148,22 +191,23 @@ def _point_feature_blobs(px: np.ndarray, py: np.ndarray,
     glen_v = _varint_field(geo_len.astype(np.uint64))
     tlen_v = _varint_field(tags_len.astype(np.uint64))
     # feature = 08 fid | 12 tlen 00 vidx | 18 01 | 22 glen 09 zx zy
-    feat_parts = [b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
-                  b"\x18\x01\x22", glen_v, b"\x09", zx, zy]
-    feats, feat_lens = _assemble_records(n, feat_parts)
-    # wrap each as layer field 2: 12 <len> <feature>
+    # its length is known analytically from the varint field lengths,
+    # so the wrapper (layer field 2: 12 <len> <feature>) is FUSED into
+    # one assembly — the old assemble-then-rewrap did a second full
+    # scatter pass over every feature byte
+    feat_lens = 7 + fid[1] + tlen_v[1] + vidx[1] + glen_v[1] + zx[1] + zy[1]
     flen_v = _varint_field(feat_lens.astype(np.uint64))
-    wrapped, wlens = _assemble_records(n, [b"\x12", flen_v,
-                                           (feats, feat_lens)])
+    wrapped, wlens = _assemble_records(n, [
+        b"\x12", flen_v, b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
+        b"\x18\x01\x22", glen_v, b"\x09", zx, zy])
     return wrapped, wlens
 
 
 _KEYS_BLOB = b"\x1a\x08image_id"  # keys(f3) = ["image_id"]
 
 
-def _string_values_blob(ids) -> tuple:
-    """Layer field-4 Value{string_value} messages for every id, as one
-    vectorized buffer + per-id lengths (no per-row Python byte work)."""
+def _utf8_cat(ids) -> tuple:
+    """(uint8 data, per-string byte lengths) for a list of Python strs."""
     n = len(ids)
     joined = "".join(ids).encode("utf-8")
     char_total = sum(map(len, ids))
@@ -172,7 +216,34 @@ def _string_values_blob(ids) -> tuple:
     else:
         slens = np.fromiter((len(s.encode("utf-8")) for s in ids),
                             dtype=np.int64, count=n)
-    sarr = np.frombuffer(joined, dtype=np.uint8)
+    return np.frombuffer(joined, dtype=np.uint8), slens
+
+
+def _utf8_view(arr) -> tuple:
+    """Zero-copy (uint8 data buffer, int64 absolute offsets) of a
+    pyarrow string array: Arrow strings ARE one contiguous utf-8 buffer
+    plus offsets, so the fold never materializes Python str objects
+    (guide-§4.2 re-slicing property)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(arr.type):
+        off_t = np.int64
+    elif pa.types.is_string(arr.type):
+        off_t = np.int32
+    else:  # dictionary/string_view etc. — normalize once
+        arr = arr.cast(pa.string())
+        off_t = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_t)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offs
+
+
+def _string_values_blob_np(sarr: np.ndarray, slens: np.ndarray) -> tuple:
+    """Layer field-4 Value{string_value} messages over pre-concatenated
+    utf-8 bytes + lengths (no per-row Python byte work)."""
+    n = len(slens)
     slen_v = _varint_field(slens.astype(np.uint64))
     inner_len = 1 + slen_v[1] + slens           # 0a + varint(len) + bytes
     ilen_v = _varint_field(inner_len.astype(np.uint64))
@@ -180,24 +251,30 @@ def _string_values_blob(ids) -> tuple:
                                  (sarr, slens)])
 
 
-def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
-                     tile_starts: np.ndarray, metas,
-                     layer_name: str, extent: int):
+def _string_values_blob(ids) -> tuple:
+    """Value messages for a list of Python strings (grouped/salted and
+    captioned paths; the streaming fold uses the buffer form)."""
+    return _string_values_blob_np(*_utf8_cat(ids))
+
+
+def _encode_tile_run_parts(id_data: np.ndarray, id_lens: np.ndarray,
+                           px: np.ndarray, py: np.ndarray,
+                           tile_starts: np.ndarray,
+                           layer_name: str, extent: int):
     """Encode a run of COMPLETE tiles laid out contiguously in the
-    given arrays.  All per-feature byte work (geometry, tags, value
-    dictionary) happens in vectorized passes across every tile, and the
-    layer/tile wrapping is itself one vectorized record assembly — the
-    only per-tile Python left is slicing the final buffer into one
-    bytes object per output row.
-    """
+    given arrays; ids arrive as one utf-8 buffer + per-id lengths.
+    All per-feature byte work (geometry, tags, value dictionary)
+    happens in vectorized passes across every tile, and the layer/tile
+    wrapping is itself one vectorized record assembly.  Returns
+    (uint8 buffer of all tiles, per-tile byte lengths, per-tile
+    feature counts) — no per-tile Python at all; the Arrow fold slices
+    the buffer via binary-array offsets."""
     n = len(px)
-    k = len(metas)
-    if n == 0 or k == 0:
-        return []
+    k = len(tile_starts) - 1
     sizes = np.diff(tile_starts)
     within = np.arange(n, dtype=np.int64) - np.repeat(tile_starts[:-1], sizes)
     feats_buf, wlens = _point_feature_blobs(px, py, within + 1, within)
-    vals_buf, vlens = _string_values_blob(ids)
+    vals_buf, vlens = _string_values_blob_np(id_data, id_lens)
     # per-tile byte lengths of both buffers
     f_lens = np.add.reduceat(wlens, tile_starts[:-1])
     v_lens = np.add.reduceat(vlens, tile_starts[:-1])
@@ -211,6 +288,21 @@ def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
     tiles_buf, tile_lens = _assemble_records(k, [
         b"\x1a", llen_v, prefix, (feats_buf, f_lens),
         _KEYS_BLOB, (vals_buf, v_lens), suffix])
+    return tiles_buf, tile_lens, sizes
+
+
+def _encode_tile_run(ids, px: np.ndarray, py: np.ndarray,
+                     tile_starts: np.ndarray, metas,
+                     layer_name: str, extent: int):
+    """Row-tuple form of ``_encode_tile_run_parts`` for the grouped /
+    salted strategies (Python-string ids, per-tile bytes objects)."""
+    n = len(px)
+    k = len(metas)
+    if n == 0 or k == 0:
+        return []
+    id_data, id_lens = _utf8_cat(ids)
+    tiles_buf, tile_lens, sizes = _encode_tile_run_parts(
+        id_data, id_lens, px, py, tile_starts, layer_name, extent)
     t_offs = np.zeros(k + 1, dtype=np.int64)
     np.cumsum(tile_lens, out=t_offs[1:])
     raw = tiles_buf.tobytes()
@@ -253,50 +345,99 @@ def assemble_point_tiles_streaming(assigned: DataFrame, layer_name: str = "image
     # shuffle ONLY (tile_key, image_id, px, py): zoom/tile_x/tile_y are
     # recoverable from tile_key bits, and at 10^12 rows the shuffle's
     # disk+network bytes are the scaling bottleneck (measured: cutting
-    # these 24 bytes/row lifted 2->8-core encode scaling materially)
-    df = df.select("tile_key", "image_id", "px", "py")
+    # these 24 bytes/row lifted 2->8-core encode scaling materially).
+    # px/py ship as SHORT: the fold rounds to integer pixels anyway and
+    # Spark's bround is HALF_EVEN = np.rint, so rounding before the
+    # exchange is byte-identical (cross-strategy tests pin it) and cuts
+    # another 12 bytes/row off the shuffle (guide §2.3 narrower types;
+    # post-filter px/py lie in [-buffer, extent+buffer] ⊂ int16)
+    df = df.select("tile_key", "image_id",
+                   F.bround("px", 0).cast("short").alias("px"),
+                   F.bround("py", 0).cast("short").alias("py"))
     if num_partitions:
         df = df.repartition(num_partitions, "tile_key")
     else:
         df = df.repartition("tile_key")
     df = df.sortWithinPartitions("tile_key", "image_id")
-    return df.mapInPandas(point_tile_fold(layer_name, extent), TILE_SCHEMA)
+    return df.mapInArrow(point_tile_fold(layer_name, extent), TILE_SCHEMA)
 
 
 def point_tile_fold(layer_name: str, extent: int):
     """The streaming fold behind ``assemble_point_tiles_streaming``,
     exposed at module level so the giant-tile bounded-memory stress
     test can drive it directly (fresh subprocess, true ru_maxrss) with
-    synthetic Arrow-sized batches — the Spark path wraps exactly this
-    generator in ``mapInPandas``."""
+    synthetic Arrow record batches — the Spark path wraps exactly this
+    generator in ``mapInArrow``.
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native (round-6 optimization, guide §4.2): the sorted rows
+    arrive as ``pyarrow.RecordBatch``es whose string column is already
+    one contiguous utf-8 buffer + offsets, so no Python str object is
+    ever created for an id, and the output binary column is built by
+    ``Array.from_buffers`` over the single encoded tile buffer — no
+    per-tile bytes slicing.  Peak memory is still O(batch + open
+    tile)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("zoom", pa.int32()), ("tile_x", pa.int64()), ("tile_y", pa.int64()),
+        ("mvt", pa.binary()), ("feature_count", pa.int64()),
+        ("bytes_len", pa.int64())])
+
+    def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         # pending = the (possibly batch-spanning) open tile at the tail
         pend_key = None
         pend_meta = None
-        pend_ids: List = []
+        pend_idd: List[np.ndarray] = []   # utf-8 buffer pieces
+        pend_idl: List[np.ndarray] = []   # per-id byte lengths
         pend_px: List[np.ndarray] = []
         pend_py: List[np.ndarray] = []
 
         def flush_pending():
-            mvt = _finish_point_tile(pend_ids, np.concatenate(pend_px),
-                                     np.concatenate(pend_py), layer_name, extent)
+            n = sum(len(a) for a in pend_idl)
+            raw, tl, sz = _encode_tile_run_parts(
+                np.concatenate(pend_idd), np.concatenate(pend_idl),
+                np.concatenate(pend_px), np.concatenate(pend_py),
+                np.array([0, n], dtype=np.int64), layer_name, extent)
             z, tx, ty = pend_meta
-            return (z, tx, ty, mvt, len(pend_ids), len(mvt))
+            return (raw, tl, sz, np.array([z], dtype=np.int64),
+                    np.array([tx], dtype=np.int64),
+                    np.array([ty], dtype=np.int64))
 
-        cols = ["zoom", "tile_x", "tile_y", "mvt", "feature_count", "bytes_len"]
-        for pdf in batches:
-            if len(pdf) == 0:
+        def emit(segs):
+            data = segs[0][0] if len(segs) == 1 else np.concatenate(
+                [s[0] for s in segs])
+            tl = np.concatenate([s[1] for s in segs])
+            sz = np.concatenate([s[2] for s in segs])
+            zs_o = np.concatenate([s[3] for s in segs])
+            txs_o = np.concatenate([s[4] for s in segs])
+            tys_o = np.concatenate([s[5] for s in segs])
+            k = len(tl)
+            offs = np.zeros(k + 1, dtype=np.int64)
+            np.cumsum(tl, out=offs[1:])
+            mvt = pa.Array.from_buffers(
+                pa.binary(), k,
+                [None, pa.py_buffer(offs.astype(np.int32)),
+                 pa.py_buffer(np.ascontiguousarray(data))])
+            return pa.RecordBatch.from_arrays(
+                [pa.array(zs_o.astype(np.int32)), pa.array(txs_o),
+                 pa.array(tys_o), mvt, pa.array(sz), pa.array(tl)],
+                schema=out_schema)
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            keys = pdf["tile_key"].to_numpy()
-            px = pdf["px"].to_numpy(dtype=np.float64)
-            py = pdf["py"].to_numpy(dtype=np.float64)
-            ids = pdf["image_id"].to_numpy()
+            cols = {name: rb.column(i)
+                    for i, name in enumerate(rb.schema.names)}
+            keys = cols["tile_key"].to_numpy()
+            px = cols["px"].to_numpy()
+            py = cols["py"].to_numpy()
+            id_data, id_offs = _utf8_view(cols["image_id"])
+            id_lens = np.diff(id_offs)
             # unpack (z, x, y) from the packed tile key (tiles.tile_key)
             zs = keys >> 56
             txs = (keys >> 28) & ((1 << 28) - 1)
             tys = keys & ((1 << 28) - 1)
-            rows: List[tuple] = []
+            segs: List[tuple] = []
             change = np.nonzero(np.diff(keys))[0] + 1
             bounds = np.concatenate([[0], change, [len(keys)]]).astype(np.int64)
             n_runs = len(bounds) - 1  # runs: [bounds[i], bounds[i+1])
@@ -304,15 +445,18 @@ def point_tile_fold(layer_name: str, extent: int):
 
             if merged_first:
                 e0 = int(bounds[1])
-                pend_ids.extend(ids[:e0].tolist())
+                pend_idd.append(id_data[id_offs[0]:id_offs[e0]])
+                pend_idl.append(id_lens[:e0])
                 pend_px.append(px[:e0])
                 pend_py.append(py[:e0])
                 if n_runs > 1:  # a boundary follows -> pending tile is complete
-                    rows.append(flush_pending())
-                    pend_key, pend_ids, pend_px, pend_py = None, [], [], []
+                    segs.append(flush_pending())
+                    pend_key, pend_idd, pend_idl = None, [], []
+                    pend_px, pend_py = [], []
             elif pend_key is not None:
-                rows.append(flush_pending())
-                pend_key, pend_ids, pend_px, pend_py = None, [], [], []
+                segs.append(flush_pending())
+                pend_key, pend_idd, pend_idl = None, [], []
+                pend_px, pend_py = [], []
 
             # complete runs = all runs except the batch-tail run and any
             # merged first run
@@ -321,24 +465,26 @@ def point_tile_fold(layer_name: str, extent: int):
             if c_hi > c_lo:
                 cs = bounds[c_lo:c_hi + 1]  # offsets incl. end of last complete
                 lo, hi = int(cs[0]), int(cs[-1])
-                metas = list(zip(zs[cs[:-1]].tolist(), txs[cs[:-1]].tolist(),
-                                 tys[cs[:-1]].tolist()))
-                rows.extend(_encode_tile_run(ids[lo:hi].tolist(), px[lo:hi], py[lo:hi],
-                                             (cs - cs[0]).astype(np.int64), metas,
-                                             layer_name, extent))
+                raw, tl, sz = _encode_tile_run_parts(
+                    id_data[id_offs[lo]:id_offs[hi]], id_lens[lo:hi],
+                    px[lo:hi], py[lo:hi],
+                    (cs - cs[0]).astype(np.int64), layer_name, extent)
+                segs.append((raw, tl, sz, zs[cs[:-1]], txs[cs[:-1]],
+                             tys[cs[:-1]]))
 
             # tail run opens (or keeps open) the pending tile
             t0 = int(bounds[-2])
             if not (merged_first and n_runs == 1):
                 pend_key = keys[t0]
                 pend_meta = (int(zs[t0]), int(txs[t0]), int(tys[t0]))
-                pend_ids = ids[t0:].tolist()
+                pend_idd = [id_data[id_offs[t0]:id_offs[-1]]]
+                pend_idl = [id_lens[t0:]]
                 pend_px = [px[t0:]]
                 pend_py = [py[t0:]]
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-        if pend_key is not None and pend_ids:
-            yield pd.DataFrame([flush_pending()], columns=cols)
+            if segs:
+                yield emit(segs)
+        if pend_key is not None and pend_idl:
+            yield emit([flush_pending()])
 
     return fold
 
@@ -642,11 +788,14 @@ def _captioned_feature_blobs(px: np.ndarray, py: np.ndarray,
     tags_len = 1 + vidx[1] + 1 + capv[1]      # 00 vidx 01 capidx
     glen_v = _varint_field(geo_len.astype(np.uint64))
     tlen_v = _varint_field(tags_len.astype(np.uint64))
-    feat_parts = [b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
-                  b"\x01", capv, b"\x18\x01\x22", glen_v, b"\x09", zx, zy]
-    feats, feat_lens = _assemble_records(n, feat_parts)
+    # fused wrap (see _point_feature_blobs): feature length is known
+    # analytically, so one assembly pass instead of assemble-then-rewrap
+    feat_lens = (8 + fid[1] + tlen_v[1] + vidx[1] + capv[1]
+                 + glen_v[1] + zx[1] + zy[1])
     flen_v = _varint_field(feat_lens.astype(np.uint64))
-    return _assemble_records(n, [b"\x12", flen_v, (feats, feat_lens)])
+    return _assemble_records(n, [
+        b"\x12", flen_v, b"\x08", fid, b"\x12", tlen_v, b"\x00", vidx,
+        b"\x01", capv, b"\x18\x01\x22", glen_v, b"\x09", zx, zy])
 
 
 def _encode_captioned_tile_run(ids, caps, px: np.ndarray, py: np.ndarray,
