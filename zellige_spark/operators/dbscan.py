@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import connected_components
+from ..io_scan import read_sf
 
 __all__ = ["eps_pairs", "dbscan", "q_dbscan", "sql_dbscan"]
 
@@ -135,7 +136,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer torus (eps=10, min_pts=6 — the sf0.01 density puts the
     mean eps-ball population right at the core threshold, so all three
     roles appear)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_sf(spark, sf_dir, "customer")
     pts = cust.select(F.col("c_custkey").cast("long").alias("point_id"),
                       F.expr(DB_X).cast("long").alias("x"),
                       F.expr(DB_Y).cast("long").alias("y"))

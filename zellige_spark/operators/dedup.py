@@ -26,6 +26,7 @@ synthetic corpus has no near-duplicates.
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..io_scan import read_sf
 
 JACCARD_THRESHOLD = 0.6
 MINHASH_PERMS = 64
@@ -63,7 +64,7 @@ FROM documents
 
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql(_AUG_SPARK)
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tiles as T
+from ..io_scan import read_sf
 
 # sqrt(3)/3 etc. as literal doubles so both engines parse the exact
 # same constant (no engine sqrt in the hot path)
@@ -267,7 +268,7 @@ def q_hex_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the SAME expression strings)."""
     from ..queries import CUST_LAT, CUST_LON
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select("c_custkey",
                     F.expr(CUST_LON).alias("lon"),
                     F.expr(CUST_LAT).alias("lat"))

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..kernel import s2 as S2K
+from ..io_scan import read_sf
 
 _LUT = [int(v) for v in S2K.STEP_LUT]
 
@@ -315,7 +316,7 @@ def q_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers -> S2 cells, computed ONCE at level 12 in pure Column
     math, then every coarser level derived by prefix shift (exercising
     the hierarchy invariant inside the oracle-checked query)."""
-    pts = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = (read_sf(spark, sf_dir, "customer")
            .select("c_custkey", F.expr(S2_LON).alias("lon"), F.expr(S2_LAT).alias("lat")))
     df = with_s2_cell(pts, S2_MAX_QUERY_LEVEL)
     df = df.withColumn("level", F.explode(F.array(
@@ -353,10 +354,10 @@ def q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the index must not change the answer)."""
     from ..queries import CUST_LAT, CUST_LON, NAT_LAT, NAT_LON
 
-    queries = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+    queries = (read_sf(spark, sf_dir, "nation")
                .select(F.col("n_nationkey").alias("query_id"),
                        F.expr(NAT_LON).alias("lon"), F.expr(NAT_LAT).alias("lat")))
-    data = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+    data = (read_sf(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("data_id"),
                     F.expr(CUST_LON).alias("lon"), F.expr(CUST_LAT).alias("lat")))
     out = knn_s2_adaptive(queries, data, k=5, level=2, start_ring=1,

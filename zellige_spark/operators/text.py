@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..io_scan import read_sf
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is"],
@@ -65,7 +66,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars/4 heuristic and a BPE-ish regex segmentation (GPT-2-style
     pre-tokenizer runs, ceil(len/4) pieces per run) — all pure Column
     math, oracle-pinned in DuckDB."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         F.expr(_TOKENS).cast("long").alias("n_tokens"),
@@ -88,7 +89,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics; ratio expressions use the exact same operation
     order as the oracle SQL, so the IEEE doubles (and thus the value
     hash) match bit-for-bit without any rounding."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     punct = " + ".join(_occurrences("text", p) for p in PUNCT)
     stop = " + ".join(_occurrences(_PADDED, f" {w} ") for w in STOPWORDS["en"])
     return df.select(
@@ -125,7 +126,7 @@ def _lang_scores() -> dict:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free stopword language ID: score per language, argmax with
     alphabetical tie-break; 'und' (undetermined) when all scores are 0."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     scores = _lang_scores()
     langs = sorted(scores)
     score_cols = [F.expr(scores[l]).alias(f"_s_{l}") for l in langs]
@@ -158,7 +159,7 @@ def sql_lang_id() -> str:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup key (content-defined, stable)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         F.md5(F.expr(f"lower({_SQUASHED})")).alias("fingerprint"),
@@ -204,7 +205,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a map-only scan that prunes to the kept fraction before
     any downstream shuffle."""
     langs = sorted(STOPWORDS)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     # Normalize text ONCE per row; the barrier id stops Catalyst
     # project collapsing from re-inlining the normalization tree into
     # every counter downstream.  Counters are per-NEEDLE-LIST aggregate
@@ -348,7 +349,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode.py:238 shape) instead of materializing as one pandas group.
     Roll rule (same on both engines): a non-first doc opens a new
     sequence when it would overflow the capacity."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     buckets = pack_buckets(df.count())
     toks = df.select(
         "doc_id",
@@ -402,7 +403,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts with map-side partial agg, then a per-doc fold.  Shuffle
     volume is O(distinct grams per doc), keys are (doc_id, gram) —
     uniformly spread, no skew even when one document is pathological."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     # materialize the token array ONCE behind a nondeterministic
     # barrier: the gram builders reference it 5x per row, and without
     # the barrier project collapsing would re-inline the regex
@@ -497,7 +498,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain with 1e9 docs ships k rows per map partition, not 1e9."""
     from pyspark.sql.window import Window
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
     return (df.withColumn("samp_rank", F.row_number().over(w))
@@ -537,7 +538,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, zero Python; output size is input tokens x (size/stride)
     amortized, and every executor streams independently — the ideal
     100-TB plan shape."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     toks = df.select(
         "doc_id",
         F.split(F.expr(_SQUASHED), " ").alias("t"),
@@ -597,7 +598,7 @@ def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WindowGroupLimit map-side prune."""
     from pyspark.sql.window import Window
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     words = df.select("doc_id",
                       F.explode(F.split(F.expr(_SQUASHED), " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -701,7 +702,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) shuffle of hit counters and a doc_id-keyed left
     join back onto the (id, n_grams) skeleton.  Raw text never
     shuffles; per-row fan-out is bounded by the token count."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_RES
     # token array behind a collapse barrier (see q_doc_repetition)
     toks = df.select(
@@ -782,7 +783,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single wide conditional-SUM aggregation (one row), joined to the
     token-side ladder (also one row) and unpivoted map-only.  Adding
     rungs widens a row; it never re-reads the corpus."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     toks = df.select("doc_id", F.expr(_TOKENS).cast("long").alias("nt"))
     first = (df.select("doc_id",
                        F.explode(F.split(F.expr(_SQUASHED), " "))
@@ -865,7 +866,7 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and the per-doc fold is a partial-agg'd count.  Docs too
     short for any gram report novelty 0.0 with n_grams = 0 (identical
     CASE both engines)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     toks = df.select(
         "doc_id",
         F.split(F.expr(_SQUASHED), " ").alias("t"),
@@ -953,7 +954,7 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     small.  The split() is evaluated once per row behind a
     nondeterministic barrier column (Catalyst project collapsing
     would otherwise inline it per element)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     toks = df.select(
         F.split(F.expr(_SQUASHED), " ").alias("t"),
         F.monotonically_increasing_id().alias("_barrier"))
@@ -1084,7 +1085,7 @@ def pareto_skyline(metrics: DataFrame, dims: tuple) -> DataFrame:
 def q_doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto-optimal documents over (tokens, -punctuation, stopword
     fluency) — the multi-objective corpus-curation shortlist."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf(spark, sf_dir, "documents")
     m = doc_metrics(docs)
     return (pareto_skyline(m, ("m_tokens", "m_negpunct", "m_stop"))
             .orderBy("doc_id"))
@@ -1188,7 +1189,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     international phone numbers -> typed placeholder tokens), with
     deterministic planted PII so every class is exercised; outputs the
     per-class hit counts and the md5 + length of the scrubbed text."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_sf(spark, sf_dir, "documents")
     stages = pii_stages(_PII_PLANT, "spark")
     scrubbed = stages[-1][2]
     return df.select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .io_scan import read_sf
 from .operators import encode as E
 from .operators import knn as KNN
 from .operators import pip as PIP
@@ -35,7 +36,7 @@ ZOOMS = (0, 5, 9, 14)
 
 
 def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     return df.select(
         F.col("c_custkey"),
         F.expr(CUST_LON).alias("lon"),
@@ -44,7 +45,7 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    df = read_sf(spark, sf_dir, "nation")
     return df.select(
         F.col("n_nationkey"),
         F.expr(NAT_LON).alias("lon"),
@@ -440,7 +441,7 @@ def q_tile_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-comparison rule."""
     pts = _customer_points(spark, sf_dir)
     tiled = T.assign_tiles(pts, [TT_ZOOM]).select("c_custkey", "tile_x", "tile_y")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_sf(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("int").alias("ym"))
@@ -636,7 +637,7 @@ def q_tile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
         "c_custkey", "tile_x", "tile_y")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_sf(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("long").alias("m"))
@@ -722,7 +723,7 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
         "c_custkey", "tile_x", "tile_y")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_sf(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("long").alias("m"))
@@ -857,7 +858,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     tiled = T.assign_tiles(pts, [TREND_ZOOM]).select(
         "c_custkey", "tile_x", "tile_y")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_sf(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("long").alias("m"))
@@ -1051,7 +1052,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-keyed agg pair — published cells are fewer than z14 cells,
     so the audit is strictly cheaper than the cloaking itself."""
     anon = q_k_anon_tiles(spark, sf_dir)
-    seg = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    seg = read_sf(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg"))
     j = anon.join(seg, "c_custkey")
     per_seg = (j.groupBy("anon_zoom", "cell_x", "cell_y", "seg")
@@ -1118,11 +1119,11 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.96 tests; per-mille share series for the trend)."""
     from .operators import emerging as EH
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_sf(spark, sf_dir, "customer").select(
         "c_custkey",
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_sf(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("long").alias("m"))
@@ -1253,7 +1254,7 @@ def q_tile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-agg'd Exchange on (tile, segment), then a
     tile-bounded fold; no window, no second raw pass."""
     pts = _customer_points(spark, sf_dir)
-    seg = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    seg = read_sf(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
     a = (T.assign_tiles(pts, [DIV_ZOOM])
          .select("c_custkey", "tile_x", "tile_y")
@@ -1458,7 +1459,7 @@ def q_tile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter triggers Spark's WindowGroupLimit pushdown, so map tasks
     pre-prune to k rows per tile BEFORE the exchange — the shuffle
     carries O(k · occupied tiles), not the raw input."""
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    df = read_sf(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal",
         F.expr(CUST_LON).alias("lon"), F.expr(CUST_LAT).alias("lat"))
     out = T.tile_topk(df, zoom=3, k=3,
@@ -1572,7 +1573,7 @@ def q_knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 10^12-query batch lookup takes on a cluster, where neither side
     broadcasts).  Same adaptive ring expansion and the same brute-force
     SQL oracle as the broadcast variants."""
-    queries = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+    queries = (read_sf(spark, sf_dir, "orders")
                .select(F.col("o_orderkey").alias("query_id"),
                        F.expr(ORD_LON).alias("lon"),
                        F.expr(ORD_LAT).alias("lat")))
@@ -1596,7 +1597,7 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ 1 ulp); the PAIR SET is the semantics and is exact — the
     200 km threshold sits >= 11 m from every pair distance at sf0.01,
     so the float comparison cannot flip membership."""
-    left = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = (read_sf(spark, sf_dir, "orders")
             .select(F.col("o_orderkey").alias("left_id"),
                     F.expr(ORD_LON).alias("lon"),
                     F.expr(ORD_LAT).alias("lat")))
@@ -1673,7 +1674,7 @@ def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes non-neighbor pairs (`colocation_patterns`)."""
     from .operators.colocation import colocation_patterns
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.col("c_custkey").alias("id"),
         F.expr("c_custkey * 7919 % 360000").alias("x"),
@@ -1975,7 +1976,7 @@ def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and WKB is a bit-copy).  Map-only: two Arrow passes, no shuffle."""
     from . import io_wkb as WKB
 
-    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    pts = read_sf(spark, sf_dir, "customer").select(
         "c_custkey", F.expr(CUST_LON_DBL).alias("lon"),
         F.expr(CUST_LAT_DBL).alias("lat"))
     enc = WKB.wkb_points(pts)
@@ -2017,7 +2018,7 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a single-node engine cannot run at scale."""
     from .operators import hulls as HUL
 
-    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    pts = read_sf(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("long").alias("nation"),
         F.col("c_custkey").alias("c_custkey"),
         F.expr(CUST_UX).alias("ux"), F.expr(CUST_UY).alias("uy"))
@@ -2101,7 +2102,7 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal O(n^2) definition."""
     from .operators.colocation import ripley_k
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.col("c_custkey").alias("id"),
         F.expr("c_custkey * 7919 % 360000").alias("x"),
@@ -2147,7 +2148,7 @@ def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum."""
     from .operators.colocation import g_function
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.col("c_custkey").alias("id"),
         F.expr("c_custkey * 7919 % 360000").alias("x"),
@@ -2193,7 +2194,7 @@ def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest data point lies within r (`colocation.f_function`)."""
     from .operators.colocation import f_function
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
@@ -2257,7 +2258,7 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a recursive-CTE closure."""
     from .operators.images import image_dup_clusters
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     images = df.select(
         F.col("c_custkey").alias("image_id"),
         F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
@@ -2273,7 +2274,7 @@ def q_phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact because max rung < band count (pigeonhole)."""
     from .operators.images import phash_threshold_sweep
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     images = df.select(
         F.col("c_custkey").alias("image_id"),
         F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
@@ -2391,7 +2392,7 @@ def q_caption_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     triplet cluster carries a dissenting caption."""
     from .operators.images import caption_reconcile
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     images = df.select(
         F.col("c_custkey").alias("image_id"),
         F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"),
@@ -2473,7 +2474,7 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin + deterministic in-bucket batch ids."""
     from .operators.images import aspect_bucket_batches
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    df = read_sf(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("image_id"),
         F.expr(_DIM_W).cast("long").alias("w"),
         F.expr(_DIM_H).cast("long").alias("h"))
@@ -2523,7 +2524,7 @@ def q_imagedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked (phash is an int64 column)."""
     from .streaming.imagedup import image_dup_verdicts_batch
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     images = df.select(
         F.col("c_custkey").alias("image_id"),
         F.expr(f"{_PHASH_BASE} ^ ({_PHASH_FLIP_SPARK})").alias("phash"))
@@ -2677,7 +2678,7 @@ def q_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole thing (construction AND audit) hash-matches DuckDB."""
     from .operators.images import payload_audit
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     df.createOrReplaceTempView("customer")
     imgs = spark.sql(_payload_corpus_spark())
     return payload_audit(imgs).orderBy("image_id")
@@ -2712,7 +2713,7 @@ def q_curated_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tiles as T
     from .operators.images import with_payload_audit
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     df.createOrReplaceTempView("customer")
     imgs = spark.sql(_payload_corpus_spark(coords=True))
     rows = (with_payload_audit(imgs)
@@ -2775,7 +2776,7 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle transitively checks the stream's publish decisions."""
     from .operators.images import with_payload_audit
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     df.createOrReplaceTempView("customer")
     imgs = spark.sql(_payload_corpus_spark(coords=True))
     clean = (with_payload_audit(imgs)
@@ -2899,10 +2900,10 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_ab = area*n_pairs/(n_a*n_b) (`colocation.cross_k`)."""
     from .operators.colocation import cross_k
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_sf(spark, sf_dir, "customer").select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = read_sf(spark, sf_dir, "supplier").select(
         F.expr(SUPP_XI).alias("x"), F.expr(SUPP_YI).alias("y"))
     return cross_k(cust, supp, RIPLEY_RADII).orderBy("r")
 
@@ -2947,7 +2948,7 @@ def q_quadrat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 double, dof (`hotspots.quadrat_chi2`)."""
     from .operators import hotspots as HOT
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
@@ -3003,7 +3004,7 @@ def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     final long->double division (`hotspots.local_moran`)."""
     from .operators import hotspots as HOT
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     pts = df.select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
@@ -3100,7 +3101,7 @@ _SQL_QUEEN9 = ("(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
 def _lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic integer-millidegree point cloud every lattice
     statistic runs on (same generator as `local_moran`)."""
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = read_sf(spark, sf_dir, "customer")
     return df.select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"))
@@ -3249,7 +3250,7 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.areal import areal_interp
 
     z = _ZONE_SPARK
-    zones = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    zones = read_sf(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("zone_id"),
         F.expr(z["x0"]).cast("long").alias("x0"),
         F.expr(f"({z['x0']}) + ({z['w']})").cast("long").alias("x1"),
@@ -3343,7 +3344,7 @@ def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-only Column math (two literal argmax folds per row) — zero
     shuffles before the driver's orderBy."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf(spark, sf_dir, "documents")
     s16 = _hrw_pick(HRW_SHARDS)
     s17 = _hrw_pick(HRW_SHARDS + 1)
     return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -3508,7 +3509,7 @@ def q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on that user-bounded table."""
     g = HW_GRID
     cw, ch = 360000 // g, 170000 // g
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         "user_id",
         (F.expr(f"(event_id * 3571 % 360000) div {cw}") * g
          + F.expr(f"((event_id * 9973 + 7) % 170000) div {ch}"))
@@ -3620,7 +3621,7 @@ def q_tile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus max epoch."""
     g = FRESH_GRID
     cw, ch = 360000 // g, 170000 // g
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.expr(f"(event_id * 3571 % 360000) div {cw}").alias("cell_x"),
         F.expr(f"((event_id * 9973 + 7) % 170000) div {ch}").alias("cell_y"),
         F.unix_timestamp("ts").alias("es"))
@@ -3672,7 +3673,7 @@ def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     x-wrap aware, min-id ties) + per-site catchment size."""
     from .operators.geocodes import voronoi_assign
 
-    sites = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    sites = read_sf(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("site_id"),
         F.expr("n_nationkey * 52361 % 360000").cast("long").alias("sx"),
         F.expr("(n_nationkey * 7907 + 41) % 170000").cast("long")
@@ -3776,7 +3777,7 @@ def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample."""
     from .operators import hotspots as HOT
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    df = read_sf(spark, sf_dir, "customer").select(
         F.expr("c_custkey * 7919 % 360000").alias("x"),
         F.expr("(c_custkey * 104729 + 13) % 170000").alias("y"),
         F.expr("CAST(FLOOR(c_acctbal) AS BIGINT)").alias("v"))
@@ -4339,7 +4340,7 @@ LINE_LAT = f"((({LINE_KEY}) * 104729 + 13) % 170000) / 1000.0 - 85.0"
 
 
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = read_sf(spark, sf_dir, "lineitem")
     return df.select(F.expr(LINE_LON).alias("lon"),
                      F.expr(LINE_LAT).alias("lat"))
 
@@ -4528,7 +4529,7 @@ def q_s2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the gate scales."""
     from .operators import s2cells as S2C
 
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = read_sf(spark, sf_dir, "lineitem")
     pts = df.select(F.expr(S2L_LON).alias("lon"),
                     F.expr(S2L_LAT).alias("lat"))
     cells = (S2C.with_s2_cell(pts, S2_COMPACT_LEVEL)
@@ -5030,8 +5031,8 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume shrinks to roughly the true match fraction plus fp."""
     from .operators import sketch as SK
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = read_sf(spark, sf_dir, "orders")
+    cust = (read_sf(spark, sf_dir, "customer")
             .filter(F.col("c_nationkey") == 7).select("c_custkey"))
     out = SK.bloom_prune_join(orders.select("o_orderkey", "o_custkey"),
                               cust, "o_custkey", "c_custkey", how="semi")
@@ -5276,7 +5277,7 @@ TRAJ_EPS_M = 500_000.0  # 3857-plane meters
 
 
 def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_sf(spark, sf_dir, "events")
     return df.select("user_id", "event_id", "ts",
                      F.expr(EVT_LON).alias("lon"),
                      F.expr(EVT_LAT).alias("lat"))
@@ -5293,7 +5294,7 @@ def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-agg'd Exchange on user_id; five integer
     sums combine map-side."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         "user_id",
         F.expr("event_id * 3571 % 360000").alias("x"),
         F.expr("(event_id * 9973 + 7) % 170000").alias("y"))
@@ -5696,7 +5697,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts+1) points.  The oracle is the literal range-predicate join."""
     from .operators import temporal as TP
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
         .alias("es"))
@@ -5757,7 +5758,7 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs max-min recompute."""
     from .operators import trajectories as TRJ
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.col("user_id").alias("ent"),
         F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
         F.expr("(user_id div 25 % 8) * 2000 + event_id * 173 % 1500")
@@ -5824,7 +5825,7 @@ def q_grid_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moduli coprime to the lattice side: a shared power-of-two
     # modulus would lock x and y to the same k mod 128 phase (a 1-D
     # cycle, not a 2-D occupancy maze)
-    occ = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+    occ = (read_sf(spark, sf_dir, "orders")
            .select(F.col("o_orderkey"),
                    F.expr("o_orderkey * 7919 % 360000 div 2813")
                    .alias("tile_x"),
@@ -5885,7 +5886,7 @@ def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the entire DP surface, not just the verdict."""
     from .operators import trajectories as TRJ
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.col("user_id").alias("ent"),
         F.col("event_id").alias("ord"),
         F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
@@ -5959,7 +5960,7 @@ def q_co_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the literal distinct-occupancy self-join."""
     from .operators import flows as FLW
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.col("user_id").alias("user"),
         F.expr("event_id * 3571 % 360000").alias("x"),
         F.expr("(event_id * 9973 + 7) % 170000").alias("y"),
@@ -6012,7 +6013,7 @@ def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the literal O(n^2) self-join."""
     from .operators import colocation as CL
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         F.expr("event_id * 3571 % 360000").alias("x"),
         F.expr("(event_id * 9973 + 7) % 170000").alias("y"),
@@ -6082,7 +6083,7 @@ def q_tile_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs)."""
     from .operators import flows as FLW
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    df = read_sf(spark, sf_dir, "events").select(
         F.col("user_id").alias("ent"), "ts",
         F.col("event_id").alias("id"),
         F.expr("event_id * 3571 % 360000").alias("x"),
@@ -6225,7 +6226,7 @@ def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful stream in ``streaming/geofence.py``."""
     from .operators import geofence as GF
 
-    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (read_sf(spark, sf_dir, "events")
            .select("user_id", "event_id", "ts",
                    F.expr(EVT_LON).alias("lon"),
                    F.expr(EVT_LAT).alias("lat")))
@@ -6267,7 +6268,7 @@ EVT_UY = "((event_id * 9973 + 7) % 170000) * 1000 - 85000000"
 
 
 def _crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (read_sf(spark, sf_dir, "events")
             .filter((F.col("event_type") == "purchase")
                     & (F.col("value") < 50.0))
             .select("user_id", "event_id", "ts",
@@ -6348,7 +6349,7 @@ def q_traj_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a map-only explode."""
     from .operators import trajectories as TRJ
 
-    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (read_sf(spark, sf_dir, "events")
            .select("user_id", "event_id", "ts",
                    F.expr(EVT_UX).alias("ux"), F.expr(EVT_UY).alias("uy")))
     out = TRJ.resample_tracks(pts, step_s=INTERP_STEP_S)
@@ -6417,7 +6418,7 @@ def q_map_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only projection (plan-asserted zero Exchanges)."""
     from .operators import segments as SEG
 
-    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (read_sf(spark, sf_dir, "events")
            .select("event_id", F.expr(EVT_MX).alias("mx"),
                    F.expr(EVT_MY).alias("my")))
     out = SEG.snap_to_segments(pts, SNAP_SEGS, x_col="mx", y_col="my")
@@ -6536,7 +6537,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts is TIMESTAMP_NTZ; the session tz is UTC, so NTZ->TZ cast +
     # unix_micros == DuckDB's epoch_us on the naive value (exact BIGINT
     # microseconds — second-level epochs could tie inside a second)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_sf(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
     probes = (ev.filter(F.col("event_type") == "click")
