@@ -52,11 +52,21 @@ def spread_scan(df: DataFrame, size_hint: int = None) -> DataFrame:
     return df.repartition(target)
 
 
-def read_sf(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read ``{sf_dir}/{table}.parquet`` with the scan-parallelism
-    floor applied (file size probed locally when possible)."""
+def read_sf(spark: SparkSession, sf_dir: str, table: str,
+            spread: bool = False) -> DataFrame:
+    """Read ``{sf_dir}/{table}.parquet``; with ``spread=True`` apply the
+    scan-parallelism floor (file size probed locally when possible).
+
+    ``spread`` is opt-in per call site because it only pays when the
+    downstream work per input row dwarfs one small exchange: paired A/B
+    (3 alternating cycles, round 6) showed the vector/matmul paths
+    gaining ~40% while light Column-math queries lost the ~0.1-0.3 s
+    the extra exchange costs.  Callers with Arrow-UDF or wide-agg
+    stages directly over the scan should pass spread=True."""
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
+    if not spread:
+        return df
     try:
         size = os.path.getsize(path)
     except OSError:

@@ -88,7 +88,7 @@ def _cosine(a: str, b: str) -> str:
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First N_QUERIES vec_ids as queries; exact top-K neighbors by
     cosine among all other vectors."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     q = F.broadcast(emb.filter(F.col("vec_id") < N_QUERIES)
                        .select(F.col("vec_id").alias("query_id"),
                                F.col("embedding").alias("qv")))
@@ -134,7 +134,7 @@ def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 1-(1-p^2)^8 ~ 1-2e-6 at p=cos->agreement 0.899; at scale
     the shape widens via ``lsh_params`` (log2(n)-bit bands + Hamming-1
     probe) so candidates stay O(n)."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     emb.createOrReplaceTempView("embeddings")
     aug = spark.sql("""
         SELECT vec_id, embedding FROM embeddings
@@ -190,7 +190,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = max|x|.  Pure Column math; the driver compares integer
     summaries of the quantized vector (full arrays don't merge in the
     oracle harness) — sum/min/max pin every element through the hash."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     return (emb.filter(F.expr(_ABS_MAX) > 0)
                .select("vec_id",
                        F.expr(f"aggregate({_QVEC}, 0L, (a, q) -> a + q)").alias("q_sum"),
@@ -282,7 +282,7 @@ def q_tile_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     medoid by exact integer squared L2 via the linear sum-of-squares
     decomposition.  The oracle recomputes the LITERAL pairwise cost
     matrix, proving the identity end to end."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     df = (emb.filter(F.expr(_ABS_MAX) > 0)
           .select(F.expr("vec_id * 7919 % 360000 div 90000")
                   .alias("tile_x"),
@@ -510,7 +510,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str,
     self-verifying ``recall_e3`` column vs the in-job exact top-K;
     pytest measures recall vs brute force (incl. dim=512).  Pass
     ``recall_audit=False`` to skip the audit (see ``with_recall``)."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     p = ivf_params(emb.count())
     C = _ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
     cand = (ivf_candidate_pairs(emb, C, p.nprobe)
@@ -533,7 +533,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str,
     carries a self-verifying ``recall_e3`` column vs the exact top-K
     (computed in-job on the sampled query set).  Pass
     ``recall_audit=False`` to skip the audit (see ``with_recall``)."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     n = emb.count()
     p = lsh_params(n)
     dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
@@ -672,7 +672,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str,
     and exact-re-ranks that pool against the raw vectors.  Rows-only
     for the driver but with the self-verifying ``recall_e3`` column;
     pytest pins recall floors and determinism."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     p = ivf_params(emb.count())
     C = _ivf_centroids(spark, emb, k=p.lists, sample=p.sample)
     books = _pq_codebooks(spark, emb)
@@ -818,7 +818,7 @@ def q_tile_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization as ``tile_medoid``, k=3 farthest-point picks per
     tile.  dist2 is exact int64, so the oracle hash pins the full
     greedy trajectory, not just the chosen ids."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     df = (emb.filter(F.expr(_ABS_MAX) > 0)
           .select(F.expr("vec_id * 7919 % 360000 div 90000")
                   .alias("tile_x"),
@@ -898,7 +898,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN variants swap in transparently) and adds one K*N_QUERIES-row
     label join + a query-bounded min-struct argmax — nothing touches
     the corpus beyond the top-K path itself."""
-    emb = read_sf(spark, sf_dir, "embeddings")
+    emb = read_sf(spark, sf_dir, "embeddings", spread=True)
     topk = q_ann_bruteforce(spark, sf_dir)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"),
                      F.col("label").alias("nbr_label"))
