@@ -108,11 +108,29 @@ def assign_tiles_buffered(df: DataFrame, zoom=None, extent: int = 4096,
             .withColumn("_bx", F.least(F.floor(F.col("_fx")), n_cells - 1))
             .withColumn("_by", F.least(F.floor(F.col("_fy")), n_cells - 1)))
     pad = float(buffer) / float(extent)  # buffer in tile fractions
-    shifts = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                       for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    df = df.withColumn("_s", F.explode(shifts))
-    tx = F.col("_bx") + F.col("_s.dx")
-    ty = F.col("_by") + F.col("_s.dy")
+    # emit only the shifts whose buffered window can contain the point
+    # instead of a 3x3 explode + filter: the old shape generated 9 rows
+    # per (point, zoom) and filtered ~87% of them away — 8x the
+    # Generate volume for nothing (round-6 measurement).  The guard
+    # conditions are float-exact restatements of the window filter
+    # below (dx=-1 kept iff fx <= bx + pad; dx=+1 iff fx >= bx+1 - pad;
+    # all quantities dyadic, so the sums are exact and the kept row set
+    # is bit-identical — the filter is still applied afterwards as a
+    # cheap invariant).
+    empty_i = F.array().cast("array<int>")
+    fx_c, bx_c = F.col("_fx"), F.col("_bx").cast("double")
+    fy_c, by_c = F.col("_fy"), F.col("_by").cast("double")
+    dxs = F.concat(
+        F.when(fx_c <= bx_c + F.lit(pad), F.array(F.lit(-1))).otherwise(empty_i),
+        F.array(F.lit(0)),
+        F.when(fx_c >= bx_c + F.lit(1.0 - pad), F.array(F.lit(1))).otherwise(empty_i))
+    dys = F.concat(
+        F.when(fy_c <= by_c + F.lit(pad), F.array(F.lit(-1))).otherwise(empty_i),
+        F.array(F.lit(0)),
+        F.when(fy_c >= by_c + F.lit(1.0 - pad), F.array(F.lit(1))).otherwise(empty_i))
+    df = df.withColumn("_sx", F.explode(dxs)).withColumn("_sy", F.explode(dys))
+    tx = F.col("_bx") + F.col("_sx")
+    ty = F.col("_by") + F.col("_sy")
     # keep when the point is inside this tile's buffered window
     inx = (F.col("_fx") >= tx.cast("double") - F.lit(pad)) & (F.col("_fx") <= tx.cast("double") + F.lit(1.0 + pad))
     iny = (F.col("_fy") >= ty.cast("double") - F.lit(pad)) & (F.col("_fy") <= ty.cast("double") + F.lit(1.0 + pad))
@@ -121,7 +139,7 @@ def assign_tiles_buffered(df: DataFrame, zoom=None, extent: int = 4096,
               .withColumn("tile_x", tx.cast("long"))
               .withColumn("tile_y", ty.cast("long"))
               .withColumn("tile_key", tile_key(F.col("zoom"), tx, ty))
-              .drop("_fx", "_fy", "_bx", "_by", "_s", "_n"))
+              .drop("_fx", "_fy", "_bx", "_by", "_sx", "_sy", "_n"))
 
 
 def zoom_rollup(df: DataFrame, max_zoom: int = 14,
