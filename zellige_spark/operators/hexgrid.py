@@ -82,9 +82,17 @@ def with_hex_cell(df: DataFrame, level: int,
     shared mercator projection (no Exchange, no Python)."""
     hq, hr = hex_qr_sql(level)
     d = T.with_web_mercator(df, lon_col, lat_col)
+    # hex_key references the hq/hr COLUMNS (multi-referenced non-cheap
+    # exprs stay un-collapsed), not the re-expanded axial SQL — the
+    # textual re-embedding doubled an already-large tree and every
+    # adaptive-kNN round paid its Catalyst/Janino compile again.
+    # coalesce(-1) never fires but makes the key NON-NULLABLE so join
+    # planners skip the isnotnull filter whose pushdown would inline
+    # the full axial tree (same fix as s2cells.with_s2_cell).
     return (d.withColumn("hq", F.expr(hq))
              .withColumn("hr", F.expr(hr))
-             .withColumn("hex_key", F.expr(hex_key_sql(hq, hr)))
+             .withColumn("hex_key", F.coalesce(
+                 F.expr(hex_key_sql("hq", "hr")), F.lit(-1).cast("long")))
              .drop("x3857", "y3857"))
 
 

@@ -83,17 +83,31 @@ def candidate_topk(q: DataFrame, d: DataFrame, k: int, cell_key: str,
 
 def adaptive_knn(queries: DataFrame, k: int, round_fn, bound_fn,
                  full_cover_ring: int, start_ring: int,
-                 query_id: str) -> DataFrame:
+                 query_id: str, driver_ids_max: int = 100_000) -> DataFrame:
     """Shared ring-doubling driver: ``round_fn(active, ring)`` runs one
     blocked-kNN round over the still-active queries; ``bound_fn(active,
     ring)`` returns (query_id, _bound_km) — a conservative lower bound
     on the distance to anything OUTSIDE the ring block.  A query
     settles once it holds k candidates whose k-th distance is strictly
     under its bound (no undiscovered point can beat it), or
-    unconditionally at ``full_cover_ring``.  Lineage is truncated per
-    round (localCheckpoint) so round r never recomputes rounds < r."""
+    unconditionally at ``full_cover_ring``.
+
+    Round-6 optimization: each round previously launched ~5 Spark jobs
+    (stats agg, two EAGER localCheckpoints, isEmpty) — pure serial
+    fixed cost that dominated the small-query-side drivers (knn_s2 ran
+    16-27 s on a 25-query / 15k-point input).  When the active query
+    side is small (<= ``driver_ids_max``, the adaptive drivers' normal
+    shape — the contract-bounded query batch), the satisfied ids are
+    collected to the driver ONCE per round and applied as isin()
+    filters: one job per round, no joins, no checkpoints, emptiness
+    known from a driver counter.  Larger query sides keep the original
+    join + eager-checkpoint path.  The settled pieces are lazy
+    localCheckpoints either way (they materialize exactly once, at the
+    final union).  The settled SET is identical — only the mechanics
+    of applying it changed."""
     ring = max(1, start_ring)
     active = queries
+    n_active = None
     settled = []
     while True:
         res = round_fn(active, ring)
@@ -107,12 +121,24 @@ def adaptive_knn(queries: DataFrame, k: int, round_fn, bound_fn,
                     .filter((F.col("_nc") >= k)
                             & (F.col("_kth") < F.col("_bound_km")))
                     .select(query_id))
-        settled.append(res.join(sat, query_id, "left_semi")
-                          .localCheckpoint(eager=True))
-        active = (active.join(sat, query_id, "left_anti")
-                        .localCheckpoint(eager=True))
-        if active.isEmpty():
-            break
+        if n_active is None:
+            n_active = active.count()
+        if n_active <= driver_ids_max:
+            ids = [r[0] for r in sat.collect()]
+            if ids:
+                settled.append(res.filter(F.col(query_id).isin(ids))
+                                  .localCheckpoint(eager=False))
+                active = active.filter(~F.col(query_id).isin(ids))
+                n_active -= len(ids)
+            if n_active == 0:
+                break
+        else:
+            settled.append(res.join(sat, query_id, "left_semi")
+                              .localCheckpoint(eager=True))
+            active = (active.join(sat, query_id, "left_anti")
+                            .localCheckpoint(eager=True))
+            if active.isEmpty():
+                break
         ring = min(2 * ring, full_cover_ring)
     out = settled[0]
     for part in settled[1:]:

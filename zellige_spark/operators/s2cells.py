@@ -106,8 +106,18 @@ def with_s2_cell(df: DataFrame, level: int, lon_col: str = "lon",
     df = (df.withColumn("s2_i", _st_to_ij(_uv_to_st(u), level))
             .withColumn("s2_j", _st_to_ij(_uv_to_st(v), level)))
     df = df.withColumn("s2_pos", s2_pos(face, F.col("s2_i"), F.col("s2_j"), level))
+    # coalesce(-1) never fires (all inputs non-null) but flips the
+    # column to NON-NULLABLE, so join planners stop generating
+    # isnotnull(s2_cid) filters.  Those filters were catastrophic:
+    # pushdown inlines the whole cid expression — the Hilbert fold is
+    # CodegenFallback, so the filter evaluates the exponentially
+    # duplicated face/u/st trig trees INTERPRETED, without CSE
+    # (measured round 6: a 15k-row broadcast join on s2_cid went
+    # 5-7 s -> 0.3 s from this one line).
     return df.withColumn(
-        "s2_cid", F.shiftleft(face.cast("long"), 2 * level) + F.col("s2_pos"))
+        "s2_cid", F.coalesce(
+            F.shiftleft(face.cast("long"), 2 * level) + F.col("s2_pos"),
+            F.lit(-1).cast("long")))
 
 
 def cid_at_level(cid: Column, from_level: int, to_level: int) -> Column:
