@@ -53,9 +53,17 @@ def tile_xy(x: Column, y: Column, zoom: Column) -> tuple:
 
 
 def tile_key(z: Column, tx: Column, ty: Column) -> Column:
-    """Pack (z, x, y) into one int64: z<<56 | x<<28 | y (x,y < 2^28)."""
-    return (z.cast("long") * F.lit(1 << 56)
-            + tx.cast("long") * F.lit(1 << 28) + ty.cast("long"))
+    """Pack (z, x, y) into one int64: z<<56 | x<<28 | y (x,y < 2^28).
+
+    coalesce(-1) never fires (inputs are non-null by construction) but
+    makes the key NON-NULLABLE, so join planners skip the
+    isnotnull(key) filter whose pushdown would re-inline the whole
+    floor/trig tree into a second per-row evaluation (the s2/hex cell
+    keys got the same treatment — see s2cells.with_s2_cell)."""
+    return F.coalesce(
+        z.cast("long") * F.lit(1 << 56)
+        + tx.cast("long") * F.lit(1 << 28) + ty.cast("long"),
+        F.lit(-1).cast("long"))
 
 
 def with_web_mercator(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:

@@ -5758,7 +5758,7 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs max-min recompute."""
     from .operators import trajectories as TRJ
 
-    ev = read_sf(spark, sf_dir, "events").select(
+    ev = read_sf(spark, sf_dir, "events", spread=True).select(
         F.col("user_id").alias("ent"),
         F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
         F.expr("(user_id div 25 % 8) * 2000 + event_id * 173 % 1500")
@@ -5886,7 +5886,7 @@ def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the entire DP surface, not just the verdict."""
     from .operators import trajectories as TRJ
 
-    ev = read_sf(spark, sf_dir, "events").select(
+    ev = read_sf(spark, sf_dir, "events", spread=True).select(
         F.col("user_id").alias("ent"),
         F.col("event_id").alias("ord"),
         F.expr("(user_id % 25) * 2000 + event_id * 131 % 1500").alias("x"),
