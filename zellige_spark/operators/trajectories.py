@@ -249,6 +249,20 @@ def resample_tracks(df: DataFrame, step_s: int = 3600,
                     lerp_y.cast("long").alias("y"))
 
 
+def _pair_parallelism(df: DataFrame) -> int:
+    """Partition count for the candidate-pair -> exact-kernel exchange
+    of the track-similarity joins.  The pair rows are tiny (two ids +
+    four bounded coordinate arrays) so AQE's byte-based coalescing
+    collapses them into one or two partitions and the numpy kernel —
+    the entire cost of the operator — runs on one core.  An explicit
+    hash repartition on the pair key keeps the kernel spread across
+    the cluster; both knobs scale with deployment size, nothing is
+    tuned to the local core count."""
+    sess = df.sparkSession
+    return max(sess.sparkContext.defaultParallelism,
+               int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
+
+
 def _bbox_grid_candidates(pts: DataFrame, tau: int,
                           cell: int | None) -> DataFrame:
     """Candidate entity pairs whose per-entity point-set bboxes are
@@ -316,14 +330,20 @@ def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
        the cell containing the component-wise max of the two expanded
        lower corners (covered by both sides by construction — the
        1-D interval-join ownership trick per axis).
-    3. the exact stage joins candidate pairs back to both point sets
-       (rows bounded by candidate count x track sizes, not n^2), each
-       point-pair row fans to its two directed roles, and two stacked
-       partial-agg'd groupBys compute min-per-point then max-per-pair
-       — h(A->B), h(B->A), and H = max of the two, filtered at tau^2.
+    3. tracks reduce to per-entity coordinate arrays in one
+       partial-agg'd shuffle (same reduction as the Fréchet join);
+       each candidate pair computes h(A->B), h(B->A) exactly inside
+       ONE Arrow-batched pandas UDF — the full int64 d2 matrix is a
+       vectorized numpy outer difference, min along each axis, max of
+       the mins — and H = max of the two is filtered at tau^2.  A
+       track must fit in one Arrow batch row (the ``simplify_tracks``
+       contract); work per pair is O(|A|*|B|) SIMD int ops, never
+       per-point JVM rows (the previous explode-to-roles + stacked
+       groupBy plan shipped candidate_pairs x |A| x |B| x 2 rows
+       through aggregation — measured 145 s vs ~8 s at sf0.1).
 
-    Duplicate points collapse inside the min-per-point groupBy (the
-    group key is the coordinate itself), so no distinct pre-pass.
+    Duplicate points only shrink the min/max (set semantics), so no
+    distinct pre-pass is needed.
     """
     t = int(tau)
     if t <= 0:
@@ -333,33 +353,58 @@ def hausdorff_join(df: DataFrame, tau: int, cell: int | None = None,
                     F.col(y_col).cast("long").alias("_y"))
     cand = _bbox_grid_candidates(pts, t, cell)
 
-    pa = pts.select(F.col("_e").alias("_ea"), F.col("_x").alias("_ax"),
-                    F.col("_y").alias("_ay"))
-    pb = pts.select(F.col("_e").alias("_eb"), F.col("_x").alias("_bx"),
-                    F.col("_y").alias("_by"))
-    dx = F.col("_ax") - F.col("_bx")
-    dy = F.col("_ay") - F.col("_by")
-    roles = (cand.join(pa, "_ea").join(pb, "_eb")
-             .select("_ea", "_eb", (dx * dx + dy * dy).alias("_d2"),
-                     F.explode(F.array(
-                         F.struct(F.lit(0).alias("s"),
-                                  F.col("_ax").alias("px"),
-                                  F.col("_ay").alias("py")),
-                         F.struct(F.lit(1).alias("s"),
-                                  F.col("_bx").alias("px"),
-                                  F.col("_by").alias("py")))).alias("_r"))
-             .select("_ea", "_eb", "_d2", "_r.s", "_r.px", "_r.py"))
-    mins = (roles.groupBy("_ea", "_eb", "s", "px", "py")
-            .agg(F.min("_d2").alias("_m")))
-    h = (mins.groupBy("_ea", "_eb")
-         .agg(F.max(F.when(F.col("s") == 0, F.col("_m")))
-              .alias("h_ab_sq"),
-              F.max(F.when(F.col("s") == 1, F.col("_m")))
-              .alias("h_ba_sq")))
-    return (h.withColumn("h_sq", F.greatest("h_ab_sq", "h_ba_sq"))
+    trk = pts.groupBy("_e").agg(F.collect_list(F.struct(
+        F.col("_x").alias("x"), F.col("_y").alias("y"))).alias("_t"))
+    ta = trk.select(F.col("_e").alias("_ea"),
+                    F.col("_t").getField("x").alias("_axs"),
+                    F.col("_t").getField("y").alias("_ays"))
+    tb = trk.select(F.col("_e").alias("_eb"),
+                    F.col("_t").getField("x").alias("_bxs"),
+                    F.col("_t").getField("y").alias("_bys"))
+
+    @F.pandas_udf("h_ab_sq long, h_ba_sq long")
+    def _hd(axs: pd.Series, ays: pd.Series, bxs: pd.Series,
+            bys: pd.Series) -> pd.DataFrame:
+        # Per-pair loop on purpose: one pair's d2 matrix (~70x70 int64
+        # = 36 KB) is L2-resident, so three in-place ops + two axis
+        # reductions run at cache speed.  A chunk-padded batched
+        # variant (the Fréchet DP treatment) measured 2.2-3.4x SLOWER
+        # per pair here: the 40 MB 3D chunks are DRAM-bound on this
+        # host's bandwidth knee and the pad cells + masked reductions
+        # are pure extra traffic.  The DP needs batching because its
+        # row sweep costs ~8 numpy calls per row; this kernel is just
+        # 5 calls per PAIR, so Python overhead is already amortized.
+        n = len(axs)
+        ha = np.empty(n, dtype=np.int64)
+        hb = np.empty(n, dtype=np.int64)
+        for k in range(n):
+            ax = np.asarray(axs[k], dtype=np.int64)
+            ay = np.asarray(ays[k], dtype=np.int64)
+            bx = np.asarray(bxs[k], dtype=np.int64)
+            by = np.asarray(bys[k], dtype=np.int64)
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            dx *= dx
+            dy *= dy
+            dx += dy
+            ha[k] = dx.min(axis=1).max()
+            hb[k] = dx.min(axis=0).max()
+        return pd.DataFrame({"h_ab_sq": ha, "h_ba_sq": hb})
+
+    # asNondeterministic: the h_sq filter below otherwise gets pushed
+    # beneath the projection and the kernel is evaluated TWICE (two
+    # ArrowEvalPython nodes, guide §4.4 duplication) — the result is
+    # pure in the inputs, the marker only stops the optimizer cloning
+    # the expensive call.
+    res = (cand.join(ta, "_ea").join(tb, "_eb")
+           .repartition(_pair_parallelism(df), "_ea", "_eb")
+           .withColumn("_h", _hd.asNondeterministic()(
+               "_axs", "_ays", "_bxs", "_bys")))
+    return (res.withColumn("h_sq", F.greatest("_h.h_ab_sq", "_h.h_ba_sq"))
             .filter(F.col("h_sq") <= F.lit(t) * F.lit(t))
             .select(F.col("_ea").alias("ent_a"), F.col("_eb").alias("ent_b"),
-                    "h_ab_sq", "h_ba_sq", "h_sq"))
+                    F.col("_h.h_ab_sq").alias("h_ab_sq"),
+                    F.col("_h.h_ba_sq").alias("h_ba_sq"), "h_sq"))
 
 
 def frechet_join(df: DataFrame, tau: int, cell: int | None = None,
@@ -378,11 +423,13 @@ def frechet_join(df: DataFrame, tau: int, cell: int | None = None,
     partial-agg'd shuffle, and each candidate pair runs the classic
     reachability DP — cell (i,j) is reachable iff d2(a_i,b_j) <= tau^2
     and a predecessor (i-1,j), (i,j-1), (i-1,j-1) is — inside ONE
-    Arrow-batched pandas UDF, vectorized along the row axis (per-run
-    cummax propagates the within-row horizontal moves, so the inner
-    loop is O(len_a) numpy row ops, never per-cell Python).  A track
-    must fit in one Arrow batch row — the ``simplify_tracks``
-    contract.
+    Arrow-batched pandas UDF.  Pairs are padded to a common rectangle
+    in chunks of 512 and the DP row sweep is vectorized across ALL
+    pairs of a chunk at once (per-run cummax propagates the within-row
+    horizontal moves; padded cells are masked unreachable), so the
+    inner loop is O(max_len_a) numpy ops on (chunk, len_b) matrices,
+    never per-cell or per-pair-per-row Python.  A track must fit in
+    one Arrow batch row — the ``simplify_tracks`` contract.
 
     Output (matched pairs only): (ent_a, ent_b, n_a, n_b, n_reach)
     where n_reach is the total count of DP-reachable grid cells — a
@@ -412,39 +459,100 @@ def frechet_join(df: DataFrame, tau: int, cell: int | None = None,
     @F.pandas_udf("matched boolean, n_reach long")
     def _dp(axs: pd.Series, ays: pd.Series, bxs: pd.Series,
             bys: pd.Series) -> pd.DataFrame:
-        out_m, out_r = [], []
-        for k in range(len(axs)):
-            ax = np.asarray(axs[k], dtype=np.int64)
-            ay = np.asarray(ays[k], dtype=np.int64)
-            bx = np.asarray(bxs[k], dtype=np.int64)
-            by = np.asarray(bys[k], dtype=np.int64)
-            dx = ax[:, None] - bx[None, :]
-            dy = ay[:, None] - by[None, :]
-            ok = dx * dx + dy * dy <= t2
-            m = ok.shape[1]
-            prev = None
-            total = 0
-            for i in range(ok.shape[0]):
-                okr = ok[i]
-                if prev is None:
-                    seed = np.zeros(m, dtype=bool)
-                    seed[0] = okr[0]
+        # Batched DP: pairs are padded to a common (max_na, max_nb)
+        # rectangle per chunk and every row-sweep op runs across ALL
+        # pairs of the chunk at once — the per-pair loop version paid
+        # ~8 tiny numpy calls per DP row (measured 99 s at sf0.1 for
+        # 44.6k candidate pairs; this shape is ~2 s).  Padded cells
+        # are masked to ok=False, so they are never reachable and the
+        # real cells' reachability (and n_reach) is unchanged.
+        n = len(axs)
+        matched = np.zeros(n, dtype=bool)
+        totals = np.zeros(n, dtype=np.int64)
+        CH = 512
+        dxb = dyb = None
+        for c0 in range(0, n, CH):
+            c1 = min(c0 + CH, n)
+            p = c1 - c0
+            na = np.fromiter((len(axs[k]) for k in range(c0, c1)),
+                             np.int64, p)
+            nb = np.fromiter((len(bxs[k]) for k in range(c0, c1)),
+                             np.int64, p)
+            ma, mb = int(na.max()), int(nb.max())
+            A_x = np.zeros((p, ma), dtype=np.int64)
+            A_y = np.zeros((p, ma), dtype=np.int64)
+            B_x = np.zeros((p, mb), dtype=np.int64)
+            B_y = np.zeros((p, mb), dtype=np.int64)
+            for k in range(p):
+                A_x[k, :na[k]] = axs[c0 + k]
+                A_y[k, :na[k]] = ays[c0 + k]
+                B_x[k, :nb[k]] = bxs[c0 + k]
+                B_y[k, :nb[k]] = bys[c0 + k]
+            if dxb is None or dxb.shape[1] < ma or dxb.shape[2] < mb:
+                dxb = np.empty((CH, ma, mb), dtype=np.int64)
+                dyb = np.empty((CH, ma, mb), dtype=np.int64)
+            dx = dxb[:p, :ma, :mb]
+            dy = dyb[:p, :ma, :mb]
+            np.subtract(A_x[:, :, None], B_x[:, None, :], out=dx)
+            np.subtract(A_y[:, :, None], B_y[:, None, :], out=dy)
+            dx *= dx
+            dy *= dy
+            dx += dy
+            ok = dx <= t2
+            ok &= np.arange(ma)[None, :, None] < na[:, None, None]
+            ok &= np.arange(mb)[None, None, :] < nb[:, None, None]
+            prev = np.zeros((p, mb), dtype=bool)
+            shifted = np.empty((p, mb), dtype=bool)
+            tot = np.zeros(p, dtype=np.int64)
+            mat = np.zeros(p, dtype=bool)
+            last_row = na - 1
+            last_col = nb - 1
+            rows = np.arange(p)
+            for i in range(ma):
+                okr = ok[:, i, :]
+                if i == 0:
+                    seed = np.zeros((p, mb), dtype=bool)
+                    seed[:, 0] = okr[:, 0]
                 else:
-                    seed = okr & (prev | np.concatenate(
-                        ([False], prev[:-1])))
+                    shifted[:, 0] = False
+                    shifted[:, 1:] = prev[:, :-1]
+                    np.logical_or(shifted, prev, out=shifted)
+                    seed = okr & shifted
                 # horizontal propagation within each True-run of okr:
                 # reachable from the first seed of the run onward
-                runid = np.cumsum(~okr)
+                runid = np.cumsum(~okr, axis=1)
+                runid += 1
                 hit = np.maximum.accumulate(
-                    np.where(seed, runid + 1, 0))
-                prev = okr & (hit == runid + 1)
-                total += int(prev.sum())
-            out_m.append(bool(prev[m - 1]))
-            out_r.append(total)
-        return pd.DataFrame({"matched": out_m, "n_reach": out_r})
+                    np.where(seed, runid, 0), axis=1)
+                prev = okr & (hit == runid)
+                tot += prev.sum(axis=1)
+                cap = last_row == i
+                if cap.any():
+                    mat[cap] = prev[rows[cap], last_col[cap]]
+            matched[c0:c1] = mat
+            totals[c0:c1] = tot
+        return pd.DataFrame({"matched": matched, "n_reach": totals})
 
+    # Lossless endpoint prefilter: a reachable DP surface must contain
+    # both corner cells (0,0) and (na-1,nb-1) — reachability seeds only
+    # at (0,0) and `matched` reads the far corner — so any pair whose
+    # first points or last points are further than tau apart can never
+    # match and is dropped BEFORE the exact kernel (44.6k -> 17.6k
+    # candidate pairs at sf0.1).  Cheap JVM column math on the already-
+    # collected arrays; the surviving pairs' DP output is unchanged.
+    def _end_d2(idx: int) -> Column:
+        dx = F.element_at("_axs", idx) - F.element_at("_bxs", idx)
+        dy = F.element_at("_ays", idx) - F.element_at("_bys", idx)
+        return dx * dx + dy * dy
+
+    # asNondeterministic: stops the matched-filter pushdown from
+    # cloning the DP into two ArrowEvalPython evaluations (guide §4.4;
+    # same fix as hausdorff_join — the kernel is pure in its inputs).
     res = (cand.join(ta, "_ea").join(tb, "_eb")
-           .withColumn("_r", _dp("_axs", "_ays", "_bxs", "_bys")))
+           .filter((_end_d2(1) <= F.lit(t2)) & (_end_d2(-1) <= F.lit(t2)))
+           .repartition(_pair_parallelism(df), "_ea", "_eb")
+           .withColumn("_r", _dp.asNondeterministic()(
+               "_axs", "_ays", "_bxs", "_bys")))
     return (res.filter(F.col("_r.matched"))
             .select(F.col("_ea").alias("ent_a"), F.col("_eb").alias("ent_b"),
                     F.size("_axs").cast("long").alias("n_a"),
