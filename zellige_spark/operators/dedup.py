@@ -5,9 +5,10 @@ Five families (SURVEY-mandated training-data ops):
 * exact dedup — hash-groupBy on the md5 fingerprint; one shuffle,
   map-side partial agg for free.
 * n-gram Jaccard near-dup — character-3-gram shingle sets; pairs with
-  Jaccard >= threshold via a shingle-inverted-index self-join.  Exact
-  (oracle-checked); O(sum of postings^2) worst case — the small-N
-  verifier for the scalable MinHash path.
+  Jaccard >= threshold via a blocked dense matmul over the alphabet^3-
+  bounded gram-incidence matrix (float32 BLAS, exact for counts <
+  2^24).  Exact (oracle-checked); intentionally all-pairs — the
+  small-N verifier for the scalable MinHash path.
 * MinHash+LSH near-dup — 64 xxhash64-seeded min-hashes, banded LSH
   buckets generate candidates, exact Jaccard verifies (see LSH_BANDS
   note below on the recall/cost knob).  Two shingle modes: char-3-gram
@@ -24,11 +25,19 @@ DuckDB), so the oracle checks real pairs, not an empty set — the raw
 synthetic corpus has no near-duplicates.
 """
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..io_scan import read_sf
 
 JACCARD_THRESHOLD = 0.6
+# Target docs per block of the exact-ngram blocked matmul: one block
+# pair's work is O(block^2 * vocab) SIMD flops and its task row ships
+# two blocks' index arrays (~block * shingles/doc * 8 bytes).  1024
+# keeps rows ~MB-scale and yields nb(nb+1)/2 >> cores tasks once the
+# corpus outgrows a handful of blocks.
+_NGRAM_BLOCK = 1024
 MINHASH_PERMS = 64
 # 32 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^32; at the 0.6
 # threshold the miss probability is (1-0.36)^32 ~= 6e-7 per pair, so
@@ -63,8 +72,9 @@ FROM documents
 """
 
 
-def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_sf(spark, sf_dir, "documents")
+def _augmented(spark: SparkSession, sf_dir: str,
+               spread: bool = False) -> DataFrame:
+    docs = read_sf(spark, sf_dir, "documents", spread=spread)
     docs.createOrReplaceTempView("documents")
     return spark.sql(_AUG_SPARK)
 
@@ -135,22 +145,96 @@ def sql_dedup_exact() -> str:
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _augmented(spark, sf_dir)
-    sh = _shingles(aug).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-               .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-               .agg(F.count(F.lit(1)).alias("common")))
-    out = (common
-           .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-           .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
-           .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-           .select("doc_a", "doc_b"))
-    return out
+    """Exact char-3-gram Jaccard pair set at the 0.6 threshold — the
+    brute-force twin the LSH variant is oracle-checked against (this
+    operator is intentionally all-pairs, like `ann_bruteforce`; the
+    scale path is `dedup_minhash_lsh`).
+
+    Shape: blocked dense matmul over the gram-incidence matrix.  The
+    char-3-gram vocabulary is alphabet^3-BOUNDED (377 distinct grams
+    in this corpus; median df 1939 of 10k docs), which breaks every
+    posting-list algorithm: the previous exploded self-join on the
+    shingle emitted sum_g df_g^2/2 = 4.03 BILLION rows at sf0.1 and
+    ran >25 min on two post-AQE partitions, and a df-ordered prefix
+    filter cannot help because even the rarest grams have df in the
+    hundreds.  Instead each doc becomes a 0/1 row over the vocab;
+    |A n B| for a whole block pair is ONE float32 BLAS matmul
+    (exact: counts <= doc length << 2^24).  Docs hash into
+    ~`_NGRAM_BLOCK`-sized blocks, every unordered block pair is one
+    task row carrying both blocks' index arrays, so the 75 GFLOP
+    total runs as nb(nb+1)/2 independent SIMD tasks — no shingle-row
+    shuffle at all.  The Jaccard test is exact integer cross-
+    multiplication (5*common >= 3*union, union > 0), equivalent to
+    the oracle's float compare at any feasible set size.  Output is
+    the identical pair set; the brute-force oracle SQL is unchanged."""
+    aug = _augmented(spark, sf_dir, spread=True)
+    arrs = _char_shingle_arrays(aug)
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    vocab = (sh.select("shingle").distinct()
+             .withColumn("_vid", F.row_number().over(
+                 Window.orderBy("shingle")) - 1))
+    docs = (sh.join(vocab, "shingle")
+            .groupBy("doc_id").agg(F.collect_list("_vid").alias("_idxs")))
+    # Block count from the parquet metadata row count (x2 for the
+    # union'd truncated variants) — an upper bound on shingled docs is
+    # all block sizing needs, and it avoids re-running the shingle
+    # pipeline for an exact count.
+    n_docs = 2 * read_sf(spark, sf_dir, "documents").count()
+    nb = max(1, -(-n_docs // _NGRAM_BLOCK))
+    blocked = (docs
+               .withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(nb)))
+               .groupBy("_b")
+               .agg(F.collect_list(F.struct("doc_id", "_idxs"))
+                    .alias("_docs")))
+    bp = (blocked.select(F.col("_b").alias("_bi"),
+                         F.col("_docs").alias("_da"))
+          .join(blocked.select(F.col("_b").alias("_bj"),
+                               F.col("_docs").alias("_db")),
+                F.col("_bi") <= F.col("_bj"))
+          .repartition("_bi", "_bj"))
+
+    def _block_pairs(batches):
+        vchunk = 16384
+        for pdf in batches:
+            for r in range(len(pdf)):
+                same = pdf["_bi"].iat[r] == pdf["_bj"].iat[r]
+                da, db = pdf["_da"].iat[r], pdf["_db"].iat[r]
+                ida = np.asarray([d["doc_id"] for d in da], dtype=np.int64)
+                idb = np.asarray([d["doc_id"] for d in db], dtype=np.int64)
+                ia = [np.asarray(d["_idxs"], dtype=np.int64) for d in da]
+                ib = [np.asarray(d["_idxs"], dtype=np.int64) for d in db]
+                sza = np.asarray([len(x) for x in ia], dtype=np.int64)
+                szb = np.asarray([len(x) for x in ib], dtype=np.int64)
+                ra = np.repeat(np.arange(len(ia)), sza)
+                ca = np.concatenate(ia) if ia else np.empty(0, np.int64)
+                rb = np.repeat(np.arange(len(ib)), szb)
+                cb = np.concatenate(ib) if ib else np.empty(0, np.int64)
+                common = np.zeros((len(ia), len(ib)), dtype=np.float32)
+                # local vocab extent: indices beyond either block's
+                # max contribute nothing to the intersection counts
+                ext = int(max(ca.max(initial=-1), cb.max(initial=-1))) + 1
+                for c0 in range(0, ext, vchunk):
+                    c1 = min(c0 + vchunk, ext)
+                    ma = (ca >= c0) & (ca < c1)
+                    mb = (cb >= c0) & (cb < c1)
+                    a = np.zeros((len(ia), c1 - c0), dtype=np.float32)
+                    b = np.zeros((len(ib), c1 - c0), dtype=np.float32)
+                    a[ra[ma], ca[ma] - c0] = 1.0
+                    b[rb[mb], cb[mb] - c0] = 1.0
+                    common += a @ b.T
+                c = common.astype(np.int64)
+                union = sza[:, None] + szb[None, :] - c
+                hit = (union > 0) & (5 * c >= 3 * union)
+                if same:
+                    hit &= ida[:, None] < idb[None, :]
+                else:
+                    hit &= ida[:, None] != idb[None, :]
+                ii, jj = np.nonzero(hit)
+                lo = np.minimum(ida[ii], idb[jj])
+                hi = np.maximum(ida[ii], idb[jj])
+                yield pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    return bp.mapInPandas(_block_pairs, "doc_a long, doc_b long")
 
 
 _SQL_SHINGLES = """
