@@ -102,7 +102,20 @@ def dbscan(pts: DataFrame, eps: int, min_pts: int,
             .select(id_col, F.coalesce("n_nbr", F.lit(0)).alias("n_nbr"))
             .withColumn("is_core",
                         (F.col("n_nbr") + 1 >= min_pts).cast("int")))
-    cores = base.filter(F.col("is_core") == 1).select(id_col)
+    # Core set from the degree table alone whenever min_pts > 1 (a
+    # zero-neighbor point can never be core then) — same set as
+    # base.filter(is_core), but it keeps the corpus scan + left-join
+    # OUT of the connected-components lineage: with base in the loop's
+    # ancestry, Spark 4.1's size-only stats walk during the CC edge
+    # checkpoint's join planning ran for minutes and OOM'd the driver
+    # at sf0.1 (observed: SizeInBytesOnlyStatsPlanVisitor hot in
+    # thread dumps, then java.lang.OutOfMemoryError in planning); the
+    # deg-only lineage plans instantly and also drops a second scan.
+    if min_pts > 1:
+        cores = (deg.filter(F.col("n_nbr") + 1 >= min_pts)
+                 .select(id_col))
+    else:
+        cores = base.filter(F.col("is_core") == 1).select(id_col)
     core_edges = (pairs
                   .join(cores.withColumnRenamed(id_col, "ia"), "ia")
                   .join(cores.withColumnRenamed(id_col, "ib"), "ib")

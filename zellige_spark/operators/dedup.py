@@ -25,11 +25,21 @@ DuckDB), so the oracle checks real pairs, not an empty set — the raw
 synthetic corpus has no near-duplicates.
 """
 
+import atexit
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..io_scan import read_sf
+
+# Reset connected_components' checkpoint-inherited plan statistics via
+# a scratch-parquet round trip every N rounds (see the docstring) —
+# rarely reached: near-dup clusters converge in a handful of rounds.
+_CC_STATS_RESET_EVERY = 4
 
 JACCARD_THRESHOLD = 0.6
 # Target docs per block of the exact-ngram blocked matmul: one block
@@ -169,12 +179,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pair set; the brute-force oracle SQL is unchanged."""
     aug = _augmented(spark, sf_dir, spread=True)
     arrs = _char_shingle_arrays(aug)
-    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
-    vocab = (sh.select("shingle").distinct()
-             .withColumn("_vid", F.row_number().over(
-                 Window.orderBy("shingle")) - 1))
-    docs = (sh.join(vocab, "shingle")
-            .groupBy("doc_id").agg(F.collect_list("_vid").alias("_idxs")))
+    docs = _gram_index_docs(arrs)
     # Block count from the parquet metadata row count (x2 for the
     # union'd truncated variants) — an upper bound on shingled docs is
     # all block sizing needs, and it avoids re-running the shingle
@@ -194,7 +199,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
           .repartition("_bi", "_bj"))
 
     def _block_pairs(batches):
-        vchunk = 16384
         for pdf in batches:
             for r in range(len(pdf)):
                 same = pdf["_bi"].iat[r] == pdf["_bj"].iat[r]
@@ -203,38 +207,61 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idb = np.asarray([d["doc_id"] for d in db], dtype=np.int64)
                 ia = [np.asarray(d["_idxs"], dtype=np.int64) for d in da]
                 ib = [np.asarray(d["_idxs"], dtype=np.int64) for d in db]
-                sza = np.asarray([len(x) for x in ia], dtype=np.int64)
-                szb = np.asarray([len(x) for x in ib], dtype=np.int64)
-                ra = np.repeat(np.arange(len(ia)), sza)
-                ca = np.concatenate(ia) if ia else np.empty(0, np.int64)
-                rb = np.repeat(np.arange(len(ib)), szb)
-                cb = np.concatenate(ib) if ib else np.empty(0, np.int64)
-                common = np.zeros((len(ia), len(ib)), dtype=np.float32)
-                # local vocab extent: indices beyond either block's
-                # max contribute nothing to the intersection counts
-                ext = int(max(ca.max(initial=-1), cb.max(initial=-1))) + 1
-                for c0 in range(0, ext, vchunk):
-                    c1 = min(c0 + vchunk, ext)
-                    ma = (ca >= c0) & (ca < c1)
-                    mb = (cb >= c0) & (cb < c1)
-                    a = np.zeros((len(ia), c1 - c0), dtype=np.float32)
-                    b = np.zeros((len(ib), c1 - c0), dtype=np.float32)
-                    a[ra[ma], ca[ma] - c0] = 1.0
-                    b[rb[mb], cb[mb] - c0] = 1.0
-                    common += a @ b.T
-                c = common.astype(np.int64)
-                union = sza[:, None] + szb[None, :] - c
-                hit = (union > 0) & (5 * c >= 3 * union)
-                if same:
-                    hit &= ida[:, None] < idb[None, :]
-                else:
-                    hit &= ida[:, None] != idb[None, :]
-                ii, jj = np.nonzero(hit)
-                lo = np.minimum(ida[ii], idb[jj])
-                hi = np.maximum(ida[ii], idb[jj])
+                lo, hi = _jaccard_block_kernel(ida, ia, idb, ib, same)
                 yield pd.DataFrame({"doc_a": lo, "doc_b": hi})
 
     return bp.mapInPandas(_block_pairs, "doc_a long, doc_b long")
+
+
+def _gram_index_docs(arrs: DataFrame) -> DataFrame:
+    """(doc_id, _idxs): each doc's distinct shingles as GLOBAL vocab
+    indices (row_number over the sorted distinct-gram table) — the
+    input format of the dense-matmul Jaccard kernels.  Docs with no
+    shingles are absent, matching the exploded-join shape."""
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    vocab = (sh.select("shingle").distinct()
+             .withColumn("_vid", F.row_number().over(
+                 Window.orderBy("shingle")) - 1))
+    return (sh.join(vocab, "shingle")
+            .groupBy("doc_id").agg(F.collect_list("_vid").alias("_idxs")))
+
+
+def _jaccard_block_kernel(ida, ia, idb, ib, same, vchunk=16384):
+    """Exact-Jaccard >= 3/5 pairs between two doc blocks given their
+    gram-index arrays: |A n B| for the whole block pair is a float32
+    BLAS matmul over 0/1 incidence matrices (exact below 2^24), the
+    threshold test is integer cross-multiplication (equivalent to the
+    oracle's float compare at any feasible set size).  Returns
+    (doc_a, doc_b) id arrays with doc_a < doc_b; ``same=True`` keeps
+    the strict upper triangle of a self block."""
+    sza = np.asarray([len(x) for x in ia], dtype=np.int64)
+    szb = np.asarray([len(x) for x in ib], dtype=np.int64)
+    ra = np.repeat(np.arange(len(ia)), sza)
+    ca = np.concatenate(ia) if ia else np.empty(0, np.int64)
+    rb = np.repeat(np.arange(len(ib)), szb)
+    cb = np.concatenate(ib) if ib else np.empty(0, np.int64)
+    common = np.zeros((len(ia), len(ib)), dtype=np.float32)
+    # local vocab extent: indices beyond either block's max
+    # contribute nothing to the intersection counts
+    ext = int(max(ca.max(initial=-1), cb.max(initial=-1))) + 1
+    for c0 in range(0, ext, vchunk):
+        c1 = min(c0 + vchunk, ext)
+        ma = (ca >= c0) & (ca < c1)
+        mb = (cb >= c0) & (cb < c1)
+        a = np.zeros((len(ia), c1 - c0), dtype=np.float32)
+        b = np.zeros((len(ib), c1 - c0), dtype=np.float32)
+        a[ra[ma], ca[ma] - c0] = 1.0
+        b[rb[mb], cb[mb] - c0] = 1.0
+        common += a @ b.T
+    c = common.astype(np.int64)
+    union = sza[:, None] + szb[None, :] - c
+    hit = (union > 0) & (5 * c >= 3 * union)
+    if same:
+        hit &= ida[:, None] < idb[None, :]
+    else:
+        hit &= ida[:, None] != idb[None, :]
+    ii, jj = np.nonzero(hit)
+    return np.minimum(ida[ii], idb[jj]), np.maximum(ida[ii], idb[jj])
 
 
 _SQL_SHINGLES = """
@@ -307,14 +334,20 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS,
     keeps buckets band-disjoint, halves the shuffle key bytes, and a
     cross-band hash collision can only MERGE buckets (extra verified-
     away candidates, never a lost pair)."""
+    return banded_pairs(_lsh_banded(sig, bands, perms), "doc_id",
+                        ("bkey",), out_cols=("doc_a", "doc_b"))
+
+
+def _lsh_banded(sig: DataFrame, bands: int = LSH_BANDS,
+                perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, bkey) banded bucket keys — the shared first half of
+    `lsh_candidates` and the bucket-level verifier."""
     rows = perms // bands
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
             for b in range(bands)])).alias("bkey"))
-    return banded_pairs(banded, "doc_id", ("bkey",),
-                        out_cols=("doc_a", "doc_b"))
 
 
 BANDED_CAP = 512    # max ids per chunk: one expansion row holds <= cap^2 pairs
@@ -353,6 +386,11 @@ def banded_pairs(banded: DataFrame, id_col: str,
     # band one row per (id, band), so in-bucket ids are already unique
     # and the set buffer's hash-dedup is pure overhead (measured ~10%
     # of the agg stage)
+    # (A bucket-membership dedup before pair expansion — distinct on
+    # the sorted id array — was tried in round 6 and REVERTED: the
+    # extra exchange cost 0.1-1.7 s on every caller in paired A/B and
+    # bought nothing measurable even on the 32-band LSH caller, whose
+    # cost lives in the verify join, not the duplicate pair stream.)
     buckets = (banded.groupBy(*band_cols)
                      .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                      .filter(F.size("ids") > 1))
@@ -376,12 +414,61 @@ def banded_pairs(banded: DataFrame, id_col: str,
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates -> exact-Jaccard verification.  Output equals the
-    exact n-gram pair set whenever LSH recall holds (P(miss) ~ 4e-13 at
-    the 0.6 threshold with 32x2 bands; asserted by the shared oracle)."""
-    aug = _augmented(spark, sf_dir)
+    """LSH candidates -> exact-Jaccard verification, fused per bucket.
+    Output equals the exact n-gram pair set whenever LSH recall holds
+    (P(miss) ~ 4e-13 at the 0.6 threshold with 32x2 bands; asserted by
+    the shared oracle).
+
+    Verification runs INSIDE each LSH bucket with the dense-matmul
+    Jaccard kernel instead of generating the candidate pair list and
+    joining the shingle arrays to it: this corpus's duplicate density
+    makes 46.8M of the 50M doc pairs band-collide at sf0.1, so the
+    pair-list shape paid 270M interpreted pair-struct expansions + a
+    46.8M-row distinct + two array joins that materialized ~150 GB of
+    shingle payloads (417 s measured).  Per-bucket verification ships
+    each doc's gram-index array once per bucket membership (320k rows)
+    and turns the 270M candidate tests into nb(nb+1)/2-chunked float32
+    BLAS matmuls per bucket; verified pairs then dedup in one distinct
+    over the TRUE pair multiset.  Same pair set by construction: a
+    pair is emitted iff it shares >= 1 bucket AND passes the exact
+    integer Jaccard test — exactly verify(candidates)."""
+    aug = _augmented(spark, sf_dir, spread=True)
     arrs = _char_shingle_arrays(aug).cache()
-    return _verify_candidates(arrs, lsh_candidates(minhash_signatures(arrs)))
+    banded = _lsh_banded(minhash_signatures(arrs))
+    docs = _gram_index_docs(arrs)
+    buckets = (banded.join(docs, "doc_id")
+               .groupBy("bkey")
+               .agg(F.collect_list(F.struct("doc_id", "_idxs"))
+                    .alias("_docs"))
+               .filter(F.size("_docs") > 1)
+               .repartition("bkey"))
+
+    def _bucket_verify(batches):
+        blk = _NGRAM_BLOCK
+        for pdf in batches:
+            los, his = [], []
+            for r in range(len(pdf)):
+                ds = pdf["_docs"].iat[r]
+                ids = np.asarray([d["doc_id"] for d in ds], dtype=np.int64)
+                idx = [np.asarray(d["_idxs"], dtype=np.int64) for d in ds]
+                m = len(ids)
+                for i0 in range(0, m, blk):
+                    i1 = min(i0 + blk, m)
+                    for j0 in range(i0, m, blk):
+                        j1 = min(j0 + blk, m)
+                        lo, hi = _jaccard_block_kernel(
+                            ids[i0:i1], idx[i0:i1],
+                            ids[j0:j1], idx[j0:j1], same=(i0 == j0))
+                        los.append(lo)
+                        his.append(hi)
+            yield pd.DataFrame({
+                "doc_a": np.concatenate(los) if los
+                else np.empty(0, np.int64),
+                "doc_b": np.concatenate(his) if his
+                else np.empty(0, np.int64)})
+
+    return (buckets.mapInPandas(_bucket_verify, "doc_a long, doc_b long")
+            .distinct())
 
 
 # oracle: identical to the exact n-gram pair set
@@ -812,7 +899,23 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     rounds < r; each round costs O(|E|) shuffle traffic, so the total is
     O(|E| log n) — the standard scalable CC recipe.  Near-dup clusters
     are short-diameter in practice; convergence is detected exactly
-    (no label changed), with ``max_iter`` as a safety bound."""
+    (no label changed), with ``max_iter`` as a safety bound.
+
+    Statistics-reset note: ``localCheckpoint`` truncates EXECUTION
+    lineage but `LogicalRDD.fromDataset` copies the checkpointed
+    plan's ESTIMATED statistics, and each round's joins multiply the
+    previous round's inherited sizeInBytes — the BigInt estimate
+    compounds ~^4 per round, and by round ~10 Spark's size-only stats
+    visitor is multiplying million-digit numbers inside planning
+    (observed on the sf0.1 dbscan core graph: driver pegged in
+    BigInteger.multiplyToomCook3 for minutes, then planner OOM /
+    "BigInteger would overflow supported range").  Every
+    ``_CC_STATS_RESET_EVERY`` rounds the labels therefore round-trip
+    through a scratch parquet file — a fresh scan whose stats come
+    from the file size, capping the compounding.  This is the
+    GraphFrames checkpoint-interval recipe; the scratch dir is
+    per-call, in-query-only state (like shuffle files), removed on
+    interpreter exit."""
     edges = (pairs.select(F.col(a).cast("long").alias("src"),
                           F.col(b).cast("long").alias("dst"))
              .union(pairs.select(F.col(b).cast("long").alias("src"),
@@ -820,7 +923,8 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
              .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
-    for _ in range(max_iter):
+    scratch = None
+    for _it in range(max_iter):
         nbr_min = (edges
                    .join(labels.select(F.col("node").alias("dst"),
                                        F.col("comp").alias("dcomp")), "dst")
@@ -842,6 +946,13 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         labels = jumped
         if changed.isEmpty():
             break
+        if (_it + 1) % _CC_STATS_RESET_EVERY == 0:
+            if scratch is None:
+                scratch = tempfile.mkdtemp(prefix="zellige_cc_scratch_")
+                atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            path = os.path.join(scratch, f"labels_{_it}")
+            labels.write.mode("overwrite").parquet(path)
+            labels = labels.sparkSession.read.parquet(path)
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -319,18 +319,66 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     return videos.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def _interleaved_masks(groups: int, excluded: int = 0,
+                       nbits: int = 64) -> list:
+    """Partition the (non-excluded) bit positions of an nbits word
+    into ``groups`` disjoint masks, round-robin by position — every
+    mask samples the whole word, so a hash whose entropy lives in a
+    sub-range (low-order bits, zeroed high bits) still spreads across
+    all buckets.  Returns UNSIGNED masks; convert via _mask_lit."""
+    excluded &= (1 << nbits) - 1
+    ms, r = [0] * groups, 0
+    for p in range(nbits):
+        if (excluded >> p) & 1:
+            continue
+        ms[r % groups] |= 1 << p
+        r += 1
+    return ms
+
+
+def _mask_lit(m: int):
+    """Unsigned 64-bit mask -> signed long literal Column."""
+    return F.lit(m - (1 << 64) if m >= (1 << 63) else m).cast("long")
+
+
+def _phash_mask_keys(bands: int, subs: int) -> list:
+    """(index, unsigned mask) for two-level interleaved Hamming
+    blocking: level 1 splits the 64 bits into ``bands`` interleaved
+    groups, level 2 splits each group's COMPLEMENT into ``subs``
+    interleaved groups; a bucket key is equality on ph & (band|sub).
+
+    Exact recall for distance <= min(bands, subs) - 1 by double
+    pigeonhole: some band mask sees 0 differing bits, and the <= d
+    remaining differences spread over ``subs`` disjoint groups of its
+    complement, so some (band, sub) mask union sees none."""
+    keys = []
+    for b, bm in enumerate(_interleaved_masks(bands)):
+        for s, sm in enumerate(_interleaved_masks(subs, excluded=bm)):
+            keys.append((b * subs + s, bm | sm))
+    return keys
+
+
 def phash_near_dup(images: DataFrame, max_hamming: int = 3,
                    id_col: str = "image_id",
                    phash_col: str = "phash") -> DataFrame:
     """Perceptual image near-dup pairs: Hamming distance <= max_hamming
-    over the 64-bit phash column, candidates via 4x16-bit band blocking
-    (pigeonhole: distance <= 3 shares at least one exact band) — the
+    over the 64-bit phash column, candidates via TWO-LEVEL interleaved
+    mask blocking (4 bands x 4 sub-bands; `_phash_mask_keys`) — the
     SimHash pair machinery applied to the image modality.  Pure JVM
-    Column math; at 10^12 images the band join shards on (band, chunk)
-    like any hash join."""
+    Column math; at 10^12 images the band join shards on (band, key)
+    like any hash join.
+
+    Why not the classic 4x16 contiguous bands: real phashes concentrate
+    entropy unevenly (low-frequency DCT bits; here the synthetic hash
+    is < 2^44, zeroing the top band), and ONE degenerate band collapses
+    the corpus into a single bucket — measured 84.7M candidate pairs /
+    112 s at sf0.1.  Interleaved masks sample every bit range in every
+    bucket key and the second level cuts survivors again (max bucket
+    13,008 -> 6; candidates -> 115k; recall 1.0 by double pigeonhole,
+    same verified pair set)."""
     if max_hamming > 3:
-        raise ValueError("4x16-bit blocking guarantees recall only for "
-                         "max_hamming <= 3; add bands for larger radii")
+        raise ValueError("4x4 two-level blocking guarantees recall only "
+                         "for max_hamming <= 3; add bands for larger radii")
     from .dedup import banded_pairs
 
     base = images.select(F.col(id_col).alias("_id"),
@@ -338,10 +386,9 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 3,
     bands = base.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright("_ph", 16 * b)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for b in range(4)])).alias("bs"))
+            F.struct(F.lit(i).alias("band"),
+                     F.col("_ph").bitwiseAND(_mask_lit(m)).alias("chunk"))
+            for i, m in _phash_mask_keys(4, 4)])).alias("bs"))
     bands = bands.select("_id", "bs.band", "bs.chunk")
     cand = banded_pairs(bands, "_id", ("band", "chunk"))
     pa = base.select(F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"))
@@ -871,39 +918,45 @@ def phash_threshold_sweep(images, ladder=SWEEP_LADDER, bands: int = 8,
     dedup threshold before running `image_dup_clusters` at scale —
     count the blast radius per rung FIRST.
 
-    EXACT for every rung because max(ladder) < bands (pigeonhole: two
-    64-bit hashes within h < bands Hamming distance agree on at least
-    one of the ``bands`` equal-width bands), so the band equi-join
-    sees every qualifying pair.  One band shuffle serves the WHOLE
-    ladder (the ripley_k wide-conditional-sum shape): candidates
-    dedup on the unordered id pair, the exact bit_count Hamming
-    distance is computed once per pair, and every rung is one
-    conditional SUM in a single aggregation.  Per-image counts ride
-    a bounded role explode + min-Hamming partial agg."""
+    EXACT for every rung because max(ladder) < min(bands, subs) of
+    the two-level interleaved mask blocking (`_phash_mask_keys`:
+    double pigeonhole — some band mask sees no differing bit, and
+    some sub-band of its complement sees none of the <= h remaining),
+    so the bucket equi-join sees every qualifying pair.  Contiguous
+    equal-width bands are NOT used: one low-entropy bit range (the
+    synthetic hash here is < 2^44; real phashes concentrate DCT
+    energy unevenly) makes a degenerate whole-corpus bucket —
+    measured 190M+ candidate pairs / 192 s at sf0.1 vs 6.5M / a few
+    seconds with interleaved masks.  One bucket shuffle serves the
+    WHOLE ladder (the ripley_k wide-conditional-sum shape):
+    candidates dedup on the unordered id pair (banded_pairs), the
+    exact bit_count Hamming distance is computed once per pair, and
+    every rung is one conditional SUM in a single aggregation.
+    Per-image counts ride a bounded role explode + min-Hamming
+    partial agg.  Candidate pairs beyond max(ladder) Hamming simply
+    fall outside every rung's conditional sum, so the blocking change
+    cannot alter any output row."""
     from pyspark.sql import functions as F
+
+    from .dedup import banded_pairs
 
     ladder = sorted(ladder)
     if ladder[-1] >= bands:
         raise ValueError(f"max ladder {ladder[-1]} >= bands {bands}: "
-                         f"band join would miss pairs")
-    width = 64 // bands
-    mask = (1 << width) - 1
+                         f"bucket join would miss pairs")
     base = images.select(F.col(id_col).alias("iid"),
                          F.col(phash_col).cast("long").alias("ph"))
     sends = base.select(
-        "iid", "ph",
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> struct(b AS bi, "
-            f"shiftrightunsigned(ph, b * {width}) & {mask} AS bv))"))
-        .alias("bk"))
-    l = sends.select(F.col("iid").alias("ia"), F.col("ph").alias("pa"),
-                     F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
-    r = sends.select(F.col("iid").alias("ib"), F.col("ph").alias("pb"),
-                     F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
-    cand = (l.join(r, ["bi", "bv"])
-            .filter(F.col("ia") < F.col("ib"))
-            .select("ia", "ib", "pa", "pb")
-            .distinct()
+        F.col("iid").alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.col("ph").bitwiseAND(_mask_lit(m)).alias("chunk"))
+            for i, m in _phash_mask_keys(bands, bands)])).alias("bk"))
+    pairs = banded_pairs(sends.select("_id", "bk.band", "bk.chunk"),
+                         "_id", ("band", "chunk"), out_cols=("ia", "ib"))
+    pa = base.select(F.col("iid").alias("ia"), F.col("ph").alias("pa"))
+    pb = base.select(F.col("iid").alias("ib"), F.col("ph").alias("pb"))
+    cand = (pairs.join(pa, "ia").join(pb, "ib")
             .withColumn("ham", F.bit_count(
                 F.col("pa").bitwiseXOR(F.col("pb")))))
     pair_aggs = cand.agg(*[

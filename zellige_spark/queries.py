@@ -1578,7 +1578,21 @@ def q_knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr(ORD_LON).alias("lon"),
                        F.expr(ORD_LAT).alias("lat")))
     data = _customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "data_id")
-    out = KNN.knn_kring_adaptive(queries, data, k=3, index_zoom=3, start_ring=2,
+    # Scale-adaptive index zoom: target O(1) data points per cell
+    # (count is a parquet-metadata read).  The fixed zoom 3 this used
+    # before is an 8x8 world grid, so at sf0.1 every query's ring-2
+    # block held ~40% of the data side and the candidate join emitted
+    # ~880M rows (163 s); occupancy-derived zoom keeps candidates
+    # O(k) per query at ANY scale.  Results are identical by the
+    # adaptive-expansion exactness contract (rings double until the
+    # k-th distance is certified inside the ring bound) — the zoom is
+    # a blocking knob, not a semantic one; the brute-force oracle is
+    # unchanged.
+    import math
+    n_data = read_sf(spark, sf_dir, "customer").count()
+    index_zoom = max(3, min(10, int(math.log(max(n_data, 1) / 4.0, 4))))
+    out = KNN.knn_kring_adaptive(queries, data, k=3, index_zoom=index_zoom,
+                                 start_ring=2,
                                  query_id="query_id", data_id="data_id",
                                  broadcast_queries=False)
     return out.select(F.col("query_id").cast("long").alias("query_id"),
