@@ -85,11 +85,23 @@ def with_signature(df: DataFrame, text_col: str = "text",
     nt = _NORM.replace("text", text_col)
     df = df.select("doc_id", F.expr(_shingle_expr(f"({nt})")).alias("_shs"))
     df = df.filter(F.size("_shs") > 0)
+    # md5 once per (shingle, perm): higher-order lambdas run
+    # INTERPRETED (CodegenFallback) with no common-subexpression
+    # elimination, so inlining _hash15's 15 nibble terms into one
+    # lambda re-evaluated md5 FIFTEEN times per element — ~300M md5
+    # calls at sf0.1, measured 116 s for the batch twin.  A nested
+    # transform materializes the md5 hex once and the outer lambda
+    # only decodes nibbles: identical values, 1/15th the hashing.
+    decode = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(m, {j + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15))
     cols = []
     for p in range(NP):
-        inner = _hash15(f"concat('{p}|', s)")
-        cols.append(F.expr(f"array_min(transform(_shs, s -> {inner}))")
-                     .alias(f"h{p}"))
+        cols.append(F.expr(
+            f"array_min(transform(transform(_shs, "
+            f"s -> md5(concat('{p}|', s))), m -> ({decode})))")
+            .alias(f"h{p}"))
     out = df.select("doc_id", *cols)
     if barrier:
         # h columns are EXPENSIVE derived expressions (md5 per shingle
@@ -213,7 +225,12 @@ def q_near_dup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with guaranteed near-duplicates: every doc re-submitted truncated
     to ~80% of its characters under doc_id + 3000000 (the re-crawl-
     with-edits shape the stream flags across batches)."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..io_scan import read_sf
+
+    # spread=True: the 16-permutation md5 signature is heavy per-row
+    # Column math pipelined straight onto the scan, and the sf-dir
+    # parquet is a single row group (1-2 scan partitions).
+    base = read_sf(spark, sf_dir, "documents", spread=True)
     trunc = base.select(
         (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
         F.expr(f"substring({_NORM}, 1, CAST(length({_NORM}) * 4 / 5 AS INT))"
