@@ -41,6 +41,17 @@ from ..io_scan import read_sf
 # rarely reached: near-dup clusters converge in a handful of rounds.
 _CC_STATS_RESET_EVERY = 4
 
+
+def _kernel_parallelism(df: DataFrame) -> int:
+    """Explicit partition count for the exchanges feeding the dense-
+    matmul kernels: the rows are few-but-heavy (block/bucket rows
+    whose UDF compute dwarfs their bytes), so a column-only
+    repartition would let AQE's byte-based coalescing fold them onto
+    a handful of cores.  Both knobs scale with deployment size."""
+    sess = df.sparkSession
+    return max(sess.sparkContext.defaultParallelism,
+               int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
+
 JACCARD_THRESHOLD = 0.6
 # Target docs per block of the exact-ngram blocked matmul: one block
 # pair's work is O(block^2 * vocab) SIMD flops and its task row ships
@@ -196,7 +207,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(blocked.select(F.col("_b").alias("_bj"),
                                F.col("_docs").alias("_db")),
                 F.col("_bi") <= F.col("_bj"))
-          .repartition("_bi", "_bj"))
+          .repartition(_kernel_parallelism(docs), "_bi", "_bj"))
 
     def _block_pairs(batches):
         for pdf in batches:
@@ -441,7 +452,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.collect_list(F.struct("doc_id", "_idxs"))
                     .alias("_docs"))
                .filter(F.size("_docs") > 1)
-               .repartition("bkey"))
+               .repartition(_kernel_parallelism(arrs), "bkey"))
 
     def _bucket_verify(batches):
         blk = _NGRAM_BLOCK
